@@ -1,13 +1,73 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.{SecurityFixtures => F}
+import graft.operators.{RelationalOps, SecurityOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Q1–Q11 model the reference's probe/diff/validation surface over the
+  * security fixtures (FIXTURES.md §A; seeds live in SecurityFixtures so
+  * Spark queries and DuckDB oracle CTEs share one source of truth).
+  * Q12–Q14 are the relational closure over the driver corpus.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.topNationsByBalance(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference probe/diff surface (SURVEY §2.9 Q1–Q11) ---
+    "q1_user_exists" -> ((s, _) => SecurityOps.userExists(F.sysUsersDf(s), "app_user")),
+    "q2_granted_roles" -> ((s, _) => SecurityOps.grantedRoles(F.sysRoleGrantsDf(s), "app_user")),
+    "q3_user_profiles" -> ((s, _) => SecurityOps.userProfiles(F.sysSettingsProfileElementsDf(s), "app_user")),
+    "q4_quota_by_member" -> ((s, _) => SecurityOps.quotasForUser(F.sysQuotasDf(s), "app_user")),
+    "q5_quota_members" -> ((s, _) => SecurityOps.quotaMembers(F.sysQuotasDf(s), "custom_quota")),
+    "q6_roles_to_grant" -> ((s, _) => SecurityOps.rolesToGrant(F.desiredRolesDf(s), F.sysRoleGrantsDf(s), "app_user")),
+    "q7_invalid_grants" -> ((s, _) => SecurityOps.invalidGrants(F.requestedGrantsDf(s), F.grantAllowlistDf(s))),
+    "q8_roles_to_revoke" -> ((s, _) => SecurityOps.rolesToRevoke(F.requestedRevokesDf(s), F.sysRoleGrantsDf(s), "reader_role_user")),
+    "q9_db_table_expansion" -> ((s, _) => SecurityOps.dbTableExpansion(F.specDatabasesDf(s), F.specTablesDf(s))),
+    "q10_quota_append" -> ((s, _) => SecurityOps.quotaAppendMember(F.sysQuotasDf(s), "custom_quota", "new_user")),
+    "q11_hash_and_errors" -> ((s, _) => SecurityOps.hashAndErrors(F.userSpecsDf(s))),
+    // --- relational closure (SURVEY §2.9 Q12–Q14) ---
+    "q12_lineitem_agg" -> ((s, dir) => RelationalOps.lineitemAgg(s, dir)),
+    "q13_top_nations" -> ((s, dir) => RelationalOps.topNationsByBalance(s, dir)),
+    "q14_events_agg" -> ((s, dir) => RelationalOps.eventsAgg(s, dir)),
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Q1–Q11 are self-contained via VALUES CTEs
+    * generated from the same seeds the Spark side uses. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_user_exists" ->
+      s"WITH ${F.cteSysUsers} SELECT count(*) AS c FROM sys_users WHERE name = 'app_user'",
+    "q2_granted_roles" ->
+      s"WITH ${F.cteSysRoleGrants} SELECT granted_role_name FROM sys_role_grants WHERE user_name = 'app_user' ORDER BY granted_role_name",
+    "q3_user_profiles" ->
+      s"WITH ${F.cteSysSettingsProfileElements} SELECT inherit_profile FROM sys_settings_profile_elements WHERE user_name = 'app_user' ORDER BY inherit_profile",
+    "q4_quota_by_member" ->
+      s"WITH ${F.cteSysQuotas} SELECT name FROM sys_quotas WHERE array_contains(apply_to_list, 'app_user') ORDER BY name",
+    "q5_quota_members" ->
+      s"WITH ${F.cteSysQuotas} SELECT apply_to_list FROM sys_quotas WHERE name = 'custom_quota'",
+    "q6_roles_to_grant" ->
+      s"WITH ${F.cteDesiredRoles}, ${F.cteSysRoleGrants} SELECT d.role FROM desired_roles d WHERE NOT EXISTS (SELECT 1 FROM sys_role_grants g WHERE g.user_name = 'app_user' AND g.granted_role_name = d.role) ORDER BY d.role",
+    "q7_invalid_grants" ->
+      s"WITH ${F.cteRequestedGrants}, ${F.cteGrantAllowlist} SELECT g.grant_name FROM requested_grants g WHERE NOT EXISTS (SELECT 1 FROM grant_allowlist a WHERE upper(g.grant_name) = a.grant_upper OR g.grant_name = 'dictGet') ORDER BY g.grant_name",
+    "q8_roles_to_revoke" ->
+      s"WITH ${F.cteRequestedRevokes}, ${F.cteSysRoleGrants} SELECT r.role FROM requested_revokes r WHERE EXISTS (SELECT 1 FROM sys_role_grants g WHERE g.user_name = 'reader_role_user' AND g.granted_role_name = r.role) ORDER BY r.role",
+    "q9_db_table_expansion" ->
+      s"WITH ${F.cteSpecDatabases}, ${F.cteSpecTables} SELECT d.database, t.table_name FROM spec_databases d CROSS JOIN spec_tables t ORDER BY d.db_idx, t.tb_idx",
+    "q10_quota_append" ->
+      s"WITH ${F.cteSysQuotas} SELECT name, list_concat(apply_to_list, ['new_user']) AS new_members FROM sys_quotas WHERE name = 'custom_quota'",
+    "q11_hash_and_errors" ->
+      s"WITH ${F.cteUserSpecs} SELECT user_name, sha256(user_password) AS pw_hash, regexp_extract(err_msg, 'DB::Exception.+\\.', 0) AS db_error FROM user_specs ORDER BY user_name",
+    "q12_lineitem_agg" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q13_top_nations" ->
+      "SELECT n.n_name, count(*) AS num_customers, sum(c.c_acctbal) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
+    "q14_events_agg" ->
+      "SELECT event_type, count(*) AS n, sum(value) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' GROUP BY event_type ORDER BY event_type",
+  )
 }

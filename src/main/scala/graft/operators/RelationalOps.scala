@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Corpus
+
+/** Relational-closure queries (SURVEY §2.9 Q12–Q14): the minimal
+  * scan/filter/aggregate/join/sort surface the reference's GRANT
+  * statements presuppose (clickhouse_grants.py:296 — grants target real
+  * `db.table` objects).
+  *
+  * Scale notes (100 TB stance):
+  *  - Filters precede aggregation so they push into the parquet scan
+  *    (verify `PushedFilters` in explain).
+  *  - Aggregations are partial+final HashAggregate (map-side combine);
+  *    grouping keys are low-cardinality → tiny shuffle.
+  *  - Q13 joins a big fact (customer) to a 25-row dim (nation):
+  *    broadcast, no shuffle of the fact side; top-k via orderBy+limit →
+  *    TakeOrderedAndProject (per-partition top-k, no full sort).
+  */
+object RelationalOps {
+
+  /** Q12 — pricing-summary style agg over lineitem. */
+  def lineitemAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q13 — customer×nation join + grouped agg + top-k. */
+  def topNationsByBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Corpus.table(spark, sfDir, "customer")
+    val n = Corpus.table(spark, sfDir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("num_customers"), sum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("total_bal").desc, col("n_name"))
+      .limit(10)
+  }
+
+  /** Q14 — date-filtered agg over events. */
+  def eventsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "events")
+      .where(col("ts") >= to_timestamp(lit("2024-01-01 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy(col("event_type"))
+}
