@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.{SecurityFixtures => F}
+import graft.functions.GraftFunctions
+import graft.sources.Corpus
+
+/** SQL entry surface: registers the security fixtures and the driver
+  * corpus as temp views plus the ClickHouse-dialect `has()` alias, so the
+  * reference's probe SQL (e.g. `SELECT name FROM system.quotas WHERE
+  * has(apply_to_list, 'u')`, clickhouse_users.py:179) runs verbatim via
+  * `spark.sql`. Idempotent per session.
+  */
+object QueryRunner {
+
+  def init(spark: SparkSession, sfDir: String): Unit = {
+    GraftFunctions.register(spark)
+    F.sysUsersDf(spark).createOrReplaceTempView("sys_users")
+    F.sysRoleGrantsDf(spark).createOrReplaceTempView("sys_role_grants")
+    F.sysSettingsProfileElementsDf(spark)
+      .createOrReplaceTempView("sys_settings_profile_elements")
+    F.sysQuotasDf(spark).createOrReplaceTempView("sys_quotas")
+    F.desiredRolesDf(spark).createOrReplaceTempView("desired_roles")
+    F.requestedGrantsDf(spark).createOrReplaceTempView("requested_grants")
+    F.requestedRevokesDf(spark).createOrReplaceTempView("requested_revokes")
+    F.grantAllowlistDf(spark).createOrReplaceTempView("grant_allowlist")
+    F.specDatabasesDf(spark).createOrReplaceTempView("spec_databases")
+    F.specTablesDf(spark).createOrReplaceTempView("spec_tables")
+    F.userSpecsDf(spark).createOrReplaceTempView("user_specs")
+    Corpus.registerAll(spark, sfDir)
+  }
+
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    init(spark, sfDir)
+    spark.sql(query)
+  }
+}

@@ -24,9 +24,13 @@ object SparkEntry {
     "q2_granted_roles" -> ((s, _) => SecurityOps.grantedRoles(F.sysRoleGrantsDf(s), "app_user")),
     "q3_user_profiles" -> ((s, _) => SecurityOps.userProfiles(F.sysSettingsProfileElementsDf(s), "app_user")),
     "q4_quota_by_member" -> ((s, _) => SecurityOps.quotasForUser(F.sysQuotasDf(s), "app_user")),
+    // ClickHouse-dialect spelling of q4 through the SQL surface: proves the
+    // has() alias (clickhouse_users.py:179) resolves to native ArrayContains.
+    "q4b_quota_by_member_has" -> ((s, dir) => QueryRunner.sql(s, dir,
+      "SELECT name FROM sys_quotas WHERE has(apply_to_list, 'app_user') ORDER BY name")),
     "q5_quota_members" -> ((s, _) => SecurityOps.quotaMembers(F.sysQuotasDf(s), "custom_quota")),
     "q6_roles_to_grant" -> ((s, _) => SecurityOps.rolesToGrant(F.desiredRolesDf(s), F.sysRoleGrantsDf(s), "app_user")),
-    "q7_invalid_grants" -> ((s, _) => SecurityOps.invalidGrants(F.requestedGrantsDf(s), F.grantAllowlistDf(s))),
+    "q7_invalid_grants" -> ((s, _) => SecurityOps.invalidGrants(F.requestedGrantsDf(s), F.grantAllowlist.map(_._1))),
     "q8_roles_to_revoke" -> ((s, _) => SecurityOps.rolesToRevoke(F.requestedRevokesDf(s), F.sysRoleGrantsDf(s), "reader_role_user")),
     "q9_db_table_expansion" -> ((s, _) => SecurityOps.dbTableExpansion(F.specDatabasesDf(s), F.specTablesDf(s))),
     "q10_quota_append" -> ((s, _) => SecurityOps.quotaAppendMember(F.sysQuotasDf(s), "custom_quota", "new_user")),
@@ -49,6 +53,8 @@ object SparkEntry {
       s"WITH ${F.cteSysSettingsProfileElements} SELECT inherit_profile FROM sys_settings_profile_elements WHERE user_name = 'app_user' ORDER BY inherit_profile",
     "q4_quota_by_member" ->
       s"WITH ${F.cteSysQuotas} SELECT name FROM sys_quotas WHERE array_contains(apply_to_list, 'app_user') ORDER BY name",
+    "q4b_quota_by_member_has" ->
+      s"WITH ${F.cteSysQuotas} SELECT name FROM sys_quotas WHERE array_contains(apply_to_list, 'app_user') ORDER BY name",
     "q5_quota_members" ->
       s"WITH ${F.cteSysQuotas} SELECT apply_to_list FROM sys_quotas WHERE name = 'custom_quota'",
     "q6_roles_to_grant" ->
@@ -60,7 +66,7 @@ object SparkEntry {
     "q9_db_table_expansion" ->
       s"WITH ${F.cteSpecDatabases}, ${F.cteSpecTables} SELECT d.database, t.table_name FROM spec_databases d CROSS JOIN spec_tables t ORDER BY d.db_idx, t.tb_idx",
     "q10_quota_append" ->
-      s"WITH ${F.cteSysQuotas} SELECT name, list_concat(apply_to_list, ['new_user']) AS new_members FROM sys_quotas WHERE name = 'custom_quota'",
+      s"WITH ${F.cteSysQuotas} SELECT name, array_to_string(list_concat(apply_to_list, ['new_user']), ',') AS new_members FROM sys_quotas WHERE name = 'custom_quota'",
     "q11_hash_and_errors" ->
       s"WITH ${F.cteUserSpecs} SELECT user_name, sha256(user_password) AS pw_hash, regexp_extract(err_msg, 'DB::Exception.+\\.', 0) AS db_error FROM user_specs ORDER BY user_name",
     "q12_lineitem_agg" ->

@@ -42,8 +42,12 @@ object SecurityFixtures {
   val requestedRevokes: Seq[String] = Seq("reader_role", "nonexistent_role")
 
   /** The 32 applicable grants: 6 system + 2 database + 24 table
-    * (clickhouse_grants.py:241-283), upper-cased as compared at
-    * clickhouse_grants.py:287. */
+    * (clickhouse_grants.py:241-283). The reference compares
+    * `grant.upper() not in applicable_grants` (clickhouse_grants.py:287)
+    * against the list AS WRITTEN — so the mixed-case `dictGet` entry is
+    * unreachable via upper() and only the exact-case `grant != 'dictGet'`
+    * carve-out admits it ('DICTGET'/'DictGet' are rejected). Keep dictGet
+    * mixed-case here to preserve that. */
   val systemGrants: Seq[String] = Seq(
     "CREATE FUNCTION", "DROP FUNCTION", "RELOAD DICTIONARY", "KILL QUERY",
     "MYSQL", "CLUSTER")
@@ -54,10 +58,12 @@ object SecurityFixtures {
     "ALTER INDEX", "ALTER VIEW", "ALTER TTL", "CREATE", "CREATE TABLE",
     "CREATE VIEW", "CREATE DICTIONARY", "DROP", "DROP TABLE", "DROP VIEW",
     "DROP DICTIONARY", "TRUNCATE", "OPTIMIZE")
+  private def asCompared(g: String): String =
+    if (g == "dictGet") g else g.toUpperCase
   val grantAllowlist: Seq[(String, String)] =
-    systemGrants.map(g => (g.toUpperCase, "system")) ++
-      databaseGrants.map(g => (g.toUpperCase, "database")) ++
-      tableGrants.map(g => (g.toUpperCase, "table"))
+    systemGrants.map(g => (asCompared(g), "system")) ++
+      databaseGrants.map(g => (asCompared(g), "database")) ++
+      tableGrants.map(g => (asCompared(g), "table"))
 
   val specDatabases: Seq[(Int, String)] = Seq((0, "main"), (1, "dictionaries"))
   val specTables: Seq[(Int, String)] = Seq((0, "statistics"), (1, "clients"), (2, "*"))

@@ -61,13 +61,15 @@ object SecurityOps {
 
   /** P4/J4 — invalid grants = requested MINUS 32-entry allowlist, with the
     * camelCase `dictGet` carve-out (clickhouse_grants.py:285-290, list at
-    * 241-283). The reference fails the whole call on the first miss; the
-    * relational form returns all misses. */
-  def invalidGrants(requested: DataFrame, allowlist: DataFrame): DataFrame =
-    requested.join(
-        broadcast(allowlist),
-        upper(col("grant_name")) === col("grant_upper") || col("grant_name") === lit("dictGet"),
-        "left_anti")
+    * 241-283: `grant.upper() not in applicable_grants and grant != 'dictGet'`).
+    * The allowlist is a compile-time constant, so this is a plain codegen'd
+    * filter — no join at all (the OR-condition anti-join form planned as a
+    * BroadcastNestedLoopJoin). The reference fails the whole call on the
+    * first miss; the relational form returns all misses. */
+  def invalidGrants(requested: DataFrame, allowlist: Seq[String]): DataFrame =
+    requested
+      .where(!upper(col("grant_name")).isin(allowlist: _*) &&
+             col("grant_name") =!= lit("dictGet"))
       .orderBy(col("grant_name"))
 
   /** J3 — databases × tables expansion for privilege grants
@@ -80,10 +82,15 @@ object SecurityOps {
 
   /** A4/SO3 — quota member append WITHOUT dedup (clickhouse_users.py:188):
     * the reference appends to apply_to_list; dedup is only avoided by the
-    * user_has_quota gate, so `concat`, not `array_union` (§8-Q6). */
+    * user_has_quota gate, so `concat`, not `array_union` (§8-Q6). The
+    * appended list is emitted as a comma-joined string: the driver's
+    * canonicalizer sorts result columns in pandas, where a raw array cell
+    * is unhashable (round-1 q10 failure). */
   def quotaAppendMember(sysQuotas: DataFrame, quota: String, user: String): DataFrame =
     sysQuotas.where(col("name") === lit(quota))
-      .select(col("name"), concat(col("apply_to_list"), array(lit(user))).as("new_members"))
+      .select(
+        col("name"),
+        array_join(concat(col("apply_to_list"), array(lit(user))), ",").as("new_members"))
 
   /** sha256 password hashing (clickhouse_users.py:206, playbook:46) +
     * DB::Exception error extraction (clickhouse_users.py:324). */

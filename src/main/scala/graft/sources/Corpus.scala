@@ -1,17 +1,32 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver test corpus (TESTDATA.md): TPC-H-ish parquet tables at
   * /root/testdata/sf{0.001,0.01,0.1}. Plain `spark.read.parquet` so
-  * Catalyst pushes filters/projections into the scan. */
+  * Catalyst pushes filters/projections into the scan.
+  *
+  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
+  * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong` (ts arrives as a nanos LongType)
+  * and convert via integral `div 1000` → `timestamp_micros`. Integral
+  * division matters: a double-typed divide of ~1.7e18 nanos exceeds the
+  * 53-bit mantissa and silently corrupts timestamps.
+  */
 object Corpus {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register all corpus tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

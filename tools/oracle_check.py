@@ -44,12 +44,17 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # Union of declared oracles and produced outputs: a query that crashed
+    # before writing anything must show up as a failure, not vanish.
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(dirs | set(oracles))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
-            results[name] = "NO_OUTPUT"
+            err = os.path.join(out_dir, f"{name}._ERROR")
+            detail = open(err).read()[:200] if os.path.exists(err) else ""
+            results[name] = f"NO_OUTPUT {detail}".strip()
             continue
         sres = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchall()
