@@ -35,6 +35,11 @@ object SparkEntry {
     "q9_db_table_expansion" -> ((s, _) => SecurityOps.dbTableExpansion(F.specDatabasesDf(s), F.specTablesDf(s))),
     "q10_quota_append" -> ((s, _) => SecurityOps.quotaAppendMember(F.sysQuotasDf(s), "custom_quota", "new_user")),
     "q11_hash_and_errors" -> ((s, _) => SecurityOps.hashAndErrors(F.userSpecsDf(s))),
+    // --- reconcile/apply surface (SURVEY §2.7 D1–D11, §3 EP1–EP3):
+    // replay the playbook_example.yaml scenario end-to-end on an empty
+    // in-memory catalog and emit the ordered statement transcript. The
+    // oracle pins the golden strings (README.md:116-124 templates).
+    "q15_playbook_transcript" -> ((s, _) => PlaybookReplay.transcript(s)),
     // --- relational closure (SURVEY §2.9 Q12–Q14) ---
     "q12_lineitem_agg" -> ((s, dir) => RelationalOps.lineitemAgg(s, dir)),
     "q13_top_nations" -> ((s, dir) => RelationalOps.topNationsByBalance(s, dir)),
@@ -69,6 +74,24 @@ object SparkEntry {
       s"WITH ${F.cteSysQuotas} SELECT name, array_to_string(list_concat(apply_to_list, ['new_user']), ',') AS new_members FROM sys_quotas WHERE name = 'custom_quota'",
     "q11_hash_and_errors" ->
       s"WITH ${F.cteUserSpecs} SELECT user_name, sha256(user_password) AS pw_hash, regexp_extract(err_msg, 'DB::Exception.+\\.', 0) AS db_error FROM user_specs ORDER BY user_name",
+    // Golden transcript of the playbook replay (README.md:116-124 template
+    // shapes). The oracle derives app_user's hash with sha256() rather than
+    // hardcoding it, mirroring playbook_example.yaml:46.
+    "q15_playbook_transcript" ->
+      ("""SELECT * FROM (VALUES
+        | (0, 'db_admin', true, 'CREATE USER ''db_admin'' IDENTIFIED WITH sha256_hash BY ''a2015a1f1eb6a39f615b47de969376b367534b465a41dd7c98e5b1e00a3bdac1'''),
+        | (0, 'db_admin', true, 'CREATE ROLE IF NOT EXISTS db_admin_role'),
+        | (0, 'db_admin', true, 'GRANT db_admin_role to ''db_admin'''),
+        | (1, 'app_user', true, 'CREATE USER ''app_user'' IDENTIFIED WITH sha256_hash BY ''' || sha256('appUserPass') || ''''),
+        | (1, 'app_user', true, 'CREATE ROLE IF NOT EXISTS reader_role'),
+        | (1, 'app_user', true, 'CREATE ROLE IF NOT EXISTS writer_role'),
+        | (1, 'app_user', true, 'GRANT reader_role, writer_role to ''app_user'''),
+        | (2, 'db_admin_role', true, 'GRANT ALL on default.* to ''db_admin_role'''),
+        | (3, 'reader_role', true, 'GRANT SELECT, SHOW on main.* to ''reader_role'' WITH REPLACE OPTION'),
+        | (4, 'writer_role', true, 'GRANT INSERT, UPDATE, OPTIMIZE on main.* to ''writer_role'' WITH REPLACE OPTION'),
+        | (5, 'db_admin', false, ''),
+        | (6, 'app_user', false, '')
+        |) AS t(step, grantee, changed, statement) ORDER BY step, statement""".stripMargin.replace("\n", " ")),
     "q12_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q13_top_nations" ->

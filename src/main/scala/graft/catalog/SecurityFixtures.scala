@@ -48,16 +48,9 @@ object SecurityFixtures {
     * unreachable via upper() and only the exact-case `grant != 'dictGet'`
     * carve-out admits it ('DICTGET'/'DictGet' are rejected). Keep dictGet
     * mixed-case here to preserve that. */
-  val systemGrants: Seq[String] = Seq(
-    "CREATE FUNCTION", "DROP FUNCTION", "RELOAD DICTIONARY", "KILL QUERY",
-    "MYSQL", "CLUSTER")
-  val databaseGrants: Seq[String] = Seq("CREATE DATABASE", "DROP DATABASE")
-  val tableGrants: Seq[String] = Seq(
-    "ALL", "SELECT", "SHOW", "dictGet", "INSERT", "UPDATE", "DELETE",
-    "ALTER", "ALTER TABLE", "ALTER COLUMN", "ALTER CONSTRAINT",
-    "ALTER INDEX", "ALTER VIEW", "ALTER TTL", "CREATE", "CREATE TABLE",
-    "CREATE VIEW", "CREATE DICTIONARY", "DROP", "DROP TABLE", "DROP VIEW",
-    "DROP DICTIONARY", "TRUNCATE", "OPTIMIZE")
+  val systemGrants: Seq[String] = graft.engine.GrantTaxonomy.systemLevelGrants
+  val databaseGrants: Seq[String] = graft.engine.GrantTaxonomy.databaseLevelGrants
+  val tableGrants: Seq[String] = graft.engine.GrantTaxonomy.tableLevelGrants
   private def asCompared(g: String): String =
     if (g == "dictGet") g else g.toUpperCase
   val grantAllowlist: Seq[(String, String)] =
