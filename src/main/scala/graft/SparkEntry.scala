@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.operators.{RelationalOps, SecurityOps}
+import graft.pipeline.{Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats}
+import graft.sources.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +46,20 @@ object SparkEntry {
     "q12_lineitem_agg" -> ((s, dir) => RelationalOps.lineitemAgg(s, dir)),
     "q13_top_nations" -> ((s, dir) => RelationalOps.topNationsByBalance(s, dir)),
     "q14_events_agg" -> ((s, dir) => RelationalOps.eventsAgg(s, dir)),
+    // --- LLM-data-pipeline surface (SURVEY §7 Milestone 6) ---
+    "q16_exact_dedup" -> ((s, dir) => Dedup.exactDedupSummary(Corpus.table(s, dir, "documents"))),
+    "q17_dedup_keep_first" -> ((s, dir) => Dedup.dedupKeepFirst(Corpus.table(s, dir, "documents"))),
+    "q18_minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Corpus.table(s, dir, "documents"))),
+    "q19_lsh_near_dups" -> ((s, dir) => Dedup.lshNearDupPairs(Corpus.table(s, dir, "documents"), 0.8)),
+    "q20_simhash" -> ((s, dir) => Dedup.simhashAll(Corpus.table(s, dir, "documents"))),
+    "q21_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Corpus.table(s, dir, "documents"), 3, 100L, 0.5)),
+    "q22_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Corpus.table(s, dir, "embeddings"), 0L, 10)),
+    "q23_cosine_bucket_topk" -> ((s, dir) => Similarity.bucketTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 4)),
+    "q24_lang_id" -> ((s, dir) => TextStats.langIdSummary(Corpus.table(s, dir, "documents"))),
+    "q25_quality_scores" -> ((s, dir) => TextStats.qualityScores(Corpus.table(s, dir, "documents"), 50L)),
+    "q26_token_counts" -> ((s, dir) => TextStats.tokenCountsBySource(Corpus.table(s, dir, "documents"))),
+    "q27_fingerprints" -> ((s, dir) => TextStats.fingerprints(Corpus.table(s, dir, "documents"), 50L)),
+    "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -98,5 +114,20 @@ object SparkEntry {
       "SELECT n.n_name, count(*) AS num_customers, sum(c.c_acctbal) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
     "q14_events_agg" ->
       "SELECT event_type, count(*) AS n, sum(value) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' GROUP BY event_type ORDER BY event_type",
+    // --- LLM-pipeline oracles (exact Spark↔DuckDB parity; see
+    //     pipeline/PipelineOracles.scala for the portability contract) ---
+    "q16_exact_dedup" -> PO.exactDedup,
+    "q17_dedup_keep_first" -> PO.dedupKeepFirst,
+    "q18_minhash_signatures" -> PO.minhashSignatures,
+    "q19_lsh_near_dups" -> PO.lshNearDups(0.8),
+    "q20_simhash" -> PO.simhash,
+    "q21_ngram_jaccard" -> PO.ngramJaccard(100L, 0.5),
+    "q22_cosine_topk" -> PO.cosineTopK(0L, 10),
+    "q23_cosine_bucket_topk" -> PO.bucketTopK(0L, 10, 4),
+    "q24_lang_id" -> PO.langIdSummary,
+    "q25_quality_scores" -> PO.qualityScores(50L),
+    "q26_token_counts" -> PO.tokenCounts,
+    "q27_fingerprints" -> PO.fingerprints(50L),
+    "q28_multimodal_meta" -> PO.multimodalMeta,
   )
 }

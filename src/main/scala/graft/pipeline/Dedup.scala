@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication operators over a `documents(doc_id, text, lang, source,
+  * n_chars)` table — the four standard tiers of a training-data pipeline:
+  * exact (content hash), MinHash+LSH (set similarity), SimHash
+  * (bit-vector similarity), and char-n-gram Jaccard (verification
+  * metric).
+  *
+  * 100 TB design stance:
+  *  - exact dedup is a hash shuffle with map-side partial aggregation —
+  *    embarrassingly scalable;
+  *  - near-dup NEVER goes all-pairs: LSH banding turns it into an
+  *    equi-join on (band, key) buckets, so cost is O(candidates), and
+  *    candidates are pairs that already collide on a band;
+  *  - the only driver-sized assumption is that a single bucket's
+  *    membership fits an executor — with 4 bands × 2 rows of 60-bit
+  *    hashes, bucket skew means near-identical content, which is
+  *    exactly what we want grouped.
+  */
+object Dedup {
+
+  /** Exact-duplicate summary by source: total vs distinct content hashes.
+    * (sha2 over full text == ClickHouse-style content fingerprint.) */
+  def exactDedupSummary(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), sha2(col("text"), 256).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("h")).as("n_unique"))
+      .orderBy("source")
+
+  /** Keep-first exact dedup: one survivor (min doc_id) per content hash.
+    * Pure aggregation — no window, so no per-partition sort at scale. */
+  def dedupKeepFirst(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .agg(count(lit(1)).as("kept"))
+
+  private val NumHashes = 8
+  val Bands = 4
+  val RowsPerBand = 2
+  val ShingleK = 3
+
+  private def minhashCols(doc: DataFrame): DataFrame = {
+    // two-step select so the shingle array is computed once per row,
+    // not re-derived inside each of the 8 minhash expressions
+    val withSh = doc.select(col("doc_id"),
+      shingles(tokens(col("text")), ShingleK).as("sh"))
+    withSh.select(Seq(col("doc_id"), col("sh")) ++
+      (0 until NumHashes).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+  }
+
+  /** MinHash signatures (first `NumHashes` seeded hash functions) —
+    * the correctness-observable core of the LSH pipeline. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashCols(docs)
+      .select(col("doc_id") +: (0 until 4).map(i => col(s"mh$i")): _*)
+      .orderBy("doc_id")
+
+  /** Near-duplicate pairs via banded MinHash-LSH, verified with true
+    * Jaccard over shingle sets and thresholded.
+    *
+    * Dataflow: signatures → explode to (band, key) → self-equi-join on
+    * the bucket → distinct candidate pairs → verify. Both join sides
+    * shuffle ONLY on the band key; there is no cross join anywhere.
+    */
+  def lshNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashCols(docs)
+    val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
+    val bandStructs = array((0 until Bands).map(b =>
+      struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
+    val banded = sig
+      .select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bkey"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha_"), col("b.sh").as("shb_"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sha_"), col("shb_")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash per document (64-bit sign fingerprint as a bitstring). */
+  def simhashAll(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashBits(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Char-n-gram Jaccard pairs within a bounded id window — the
+    * verification metric used to audit the LSH tier (all-pairs is
+    * restricted to the window; the scale path IS lshNearDupPairs). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, maxId: Long,
+                        threshold: Double): DataFrame = {
+    val g = docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), charNgrams(col("text"), n).as("g"))
+    val a = g.as("a"); val b = g.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(jaccard(col("a.g"), col("b.g")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+}

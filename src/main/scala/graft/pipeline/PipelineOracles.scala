@@ -1,0 +1,159 @@
+package graft.pipeline
+
+/** DuckDB oracle spellings for the pipeline queries (q16–q28).
+  *
+  * Each mirrors its Spark operator EXACTLY — same hash construction
+  * (sha256-prefix 60-bit), same fold order, same rounding — so result
+  * hashes match bit-for-bit. The portable-hash identity
+  *   Spark  cast(conv(substr(sha2(x,256),1,15),16,10) AS BIGINT)
+  *   DuckDB ('0x'||substr(sha256(x),1,15))::BIGINT
+  * is verified in .claude/skills/verify/SKILL.md.
+  */
+object PipelineOracles {
+
+  private def h64(expr: String, seed: String): String =
+    s"('0x'||substr(sha256($expr||'#$seed'),1,15))::BIGINT"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Distinct 3-token shingle CTEs over documents. */
+  private val shingleCtes =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk)""".stripMargin
+
+  val exactDedup: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val dedupKeepFirst: String =
+    """SELECT count(*) AS kept FROM
+      |(SELECT min(doc_id) FROM documents GROUP BY sha256(text)) t""".stripMargin
+
+  val minhashSignatures: String = {
+    val mh = (0 until 4).map(i =>
+      s"list_min(list_transform(s, x -> ${h64("x", i.toString)})) AS mh$i").mkString(", ")
+    s"WITH $shingleCtes SELECT doc_id, $mh FROM sh ORDER BY doc_id"
+  }
+
+  /** Banded LSH near-dup pairs: 8 minhashes, 4 bands × 2 rows, true
+    * Jaccard verification at the given threshold. */
+  def lshNearDups(threshold: Double): String = {
+    val mhList = (0 until 8).map(i =>
+      s"list_min(list_transform(s, x -> ${h64("x", i.toString)}))").mkString(", ")
+    val bandKey =
+      h64("mh[band*2+1]::VARCHAR || '_' || mh[band*2+2]::VARCHAR", "band'||band||'")
+    s"""WITH $shingleCtes,
+       |m AS (SELECT doc_id, s, [$mhList] AS mh FROM sh),
+       |bands AS (SELECT doc_id, s, band, $bandKey AS bkey
+       |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |verified AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |SELECT * FROM verified WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val simhash: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, list_transform(t, tok -> ${h64("tok", "sim")}) AS th FROM tk)
+       |SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
+       |  CASE WHEN list_reduce(list_transform(th, x ->
+       |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), (p, q) -> p + q) > 0
+       |  THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  def ngramJaccard(maxId: Long, threshold: Double): String =
+    s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(1, length(text)-1), i -> substr(text, i, 3))) AS ng
+       |  FROM documents WHERE doc_id < $maxId)
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.ng, b.ng))::DOUBLE /
+       |          len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+       |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sequential-order cosine, mirroring TextFunctions.cosine. */
+  private def cosineExpr(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, len($a)+1),
+       |   i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))))""".stripMargin
+
+  def cosineTopK(queryId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId)
+       |SELECT vec_id, label, round(${cosineExpr("embedding", "qe")}, 6) AS cos
+       |FROM embeddings, q WHERE vec_id <> $queryId
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
+  private def signBucket(col: String, nBits: Int): String =
+    s"""list_aggregate(list_transform(range(1, ${nBits + 1}),
+       |  i -> CASE WHEN $col[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
+
+  def bucketTopK(queryId: Long, k: Int, nBits: Int): String =
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = $queryId)
+       |SELECT vec_id, label, round(${cosineExpr("embedding", "qe")}, 6) AS cos
+       |FROM b, q WHERE vec_id <> $queryId AND bucket = qb
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
+  private val hitsCtes: String = {
+    val cols = TextStats.StopwordLists.map { case (l, words) =>
+      s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x))) AS hits_$l"
+    }.mkString(", ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, $cols FROM tk)""".stripMargin
+  }
+
+  val langIdSummary: String = {
+    val langs = TextStats.StopwordLists.map(_._1)
+    val best = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH $hitsCtes,
+       |d AS (SELECT doc_id, CASE $cases ELSE 'und' END AS detected
+       |  FROM (SELECT *, $best AS g FROM h) x)
+       |SELECT detected, count(*) AS n FROM d GROUP BY detected ORDER BY detected""".stripMargin
+  }
+
+  def qualityScores(maxId: Long): String = {
+    val en = sqlList(TextStats.EnStopwords)
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+       |  FROM documents WHERE doc_id < $maxId),
+       |m AS (SELECT doc_id,
+       |  len(tk) AS n_tokens,
+       |  round(length(text)::DOUBLE / len(tk), 6) AS mean_tok_len,
+       |  round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE
+       |        / length(text), 6) AS punct_ratio,
+       |  round(len(list_filter(tk, x -> list_contains($en, x)))::DOUBLE
+       |        / len(tk), 6) AS stopword_ratio
+       |  FROM t)
+       |SELECT *, round(least(n_tokens::DOUBLE / 50.0, 1.0) * (1.0 - punct_ratio), 6)
+       |  AS quality FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val tokenCounts: String =
+    """SELECT source,
+      |  sum(len(string_split(text, ' '))) AS ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+      |    AS bpe_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  def fingerprints(maxId: Long): String =
+    s"""SELECT doc_id, list_reduce(list_transform(string_split(text, ''),
+       |  c -> ascii(c)::BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS fp
+       |FROM documents WHERE doc_id < $maxId ORDER BY doc_id""".stripMargin
+
+  val multimodalMeta: String =
+    """SELECT source, sum(octet_length(text::BLOB)) AS total_bytes,
+      |  count(DISTINCT sha256(text)) AS distinct_payloads
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+}

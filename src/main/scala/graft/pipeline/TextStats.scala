@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Text-analysis operators for pipeline curation: language ID, quality
+  * scoring, token counting, and content fingerprinting — all pure
+  * column expressions (scan-local, no shuffle except the final
+  * summaries' small aggregations). */
+object TextStats {
+
+  /** Tiny per-language stopword lists (public common function words) —
+    * deliberately minimal: the operator IS the n-gram/stopword-overlap
+    * heuristic, not a trained model. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不", "人", "这"))
+
+  val EnStopwords: Seq[String] = StopwordLists.head._2
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language ID by stopword-overlap argmax; ties and zero-hit docs fall
+    * back to 'und' (undetermined), matching what an honest heuristic
+    * should say about word-salad text. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = StopwordLists.foldLeft(docs.select(col("doc_id"), col("lang"), toks.as("toks"))) {
+      case (df, (l, words)) => df.withColumn(s"hits_$l", hits(col("toks"), words))
+    }
+    val best = StopwordLists.map { case (l, _) => col(s"hits_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val detected = StopwordLists.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"hits_$l") === best && best > 0, l).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"), detected.as("detected"))
+  }
+
+  /** Summary: detected-language counts (tiny final aggregate). */
+  def langIdSummary(docs: DataFrame): DataFrame =
+    langId(docs).groupBy("detected").agg(count(lit(1)).as("n"))
+      .orderBy("detected")
+
+  /** Per-document quality signals: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a blended score — the
+    * standard cheap filters before expensive model-based scoring. */
+  def qualityScores(docs: DataFrame, maxId: Long): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(col("toks")), 6)
+          .as("mean_tok_len"),
+        round(size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+          .cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(hits(col("toks"), EnStopwords).cast("double") / size(col("toks")), 6)
+          .as("stopword_ratio"))
+      // blended score: length saturation × cleanliness — the classic
+      // cheap pre-filter shape (portable: least/round exist in DuckDB)
+      .withColumn("quality", round(
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) *
+          (lit(1.0) - col("punct_ratio")), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts by source: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation — the shape a byte
+    * pair encoder sees before merges). */
+  def tokenCountsBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokens(col("text"))).as("ws"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .as("bpe"))
+      .groupBy("source")
+      .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+      .orderBy("source")
+
+  /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
+  def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
+    docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+}
