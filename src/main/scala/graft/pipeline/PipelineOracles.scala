@@ -17,11 +17,17 @@ object PipelineOracles {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Distinct 3-token shingle CTEs over documents. */
+  /** Distinct 3-token shingle CTEs over documents, plus the sha256 base
+    * hashes the affine minhash family permutes (TextFunctions.minhash). */
   private val shingleCtes =
-    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-      |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk)""".stripMargin
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+       |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk),
+       |bh AS (SELECT doc_id, s, list_transform(s, x -> ${h64("x", "mh")}) AS hs FROM sh)""".stripMargin
+
+  private val P = TextFunctions.MinhashP
+  private def mhExpr(i: Int): String =
+    s"list_min(list_transform(hs, h -> ((h % $P) * ${TextFunctions.minhashA(i)} + ${TextFunctions.minhashB(i)}) % $P))"
 
   val exactDedup: String =
     """SELECT source, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique
@@ -32,20 +38,18 @@ object PipelineOracles {
       |(SELECT min(doc_id) FROM documents GROUP BY sha256(text)) t""".stripMargin
 
   val minhashSignatures: String = {
-    val mh = (0 until 4).map(i =>
-      s"list_min(list_transform(s, x -> ${h64("x", i.toString)})) AS mh$i").mkString(", ")
-    s"WITH $shingleCtes SELECT doc_id, $mh FROM sh ORDER BY doc_id"
+    val mh = (0 until 4).map(i => s"${mhExpr(i)} AS mh$i").mkString(", ")
+    s"WITH $shingleCtes SELECT doc_id, $mh FROM bh ORDER BY doc_id"
   }
 
   /** Banded LSH near-dup pairs: 8 minhashes, 4 bands × 2 rows, true
     * Jaccard verification at the given threshold. */
   def lshNearDups(threshold: Double): String = {
-    val mhList = (0 until 8).map(i =>
-      s"list_min(list_transform(s, x -> ${h64("x", i.toString)}))").mkString(", ")
+    val mhList = (0 until 8).map(mhExpr).mkString(", ")
     val bandKey =
       h64("mh[band*2+1]::VARCHAR || '_' || mh[band*2+2]::VARCHAR", "band'||band||'")
     s"""WITH $shingleCtes,
-       |m AS (SELECT doc_id, s, [$mhList] AS mh FROM sh),
+       |m AS (SELECT doc_id, s, [$mhList] AS mh FROM bh),
        |bands AS (SELECT doc_id, s, band, $bandKey AS bkey
        |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

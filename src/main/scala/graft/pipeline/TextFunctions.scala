@@ -38,9 +38,25 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash value for one seeded hash function over a shingle set. */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => hash64(s, seed.toString)))
+  /** Affine MinHash family: ONE sha256 base hash per element, then k
+    * cheap affine permutations h_i = (a_i*(h mod P) + b_i) mod P — the
+    * standard trick that keeps the crypto-hash cost independent of the
+    * number of minhash functions (a naive k-seeded design recomputes
+    * sha256 k× per shingle; measured 8-25× slower at sf0.1). */
+  val MinhashP: Long = 1000000007L
+  def minhashA(i: Int): Long = ((i + 1).toLong * 1000003L) % MinhashP
+  def minhashB(i: Int): Long = ((i + 1).toLong * 998244353L) % MinhashP
+
+  /** Base hashes for a string array (materialize this ONCE per row —
+    * reference it from a separate select so CollapseProject's
+    * expensive-expression guard keeps it from being re-inlined). */
+  def baseHashes(arr: Column, seed: String): Column =
+    transform(arr, x => hash64(x, seed))
+
+  /** MinHash value i over pre-computed base hashes. */
+  def minhash(hs: Column, i: Int): Column =
+    array_min(transform(hs,
+      h => ((h % MinhashP) * minhashA(i) + minhashB(i)) % MinhashP))
 
   /** LSH band key: joint hash of `rowsPerBand` consecutive minhashes.
     * Banding is what keeps near-dup search linear: candidates share a
@@ -63,19 +79,25 @@ object TextFunctions {
         i => substring(text, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** 64-bit SimHash rendered as a 64-char '1'/'0' string (MSB-free,
-    * bit b at position b). Token hashes are computed ONCE into an array,
-    * then each bit position folds ±1 over them — without the hoist the
-    * sha256 would be recomputed 64× per token. */
-  def simhashBits(toks: Column): Column = {
-    val tokHashes = transform(toks, t => hash64(t, "sim"))
-    concat_ws("", transform(sequence(lit(0), lit(63)), b =>
-      when(
-        aggregate(tokHashes, lit(0),
-          // shiftright via call_function: the Scala wrapper only takes a
-          // literal Int, but the Catalyst expression accepts a column.
-          (acc, h) => acc + when((call_function("shiftright", h, b) % 2) === 1, 1).otherwise(-1))
-          > 0, "1").otherwise("0")))
+  /** 64-bit SimHash rendered as a 64-char '1'/'0' string (bit b at
+    * position b).
+    *
+    * Shape matters: the token-hash array is the AGGREGATE'S INPUT, so it
+    * is evaluated once per row no matter what CollapseProject inlines.
+    * The per-bit formulation (`transform(0..63, b -> aggregate(th, …))`)
+    * puts `th` inside a lambda body, where the optimizer's reference
+    * count is 1 but runtime evaluation is 64× — measured 32-95s vs ~3s
+    * at sf0.1 for identical output. */
+  def simhashFromHashes(tokHashes: Column): Column = {
+    // per token: its ±1 contribution to each of the 64 bit counters
+    // (shiftright via call_function: the Scala wrapper only takes a
+    // literal Int, but the Catalyst expression accepts a column)
+    def bitSigns(h: Column): Column =
+      transform(sequence(lit(0), lit(63)), b =>
+        when((call_function("shiftright", h, b) % 2) === 1, 1).otherwise(-1))
+    val counts = aggregate(tokHashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitSigns(h), (a, v) => a + v))
+    concat_ws("", transform(counts, c => when(c > 0, "1").otherwise("0")))
   }
 
   /** Polynomial rolling-hash document fingerprint:
