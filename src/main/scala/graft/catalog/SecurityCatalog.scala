@@ -97,6 +97,12 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
     commit()
   }
 
+  /** Raw-DCL entry point (SURVEY §7 Milestone 5): parse reference-dialect
+    * statement strings and apply them. All-or-nothing: a parse error
+    * mutates nothing. */
+  def applySql(sqls: Seq[String]): Either[String, Unit] =
+    DclParser.parseAll(sqls).map(apply)
+
   private def applyOne(s: CatalogState, stmt: DdlStatement): CatalogState = stmt match {
     case CreateUserWithPassword(u, pw) =>
       s.copy(users = s.users :+ User(u, "sha256_password", sha256Hex(pw)))
