@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical physical properties
+  * the scaladocs claim, pinned so a refactor can't silently lose them.
+  * (Shapes audited via ExplainTool; see SCALE.md.) */
+class PlanShapeSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q12: l_shipdate filter pushes into the parquet scan; partial+final agg") {
+    val p = plan("q12_lineitem_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q13: broadcast join on the 25-row dim; top-k via TakeOrderedAndProject") {
+    val p = plan("q13_top_nations")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q19 LSH: equi-join on band buckets — no cartesian, no BNLJ") {
+    val p = plan("q19_lsh_near_dups")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q22 cosine top-k: 1-row broadcast attach + TakeOrderedAndProject, no shuffle of the scan side") {
+    val p = plan("q22_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange"))
+    // the only exchange is the broadcast of the single query vector
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q16 exact dedup: map-side partial aggregation before the hash shuffle") {
+    val p = plan("q16_exact_dedup")
+    assert(p.contains("HashAggregate(keys=[source"))
+  }
+}
