@@ -24,6 +24,9 @@ object Bench {
     // deterministic (sorted) order so per-query numbers are comparable
     // across rounds; live stderr line per query for anomaly triage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's heap debt (lingering broadcast
+      // and shuffle structures otherwise tax whoever runs next)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

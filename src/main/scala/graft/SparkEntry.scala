@@ -60,6 +60,11 @@ object SparkEntry {
     "q26_token_counts" -> ((s, dir) => TextStats.tokenCountsBySource(Corpus.table(s, dir, "documents"))),
     "q27_fingerprints" -> ((s, dir) => TextStats.fingerprints(Corpus.table(s, dir, "documents"), 50L)),
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
+    "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
+    // --- wider relational closure: window / rollup / big-join paths ---
+    "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),
+    "q31_rollup" -> ((s, dir) => RelationalOps.lineitemRollup(s, dir)),
+    "q32_join_revenue" -> ((s, dir) => RelationalOps.revenueByPriority(s, dir)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -129,5 +134,20 @@ object SparkEntry {
     "q26_token_counts" -> PO.tokenCounts,
     "q27_fingerprints" -> PO.fingerprints(50L),
     "q28_multimodal_meta" -> PO.multimodalMeta,
+    "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
+    "q30_window_topn" ->
+      """SELECT * FROM (SELECT n.n_name, c.c_custkey, c.c_acctbal,
+        | row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        | FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
+        |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin.replace("\n", " "),
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
+    "q32_join_revenue" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
   )
 }

@@ -49,4 +49,46 @@ object RelationalOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .orderBy(col("event_type"))
+
+  /** Q30 — window top-n per group: the per-partition rank pattern.
+    * The window shuffles once on the partition key; ordering keys are
+    * total (acctbal, custkey) so ranks are deterministic. */
+  def topCustomersPerNation(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val c = Corpus.table(spark, sfDir, "customer")
+    val nat = Corpus.table(spark, sfDir, "nation")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.join(broadcast(nat), c("c_nationkey") === nat("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .orderBy(col("n_name"), col("rn"))
+  }
+
+  /** Q31 — ROLLUP over lineitem: subtotal + grand-total rows in one
+    * pass (Catalyst expands to a single Expand + hash agg, not one
+    * scan per grouping set). NULLS FIRST pinned explicitly — Spark and
+    * DuckDB default to opposite null ordering. */
+  def lineitemRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q32 — big×big equi-join (orders ⋈ lineitem on orderkey) + agg.
+    * Both sides shuffle on the join key; at warehouse scale these
+    * tables are bucketed on orderkey so the exchange disappears.
+    * Revenue rounded to 4 decimals: partial-sum combine order differs
+    * between engines at the ulp level. */
+  def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Corpus.table(spark, sfDir, "orders")
+    val l = Corpus.table(spark, sfDir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -80,32 +80,45 @@ object Dedup {
     val bandStructs = array((0 until Bands).map(b =>
       struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
 
-    // Join on IDS ONLY: the banded relation is three longs per row, so
-    // the self-join's build side stays tiny. Carrying the shingle
-    // arrays through the join instead builds a multi-hundred-MB hash
-    // relation and a sort-aggregate over wide rows (measured 150-325s
-    // vs ~10s at sf0.1 for identical output).
+    // Candidate generation WITHOUT a self-join: group ids per
+    // (band, key) bucket and expand each bucket's pair combinations —
+    // the classic map-reduce LSH shape. One shuffle carrying three
+    // longs per row; bucket membership is bounded (colliding minhash
+    // bands ⇒ near-identical content). The earlier self-join
+    // formulation was correct but its 4-join AQE tree was
+    // pathologically variance-prone in-session (6s…190s); this DAG is
+    // one shuffle + two broadcast joins.
     val banded = sig
       .select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ids = array_sort(collect_list(col("doc_id")))
+    val cand = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(ids.as("ids"))
+      .where(size(col("ids")) > 1)
+      // all (i<j) pairs within the bucket
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + lit(2), size(col("ids")) - lit(1) - i),
+          y => struct(element_at(col("ids"), i + 1).as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
     // Verification re-attaches shingle sets to the (few) candidates —
-    // recomputed straight from text (string ops only, no hashing), so
-    // the two verify joins never pay the minhash path again.
+    // recomputed straight from text (string ops only, no hashing). The
+    // candidate side is provably tiny, so it is broadcast EXPLICITLY:
+    // the big side streams, nothing wide is ever built into a hash
+    // relation, at any scale.
     val shTbl = docs.select(col("doc_id"),
       shingles(tokens(col("text")), ShingleK).as("sh"))
-    cand
-      .join(shTbl.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), "doc_a")
-      .join(shTbl.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), "doc_b")
+    val withA = shTbl
+      .join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sh").as("sha_"))
+    shTbl
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sha_"), col("shb_")), 6).as("jaccard"))
+        round(jaccard(col("sha_"), col("sh")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -109,6 +109,15 @@ object PipelineOracles {
        |FROM b, q WHERE vec_id <> $queryId AND bucket = qb
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
+  def cosineNearDups(threshold: Double, nBits: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+       |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
   private val hitsCtes: String = {
     val cols = TextStats.StopwordLists.map { case (l, words) =>
       s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x))) AS hits_$l"

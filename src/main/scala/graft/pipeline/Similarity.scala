@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -19,19 +19,39 @@ import TextFunctions._
   *    (partitionBy(bucket)), so a query prunes to one partition —
   *    the IVF probe pattern expressed as partition pruning.
   *
-  * The scalar work (dot products) is all built-in higher-order
-  * functions inside codegen — no UDFs.
+  * Per-VECTOR work (double cast, norm) is hoisted into row columns
+  * before any join: cosine between a pair is then a single dot product
+  * over pre-cast arrays divided by two stored norms. The hoist is
+  * bit-identical to inline recomputation (same ops, same order), so
+  * the DuckDB oracles need no mirroring change. All scalar work is
+  * built-in higher-order functions — no UDFs.
   */
 object Similarity {
 
+  /** vec as doubles + its norm (+ sign bucket when nBits > 0). */
+  private def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
+    val base = embeddings.withColumn("ed",
+      transform(col("embedding"), x => x.cast("double")))
+    val withNorm = base.withColumn("norm",
+      sqrt(aggregate(transform(col("ed"), x => x * x), lit(0.0), (s, v) => s + v)))
+    if (nBits > 0)
+      withNorm.withColumn("bucket", signBucket(col("embedding"), nBits))
+    else withNorm
+  }
+
+  private def pairCosine(edA: Column, edB: Column, normA: Column, normB: Column): Column =
+    aggregate(zip_with(edA, edB, (x, y) => x * y), lit(0.0), (s, v) => s + v) /
+      (normA * normB)
+
   /** Exact cosine top-k against the vector with id `queryId`. */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val q = embeddings.where(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
-    embeddings.where(col("vec_id") =!= queryId)
+    val v = withVectorCols(embeddings, 0)
+    val q = v.where(col("vec_id") === queryId)
+      .select(col("ed").as("q_ed"), col("norm").as("q_norm"))
+    v.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"), col("q_norm")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -40,15 +60,14 @@ object Similarity {
     * dimension signs). Recall is traded for a bucket-local scan. */
   def bucketTopK(embeddings: DataFrame, queryId: Long, k: Int,
                  nBits: Int = 8): DataFrame = {
-    val bucketed = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"),
-        signBucket(col("embedding"), nBits).as("bucket"))
-    val q = bucketed.where(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-    bucketed.where(col("vec_id") =!= queryId)
+    val v = withVectorCols(embeddings, nBits)
+    val q = v.where(col("vec_id") === queryId)
+      .select(col("ed").as("q_ed"), col("norm").as("q_norm"),
+        col("bucket").as("q_bucket"))
+    v.where(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"), col("q_norm")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -58,14 +77,14 @@ object Similarity {
     * bucket (never all-pairs). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          nBits: Int = 4): DataFrame = {
-    val b = embeddings.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), nBits).as("bucket"))
-    val l = b.as("a"); val r = b.as("b")
+    val v = withVectorCols(embeddings, nBits)
+      .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
+    val l = v.as("a"); val r = v.as("b")
     l.join(r,
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        round(pairCosine(col("a.ed"), col("b.ed"), col("a.norm"), col("b.norm")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
