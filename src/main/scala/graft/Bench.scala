@@ -42,8 +42,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // the frozen SURVEY §2.9 set (q1–q14) — comparable across rounds
+    // even as self-declared pipeline queries keep being added
+    val coreTotal = results.collect {
+      case (k, v) if v >= 0 &&
+        k.matches("q(1[0-4]|[1-9])(b?)_.*") => v
+    }.sum
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core14_total":$coreTotal,"queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,6 +61,8 @@ object SparkEntry {
     "q27_fingerprints" -> ((s, dir) => TextStats.fingerprints(Corpus.table(s, dir, "documents"), 50L)),
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
     "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
+    "q33_simhash_near_dups" -> ((s, dir) => Dedup.simhashNearDupPairs(Corpus.table(s, dir, "documents"), 3)),
+    "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),
     "q31_rollup" -> ((s, dir) => RelationalOps.lineitemRollup(s, dir)),
@@ -135,6 +137,11 @@ object SparkEntry {
     "q27_fingerprints" -> PO.fingerprints(50L),
     "q28_multimodal_meta" -> PO.multimodalMeta,
     "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
+    "q33_simhash_near_dups" -> PO.simhashNearDups(3),
+    "q34_events_monthly" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+        | count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY month, event_type ORDER BY month, event_type""".stripMargin.replace("\n", " "),
     "q30_window_topn" ->
       """SELECT * FROM (SELECT n.n_name, c.c_custkey, c.c_acctbal,
         | row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn

@@ -76,6 +76,15 @@ object RelationalOps {
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Q34 — calendar bucketing over events: date_trunc to month,
+    * rendered as a plain string so both engines hash identically. */
+  def eventsMonthly(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("month", "event_type")
+
   /** Q32 — big×big equi-join (orders ⋈ lineitem on orderkey) + agg.
     * Both sides shuffle on the join key; at warehouse scale these
     * tables are bucketed on orderkey so the exchange disappears.

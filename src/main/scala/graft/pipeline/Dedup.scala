@@ -132,6 +132,53 @@ object Dedup {
       .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming,
+    * found via pigeonhole bucketing: split the 64-bit fingerprint into
+    * (maxHamming+1) chunks — any pair within the distance budget must
+    * agree on at least one whole chunk, so candidates are exactly the
+    * pairs sharing a (chunk_idx, chunk_value) bucket. Same
+    * one-shuffle + pair-expansion DAG as the MinHash tier; hamming is
+    * verified on the (few) candidates. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = 64 / chunks
+    val sims = docs.select(col("doc_id"),
+        baseHashes(tokens(col("text")), "sim").as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
+
+    val banded = sims.select(col("doc_id"),
+        explode(array((0 until chunks).map(c =>
+          struct(lit(c).as("cidx"),
+            substring(col("simhash"), c * chunkBits + 1, chunkBits).as("chunk"))): _*)).as("ck"))
+      .select(col("doc_id"), col("ck.cidx"), col("ck.chunk"))
+    val ids = array_sort(collect_list(col("doc_id")))
+    val cand = banded
+      .groupBy(col("cidx"), col("chunk"))
+      .agg(ids.as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + lit(2), size(col("ids")) - lit(1) - i),
+          y => struct(element_at(col("ids"), i + 1).as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
+    val hamming = aggregate(
+      zip_with(split(col("sha_"), ""), split(col("shb_"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+    val withA = sims
+      .join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("simhash").as("sha_"))
+    sims
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("simhash").as("shb_"), col("sha_"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Char-n-gram Jaccard pairs within a bounded id window — the
     * verification metric used to audit the LSH tier (all-pairs is
     * restricted to the window; the scale path IS lshNearDupPairs). */

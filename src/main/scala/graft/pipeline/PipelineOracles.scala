@@ -73,6 +73,29 @@ object PipelineOracles {
        |  THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Pigeonhole simhash near-dups: (maxHamming+1) chunks, verify exact
+    * hamming on chunk-sharing candidates. */
+  def simhashNearDups(maxHamming: Int): String = {
+    val chunks = maxHamming + 1
+    val chunkBits = 64 / chunks
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |h AS (SELECT doc_id, list_transform(t, tok -> ${h64("tok", "sim")}) AS th FROM tk),
+       |s AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
+       |  CASE WHEN list_reduce(list_transform(th, x ->
+       |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), (p, q) -> p + q) > 0
+       |  THEN '1' ELSE '0' END), 'string_agg', '') AS sh FROM h),
+       |chunks AS (SELECT doc_id, c, substr(sh, c*$chunkBits + 1, $chunkBits) AS chunk
+       |  FROM s, (SELECT unnest(range(0, $chunks)) AS c) x),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, 65), i -> substr(sa.sh, i, 1) <> substr(sb.sh, i, 1))) AS hamming
+       |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+       |            JOIN s sb ON sb.doc_id = cand.doc_b)
+       |SELECT * FROM v WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def ngramJaccard(maxId: Long, threshold: Double): String =
     s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, length(text)-1), i -> substr(text, i, 3))) AS ng
