@@ -146,34 +146,37 @@ object Dedup {
         baseHashes(tokens(col("text")), "sim").as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
 
-    val banded = sims.select(col("doc_id"),
+    // Unlike the MinHash tier (whose shingle sets are too wide to carry
+    // through a shuffle), the whole fingerprint is 64 chars — so it
+    // rides along into the buckets and pairs verify inline, with NO
+    // re-join and the simhash computed exactly once per document.
+    val banded = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until chunks).map(c =>
           struct(lit(c).as("cidx"),
             substring(col("simhash"), c * chunkBits + 1, chunkBits).as("chunk"))): _*)).as("ck"))
-      .select(col("doc_id"), col("ck.cidx"), col("ck.chunk"))
-    val ids = array_sort(collect_list(col("doc_id")))
-    val cand = banded
+      .select(col("doc_id"), col("simhash"), col("ck.cidx"), col("ck.chunk"))
+    val members = array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+    val pairs = banded
       .groupBy(col("cidx"), col("chunk"))
-      .agg(ids.as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(members.as("ms"))
+      .where(size(col("ms")) > 1)
       .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
+        sequence(lit(0), size(col("ms")) - 2),
         i => transform(
-          slice(col("ids"), i + lit(2), size(col("ids")) - lit(1) - i),
-          y => struct(element_at(col("ids"), i + 1).as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+          slice(col("ms"), i + lit(2), size(col("ms")) - lit(1) - i),
+          y => struct(
+            element_at(col("ms"), i + 1).getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            element_at(col("ms"), i + 1).getField("simhash").as("sha_"),
+            y.getField("simhash").as("shb_")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sha_"), col("p.shb_"))
+      .dropDuplicates("doc_a", "doc_b")
 
     val hamming = aggregate(
       zip_with(split(col("sha_"), ""), split(col("shb_"), ""),
         (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, v) => acc + v)
-    val withA = sims
-      .join(broadcast(cand), col("doc_id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("simhash").as("sha_"))
-    sims
-      .join(broadcast(withA), col("doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("simhash").as("shb_"), col("sha_"))
+    pairs
       .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

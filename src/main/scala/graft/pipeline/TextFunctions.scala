@@ -21,10 +21,16 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Deterministic 60-bit hash, identical across Spark and DuckDB:
-    * Spark  conv(substr(sha2(s || '#seed', 256), 1, 15), 16, 10)
+    * Spark  native Sha256Prefix60 expression (one digest, no hex/decimal
+    *        string round-trip) — bit-equal to
+    *        conv(substr(sha2(s || '#seed', 256), 1, 15), 16, 10)
     * DuckDB ('0x' || substr(sha256(s || '#seed'), 1, 15))::BIGINT
     * 15 hex digits = 60 bits, always positive, fits a BIGINT. */
   def hash64(c: Column, seed: String): Column =
+    graft.functions.Sha256Prefix60.column(c, "#" + seed)
+
+  /** The pure-SQL spelling of hash64 (parity pinned in PipelineSpec). */
+  def hash64Sql(c: Column, seed: String): Column =
     conv(substring(sha2(concat(c, lit("#" + seed)), 256), 1, 15), 16, 10)
       .cast(LongType)
 

@@ -13,6 +13,16 @@ class PipelineSpec extends AnyFunSuite {
   private def docs = sources.Corpus.table(spark, "/root/testdata/sf0.001", "documents")
   private def embs = sources.Corpus.table(spark, "/root/testdata/sf0.001", "embeddings")
 
+  test("native Sha256Prefix60 is bit-equal to the portable SQL construction") {
+    val mismatches = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(TextFunctions.hash64(col("t"), "mh").as("native"),
+        TextFunctions.hash64Sql(col("t"), "mh").as("sql"))
+      .where(col("native") =!= col("sql"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("shingles guard: short docs yield empty sets, not backward sequences") {
     val s = spark
     import s.implicits._
