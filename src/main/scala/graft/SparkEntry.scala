@@ -62,6 +62,7 @@ object SparkEntry {
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
     "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
     "q33_simhash_near_dups" -> ((s, dir) => Dedup.simhashNearDupPairs(Corpus.table(s, dir, "documents"), 3)),
+    "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q28_multimodal_meta" -> PO.multimodalMeta,
     "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
     "q33_simhash_near_dups" -> PO.simhashNearDups(3),
+    "q35_knn_join" -> PO.bucketKnnJoin(3, 4),
     "q34_events_monthly" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
         | count(*) AS n, round(avg(value), 6) AS avg_value

@@ -141,6 +141,17 @@ object PipelineOracles {
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
        |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  def bucketKnnJoin(k: Int, nBits: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT vec_id, neighbor, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+       |  FROM p)
+       |SELECT * FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
   private val hitsCtes: String = {
     val cols = TextStats.StopwordLists.map { case (l, words) =>
       s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x))) AS hits_$l"

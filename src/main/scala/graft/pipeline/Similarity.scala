@@ -72,6 +72,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: for EVERY vector, its top-k neighbors within its
+    * sign-bucket — the primitive an embedding-dedup or retrieval
+    * pipeline runs over the whole corpus (vs the single-query topK).
+    * One bucket-local pair generation + a rank window partitioned by
+    * vector: the window shuffles on vec_id, already the pair output's
+    * natural key. */
+  def bucketKnnJoin(embeddings: DataFrame, k: Int, nBits: Int = 4): DataFrame = {
+    // Bucket-collect instead of a self-join: members of each bucket are
+    // gathered once and all ordered pairs are generated bucket-locally.
+    // (A self-join formulation hits a Spark attribute-rebinding bug
+    // here — lambda-captured references under a Window miss the
+    // self-join dedup rewrite: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+    // task time. The collect form is also one shuffle cheaper.)
+    val v = withVectorCols(embeddings, nBits)
+      .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
+    val pairs = v
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("ed"), col("norm"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), x =>
+        transform(
+          filter(col("ms"), y => y.getField("vec_id") =!= x.getField("vec_id")),
+          y => struct(
+            x.getField("vec_id").as("vec_id"),
+            y.getField("vec_id").as("neighbor"),
+            round(pairCosine(x.getField("ed"), y.getField("ed"),
+              x.getField("norm"), y.getField("norm")), 6).as("cos")))))).as("p"))
+      .select(col("p.vec_id"), col("p.neighbor"), col("p.cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed
     * by the sign quantizer so candidate generation is an equi-join on
     * bucket (never all-pairs). */
