@@ -2,7 +2,6 @@ package graft.engine
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.SparkSession
 
 import graft.catalog.SecurityCatalog
 import graft.operators.SecurityOps
@@ -67,7 +66,6 @@ object ModuleResult {
   * probing; we keep the `changed:false` shape while actually planning).
   */
 final class ReconcileEngine(val catalog: SecurityCatalog) {
-  private def spark: SparkSession = catalog.spark
 
   // ---- probes (Spark operators over catalog state) --------------------
 
