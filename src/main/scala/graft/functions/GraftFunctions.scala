@@ -1,20 +1,45 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression, ExpressionInfo}
 
-/** SQL function registrations for ClickHouse-dialect fidelity.
+/** SQL function surface for ClickHouse-dialect fidelity.
   *
-  * The only registration the reference surface needs (SURVEY §2.8) is
-  * `has(arr, x)` (clickhouse_users.py:179) — registered as a zero-cost
-  * alias onto Catalyst's native ArrayContains expression (codegen'd;
-  * NOT a Scala UDF, so it stays inside whole-stage codegen).
+  *  - `has(arr, x)` (clickhouse_users.py:179): zero-cost alias onto
+  *    Catalyst's native ArrayContains (codegen'd, NOT a Scala UDF).
+  *  - `sha256_prefix60(str, seedSuffix)`: SQL spelling of the native
+  *    content-hash expression the pipeline uses (seedSuffix must be a
+  *    literal).
+  *
+  * Two registration paths: `register(spark)` for an existing session
+  * (QueryRunner does this), or `spark.sql.extensions=graft.GraftExtensions`
+  * at session build — the deployment-config path for clusters.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "has",
-      (exprs: Seq[Expression]) => ArrayContains(exprs(0), exprs(1)),
-      "built-in")
-  }
+
+  type FunctionDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val hasFunction: FunctionDescriptor = (
+    FunctionIdentifier("has"),
+    new ExpressionInfo(classOf[ArrayContains].getName, "has"),
+    (exprs: Seq[Expression]) => ArrayContains(exprs(0), exprs(1)))
+
+  val sha256Prefix60Function: FunctionDescriptor = (
+    FunctionIdentifier("sha256_prefix60"),
+    new ExpressionInfo(classOf[Sha256Prefix60].getName, "sha256_prefix60"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "sha256_prefix60(str, seedSuffix) requires a literal seed")
+      Sha256Prefix60(exprs(0), exprs(1).eval().toString)
+    })
+
+  val all: Seq[FunctionDescriptor] = Seq(hasFunction, sha256Prefix60Function)
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftHash
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Functions arrive via SparkSessionExtensions (the deploy-config
+  * path), not just runtime registration. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions session resolves has() and sha256_prefix60()") {
+    SparkTestSession.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s.sql(
+        "SELECT has(array('a','b'), 'b') AS h, sha256_prefix60('table value', '#mh') AS p")
+        .head()
+      assert(row.getBoolean(0))
+      assert(row.getLong(1) ==
+        GraftHash.sha256Prefix60(UTF8String.fromString("table value"), "#mh".getBytes("UTF-8")))
+    } finally {
+      SparkSession.setDefaultSession(SparkTestSession.spark)
+      SparkSession.setActiveSession(SparkTestSession.spark)
+    }
+  }
+}
