@@ -189,8 +189,8 @@ object PipelineOracles {
 
   val tokenCounts: String =
     """SELECT source,
-      |  sum(len(string_split(text, ' '))) AS ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+      |  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT
       |    AS bpe_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -200,7 +200,7 @@ object PipelineOracles {
        |FROM documents WHERE doc_id < $maxId ORDER BY doc_id""".stripMargin
 
   val multimodalMeta: String =
-    """SELECT source, sum(octet_length(text::BLOB)) AS total_bytes,
+    """SELECT source, sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
       |  count(DISTINCT sha256(text)) AS distinct_payloads
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -10,22 +10,30 @@ Usage: tools/oracle_check.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os, hashlib
 import duckdb
+import numpy as np
 
 CORPUS = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Sort columns by name, round floats, stringify, sort rows."""
+def canon(df):
+    """Sort columns by name, round floats, stringify, sort rows.
+
+    Operates on a pandas DataFrame fetched via .df() so the replica shares
+    the driver's dtype pipeline — e.g. DuckDB HUGEINT becomes float64 here
+    exactly as it does in the driver's gate (round-2 q26/q28 lesson:
+    fetchall() returned Python ints and masked the mismatch).
+    """
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
-    for r in rows:
+    for r in df.itertuples(index=False, name=None):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
+            if isinstance(v, float):  # covers numpy float64 (subclass)
                 v = f"{round(v, 12):.12f}"
-            elif isinstance(v, (list, tuple)):
+            elif isinstance(v, (list, tuple, np.ndarray)):
                 v = "[" + ",".join(str(x) for x in v) + "]"
             else:
                 v = str(v)
@@ -56,23 +64,23 @@ def main(sf_dir, out_dir):
             detail = open(err).read()[:200] if os.path.exists(err) else ""
             results[name] = f"NO_OUTPUT {detail}".strip()
             continue
-        sres = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        scols = [d[0] for d in con.description]
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        scols = list(sdf.columns)
         if name not in oracles:
-            results[name] = f"ROWS_ONLY rows={len(sres)}"
+            results[name] = f"ROWS_ONLY rows={len(sdf)}"
             continue
         try:
-            ores = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
             continue
-        sh, sn = canon(sres, scols)
-        oh, on = canon(ores, ocols)
+        sh, sn = canon(sdf)
+        oh, on = canon(odf)
         if sn != on:
             results[name] = f"ROWCOUNT_MISMATCH spark={sn} oracle={on}"
         elif sh != oh:
