@@ -68,10 +68,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // the frozen SURVEY §2.9 set (q1–q14) — comparable across rounds
-    // even as self-declared pipeline queries keep being added
+    // even as self-declared pipeline queries keep being added. q4b (a
+    // round-3 addition) is deliberately EXCLUDED so the metric measures
+    // the same frozen query set every round.
     val coreTotal = results.collect {
       case (k, v) if v >= 0 &&
-        k.matches("q(1[0-4]|[1-9])(b?)_.*") => v
+        k.matches("q(1[0-4]|[1-9])_.*") => v
     }.sum
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wu = if (doWarmup) s""""$warmupDir"""" else "null"

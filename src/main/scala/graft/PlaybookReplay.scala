@@ -12,29 +12,16 @@ import graft.engine._
   * transcript is the observable output — the golden strings the
   * reference would send to ClickHouse.
   *
-  * The playbook's users task always passes a hash: the given
-  * user_password_hash or sha256 of user_password
-  * (playbook_example.yaml:46); init_roles defaults true (yaml:49). */
+  * Input comes from the reference's REAL input surface: playbook vars
+  * YAML (resources/graft/playbook_vars.yaml, the yaml:13-36 scenario),
+  * lowered to module specs by sources.PlaybookYaml with the
+  * task-template defaults (hash-always, init_roles=true). */
 object PlaybookReplay {
-
-  private def sha256(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   def run(spark: SparkSession): Seq[(Int, String, Boolean, String)] = {
     val engine = new ReconcileEngine(SecurityCatalog.inMemory(spark))
-    val userSpecs = Seq(
-      UserSpec("db_admin",
-        userPasswordHash = "a2015a1f1eb6a39f615b47de969376b367534b465a41dd7c98e5b1e00a3bdac1",
-        userRoles = Seq("db_admin_role"), initRoles = true),
-      UserSpec("app_user", userPasswordHash = sha256("appUserPass"),
-        userRoles = Seq("reader_role", "writer_role"), initRoles = true))
-    val grantSpecs = Seq(
-      GrantSpec("db_admin_role", grants = Seq("ALL")),
-      GrantSpec("reader_role", grants = Seq("SELECT", "SHOW"),
-        databases = Seq("main"), replaceGrants = true),
-      GrantSpec("writer_role", grants = Seq("INSERT", "UPDATE", "OPTIMIZE"),
-        databases = Seq("main"), replaceGrants = true))
+    val (userSpecs, grantSpecs) =
+      graft.sources.PlaybookYaml.specs(graft.sources.PlaybookYaml.resourceText())
 
     val firstPass = userSpecs.map(s => s.userName -> engine.usersModule(s))
     val grantPass = grantSpecs.map(s => s.granteeName -> engine.grantsModule(s))

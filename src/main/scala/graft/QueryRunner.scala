@@ -13,7 +13,14 @@ import graft.sources.Corpus
   */
 object QueryRunner {
 
+  // once per (session, sfDir): re-registering identical functions/views
+  // on every call is wasted driver work and spams "replaced a previously
+  // registered function" into bench/verify logs.
+  private val initedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def init(spark: SparkSession, sfDir: String): Unit = {
+    if (!initedKeys.add(System.identityHashCode(spark) + "|" + sfDir)) return
     GraftFunctions.register(spark)
     F.sysUsersDf(spark).createOrReplaceTempView("sys_users")
     F.sysRoleGrantsDf(spark).createOrReplaceTempView("sys_role_grants")

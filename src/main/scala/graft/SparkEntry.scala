@@ -60,6 +60,10 @@ object SparkEntry {
     "q26_token_counts" -> ((s, dir) => TextStats.tokenCountsBySource(Corpus.table(s, dir, "documents"))),
     "q27_fingerprints" -> ((s, dir) => TextStats.fingerprints(Corpus.table(s, dir, "documents"), 50L)),
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
+    // nBits is REQUIRED on the bucketed ANN operators; the gate pins 4
+    // (16 buckets — ample for the ≤5k-vector sf corpora and frozen so
+    // the oracle bucketing matches). At scale, size it from the corpus:
+    // Similarity.sizedNBits(count) targets ≤1e4 vectors per bucket.
     "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
     "q33_simhash_near_dups" -> ((s, dir) => Dedup.simhashNearDupPairs(Corpus.table(s, dir, "documents"), 3)),
     "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),

@@ -52,6 +52,16 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
 
   def state: CatalogState = st
 
+  /** Out-of-band provisioning seam: quotas (and any pre-existing server
+    * state) are created by DBAs outside the reference's modules —
+    * system.quotas is probe-only there, and ALTER QUOTA on a missing
+    * quota raises DB::Exception (see applyOne). Seeding replaces the
+    * whole state, like pointing the modules at an already-provisioned
+    * server. */
+  def bootstrap(state: CatalogState): Unit = synchronized {
+    st = state; commit()
+  }
+
   // ---- probe-side DataFrames (schemas match SecurityFixtures views) ----
 
   def sysUsersDf: DataFrame = {
@@ -103,10 +113,20 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
   def applySql(sqls: Seq[String]): Either[String, Unit] =
     DclParser.parseAll(sqls).map(apply)
 
+  /** Statement semantics mirror the server the reference talks to,
+    * including its error paths: a duplicate CREATE USER and an ALTER of
+    * a nonexistent quota raise DB::Exception on a real ClickHouse
+    * (message shapes per the server's ACCESS_ENTITY_ALREADY_EXISTS /
+    * ACCESS_ENTITY_NOT_FOUND), which the reference modules convert to
+    * fail_json via the DB::Exception regex (clickhouse_users.py:324-325,
+    * quirk §8-Q12). Unreachable through the engine's probe-gated
+    * planning; reachable through the raw-DCL applySql entry point. */
   private def applyOne(s: CatalogState, stmt: DdlStatement): CatalogState = stmt match {
     case CreateUserWithPassword(u, pw) =>
+      requireNoUser(s, u)
       s.copy(users = s.users :+ User(u, "sha256_password", sha256Hex(pw)))
     case CreateUserWithHash(u, h) =>
+      requireNoUser(s, u)
       s.copy(users = s.users :+ User(u, "sha256_hash", h))
     case DropUser(u) =>
       // The reference cascades nothing on DROP USER (SURVEY §2.7 D3).
@@ -133,12 +153,20 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
           privs.contains(x.privilege)))
     case AlterQuotaMembers(q, members) =>
       // Full member-list rewrite (clickhouse_users.py:217).
+      if (!s.quotas.exists(_.name == q))
+        throw new ServerException(
+          s"Code: 199. DB::Exception: There is no quota `$q` in user directories.")
       val others = s.quotas.filterNot(_.name == q)
       s.copy(quotas = others :+ Quota(q, members))
     case AlterUserProfile(u, p) =>
       val others = s.profileElements.filterNot(_.userName == u)
       s.copy(profileElements = others :+ SettingsProfileElement(u, p))
   }
+
+  private def requireNoUser(s: CatalogState, u: String): Unit =
+    if (s.users.exists(_.name == u))
+      throw new ServerException(
+        s"Code: 493. DB::Exception: User `$u` already exists.")
 
   // ---- persistence ----------------------------------------------------
 
@@ -170,6 +198,10 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
         .as[SettingsProfileElement].collect().toSeq)
   }
 }
+
+/** Analogue of clickhouse_driver.errors.ServerException — the error the
+  * reference's DB::Exception regex is applied to (clickhouse_users.py:323). */
+final class ServerException(message: String) extends RuntimeException(message)
 
 object SecurityCatalog {
   /** In-memory catalog (tests, dry runs). */

@@ -54,6 +54,14 @@ final case class ModuleResult(doc: ListMap[String, Any]) {
 object ModuleResult {
   def fail(message: String): ModuleResult =
     ModuleResult(ListMap("failed" -> true, "msg" -> message))
+
+  /** §8-Q12: a ServerException is reported as the LIST of DB::Exception
+    * regex matches over its message — `re.findall(r'DB::Exception.+\.',
+    * err.message)` passed to fail_json (clickhouse_users.py:324-325,
+    * clickhouse_grants.py:375-376) — not a flattened string. */
+  def failDb(err: graft.catalog.ServerException): ModuleResult =
+    ModuleResult(ListMap("failed" -> true,
+      "msg" -> "DB::Exception.+\\.".r.findAllIn(err.getMessage).toList))
 }
 
 /** The reconcile dataflow: probe → diff → plan → apply
@@ -180,13 +188,6 @@ final class ReconcileEngine(val catalog: SecurityCatalog) {
       "user_roles" -> userRoles, "user_has_roles" -> hasRoles)
 
     val plan = Seq.newBuilder[DdlStatement]
-    var doc = ListMap[String, Any](
-      "changed" -> false,
-      "run_queries" -> Nil,
-      "grant_roles" -> rolesList,
-      "revoke_grants" -> spec.revokeGrants,
-      "replace_grants" -> spec.replaceGrants)
-
     if (spec.revokeGrants) {
       // J2: revoke only roles currently held (clickhouse_grants.py:200-203).
       rolesList.filter(userRoles.contains)
@@ -198,16 +199,23 @@ final class ReconcileEngine(val catalog: SecurityCatalog) {
         plan += GrantRolesTo(rolesList, grantee, replace = true)
       else if (!hasRoles)
         plan += GrantRolesTo(rolesList, grantee)
-      // Quirk preserved: user_status is attached only on the non-revoke
-      // path (clickhouse_grants.py:223 sits inside the else branch).
-      doc += ("user_status" -> status)
     }
 
     val stmts = plan.result()
     val applied = stmts.nonEmpty && !checkMode
     if (applied) catalog.apply(stmts)
-    ModuleResult(doc ++ ListMap(
-      "changed" -> applied, "run_queries" -> stmts.map(_.render)))
+    // Built once, in the reference's key position order (a Python dict
+    // update preserves key position; ListMap ++ would move updated keys
+    // to the end). Quirk preserved: user_status is attached only on the
+    // non-revoke path (clickhouse_grants.py:223 sits in the else branch).
+    val doc = ListMap[String, Any](
+      "changed" -> applied,
+      "run_queries" -> stmts.map(_.render),
+      "grant_roles" -> rolesList,
+      "revoke_grants" -> spec.revokeGrants,
+      "replace_grants" -> spec.replaceGrants)
+    ModuleResult(
+      if (spec.revokeGrants) doc else doc + ("user_status" -> status))
   }
 
   // ---- EP3b: privilege grants (clickhouse_grants.py:233-306) ----------
@@ -258,7 +266,12 @@ final class ReconcileEngine(val catalog: SecurityCatalog) {
     // §8-Q10: validate state up front, same error text as the reference's
     // else branch (clickhouse_users.py:330-331).
     spec.userState match {
-      case "present" => createUpdateUser(spec, checkMode)
+      case "present" =>
+        // Reference wraps ONLY the present path in the ServerException →
+        // DB::Exception-list handler (clickhouse_users.py:321-327);
+        // delete_user runs unwrapped.
+        try createUpdateUser(spec, checkMode)
+        catch { case e: graft.catalog.ServerException => ModuleResult.failDb(e) }
       case "absent"  => deleteUser(spec.userName, checkMode)
       case _ =>
         ModuleResult.fail("Only {'present', 'absent'} states are supported by this module")
@@ -272,9 +285,13 @@ final class ReconcileEngine(val catalog: SecurityCatalog) {
     if (spec.grantRoles.nonEmpty && spec.grants.nonEmpty)
       ModuleResult.fail("Only one of parameters 'grant_roles' OR 'grants' must be defined.")
     else if (spec.grantRoles.nonEmpty)
-      grantRoles(spec, checkMode)
+      // Both grant paths carry the ServerException → DB::Exception-list
+      // handler (clickhouse_grants.py:374-376, 383-385).
+      try grantRoles(spec, checkMode)
+      catch { case e: graft.catalog.ServerException => ModuleResult.failDb(e) }
     else if (spec.grants.nonEmpty)
-      grantPrivileges(spec, checkMode)
+      try grantPrivileges(spec, checkMode)
+      catch { case e: graft.catalog.ServerException => ModuleResult.failDb(e) }
     else
       ModuleResult.fail("No any grants or roles are defined")
   }

@@ -74,7 +74,8 @@ object Dedup {
     * the bucket → distinct candidate pairs → verify. Both join sides
     * shuffle ONLY on the band key; there is no cross join anywhere.
     */
-  def lshNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def lshNearDupPairs(docs: DataFrame, threshold: Double,
+                      maxBucket: Int = 1000): DataFrame = {
     val sig = minhashCols(docs)
     val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
     val bandStructs = array((0 until Bands).map(b =>
@@ -96,12 +97,10 @@ object Dedup {
       .groupBy(col("band"), col("bkey"))
       .agg(ids.as("ids"))
       .where(size(col("ids")) > 1)
-      // all (i<j) pairs within the bucket
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(
-          slice(col("ids"), i + lit(2), size(col("ids")) - lit(1) - i),
-          y => struct(element_at(col("ids"), i + 1).as("doc_a"), y.as("doc_b")))))).as("p"))
+      // all (i<j) pairs within the bucket; buckets over maxBucket fall
+      // back to representative star pairs (see boundedPairs scaladoc)
+      .select(explode(boundedPairs(col("ids"), maxBucket,
+        (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
@@ -139,7 +138,8 @@ object Dedup {
     * pairs sharing a (chunk_idx, chunk_value) bucket. Same
     * one-shuffle + pair-expansion DAG as the MinHash tier; hamming is
     * verified on the (few) candidates. */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
+                          maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val sims = docs.select(col("doc_id"),
@@ -160,15 +160,12 @@ object Dedup {
       .groupBy(col("cidx"), col("chunk"))
       .agg(members.as("ms"))
       .where(size(col("ms")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ms")) - 2),
-        i => transform(
-          slice(col("ms"), i + lit(2), size(col("ms")) - lit(1) - i),
-          y => struct(
-            element_at(col("ms"), i + 1).getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            element_at(col("ms"), i + 1).getField("simhash").as("sha_"),
-            y.getField("simhash").as("shb_")))))).as("p"))
+      .select(explode(boundedPairs(col("ms"), maxBucket,
+        (a, b) => struct(
+          a.getField("doc_id").as("doc_a"),
+          b.getField("doc_id").as("doc_b"),
+          a.getField("simhash").as("sha_"),
+          b.getField("simhash").as("shb_")))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sha_"), col("p.shb_"))
       .dropDuplicates("doc_a", "doc_b")
 

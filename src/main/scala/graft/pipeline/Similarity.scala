@@ -28,6 +28,21 @@ import TextFunctions._
   */
 object Similarity {
 
+  /** Sizing rule for the sign-bucket quantizer: enough bits that the
+    * EXPECTED bucket population stays at or below `targetPerBucket`
+    * (default 10⁴ vectors ≈ 5 MB of 64-float embeddings — comfortably
+    * one task). nBits is a REQUIRED parameter on every bucketed
+    * operator precisely because a constant cannot survive a 100×
+    * corpus: 4 bits = 16 global buckets means one task holds 1/16th of
+    * all vectors at any scale. Callers size it from a corpus count
+    * (exact or estimated — at 100 TB the row-group stats estimate is
+    * free): ceil(log2(n / target)). */
+  def sizedNBits(corpusVectors: Long, targetPerBucket: Long = 10000L): Int = {
+    require(corpusVectors > 0 && targetPerBucket > 0)
+    val buckets = math.max(1.0, corpusVectors.toDouble / targetPerBucket)
+    math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** vec as doubles + its norm (+ sign bucket when nBits > 0). */
   private def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
     val base = embeddings.withColumn("ed",
@@ -59,7 +74,7 @@ object Similarity {
   /** ANN top-k restricted to the query's sign-bucket (first `nBits`
     * dimension signs). Recall is traded for a bucket-local scan. */
   def bucketTopK(embeddings: DataFrame, queryId: Long, k: Int,
-                 nBits: Int = 8): DataFrame = {
+                 nBits: Int): DataFrame = {
     val v = withVectorCols(embeddings, nBits)
     val q = v.where(col("vec_id") === queryId)
       .select(col("ed").as("q_ed"), col("norm").as("q_norm"),
@@ -78,7 +93,7 @@ object Similarity {
     * One bucket-local pair generation + a rank window partitioned by
     * vector: the window shuffles on vec_id, already the pair output's
     * natural key. */
-  def bucketKnnJoin(embeddings: DataFrame, k: Int, nBits: Int = 4): DataFrame = {
+  def bucketKnnJoin(embeddings: DataFrame, k: Int, nBits: Int): DataFrame = {
     // Bucket-collect instead of a self-join: members of each bucket are
     // gathered once and all ordered pairs are generated bucket-locally.
     // (A self-join formulation hits a Spark attribute-rebinding bug
@@ -109,18 +124,31 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed
-    * by the sign quantizer so candidate generation is an equi-join on
-    * bucket (never all-pairs). */
+    * by the sign quantizer so candidate generation is never all-pairs.
+    *
+    * Bucket-collect, not a self-join: the earlier formulation joined the
+    * vector table to itself on bucket, carrying the 64-double `ed`
+    * array + norm through BOTH shuffle sides (the anti-pattern
+    * SCALE.md documents as measured-bad). Here each vector is shuffled
+    * exactly once into its bucket and all (i<j) pairs are emitted
+    * bucket-locally — half the shuffled bytes, one exchange, and the
+    * no-wide-self-join property is pinned in PlanShapeSpec. Buckets
+    * over `maxBucket` degrade to representative star pairs
+    * (TextFunctions.boundedPairs). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         nBits: Int = 4): DataFrame = {
+                         nBits: Int, maxBucket: Int = 1000): DataFrame = {
     val v = withVectorCols(embeddings, nBits)
       .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
-    val l = v.as("a"); val r = v.as("b")
-    l.join(r,
-        col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(pairCosine(col("a.ed"), col("b.ed"), col("a.norm"), col("b.norm")), 6).as("cos"))
+    v.groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("ed"), col("norm")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(boundedPairs(col("ms"), maxBucket,
+        (a, b) => struct(
+          a.getField("vec_id").as("vec_a"),
+          b.getField("vec_id").as("vec_b"),
+          round(pairCosine(a.getField("ed"), b.getField("ed"),
+            a.getField("norm"), b.getField("norm")), 6).as("cos")))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("p.cos"))
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

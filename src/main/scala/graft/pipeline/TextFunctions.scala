@@ -72,6 +72,31 @@ object TextFunctions {
     hash64(concat_ws("_", slice.map(_.cast("string")): _*), s"band$band")
   }
 
+  /** Within-bucket candidate-pair expansion with a skew guard.
+    *
+    * For a (pre-sorted, size>1) member array: all (i<j) pairs — UNLESS
+    * the bucket exceeds `maxMembers`, in which case every member is
+    * paired with the bucket representative (the first, i.e. smallest,
+    * member) instead: k-1 star pairs in place of k(k-1)/2. A colliding
+    * mega-bucket means near-identical content (that is what the hash
+    * families bucket on), so the representative verifies against every
+    * member and connectivity — the property dedup clustering needs — is
+    * preserved while a 10⁶-member boilerplate cluster emits 10⁶-1 rows,
+    * not ~10¹² (the round-3 scale-killer). Bounded-work property is
+    * pinned in PipelineSpec. */
+  def boundedPairs(ms: Column, maxMembers: Int,
+                   pair: (Column, Column) => Column): Column = {
+    val all = flatten(transform(
+      sequence(lit(0), size(ms) - 2),
+      i => transform(
+        slice(ms, i + lit(2), size(ms) - lit(1) - i),
+        y => pair(element_at(ms, i + 1), y))))
+    val star = transform(
+      slice(ms, lit(2), size(ms) - 1),
+      y => pair(element_at(ms, 1), y))
+    when(size(ms) <= maxMembers, all).otherwise(star)
+  }
+
   /** Jaccard similarity of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -86,7 +111,16 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
 
   /** 64-bit SimHash rendered as a 64-char '1'/'0' string (bit b at
-    * position b).
+    * position b) — native Catalyst expression (one primitive loop,
+    * codegen'd; see functions/SimHash64.scala). Bit-equal to the
+    * portable HOF spelling below, pinned in PipelineSpec. */
+  def simhashFromHashes(tokHashes: Column): Column =
+    graft.functions.SimHash64.column(tokHashes)
+
+  /** Portable (pure built-in HOF) spelling of simhashFromHashes — the
+    * parity reference for the native expression and the construction the
+    * DuckDB oracle mirrors. Interpreted (HOFs never enter codegen), so
+    * the hot path uses the native form.
     *
     * Shape matters: the token-hash array is the AGGREGATE'S INPUT, so it
     * is evaluated once per row no matter what CollapseProject inlines.
@@ -94,7 +128,7 @@ object TextFunctions {
     * puts `th` inside a lambda body, where the optimizer's reference
     * count is 1 but runtime evaluation is 64× — measured 32-95s vs ~3s
     * at sf0.1 for identical output. */
-  def simhashFromHashes(tokHashes: Column): Column = {
+  def simhashFromHashesSql(tokHashes: Column): Column = {
     // per token: its ±1 contribution to each of the 64 bit counters
     // (shiftright via call_function: the Scala wrapper only takes a
     // literal Int, but the Catalyst expression accepts a column)

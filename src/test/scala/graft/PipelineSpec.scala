@@ -55,6 +55,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(hamming(sim(0L), sim(1L)) > 12)
   }
 
+  test("native SimHash64 is bit-equal to the portable HOF spelling") {
+    val th = TextFunctions.baseHashes(TextFunctions.tokens(col("text")), "sim")
+    val mismatches = docs
+      .select(TextFunctions.simhashFromHashes(th).as("native"),
+        TextFunctions.simhashFromHashesSql(th).as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("boundedPairs skew guard: an over-cap bucket emits k-1 star pairs, not k(k-1)/2") {
+    val s = spark
+    import s.implicits._
+    // 12 identical docs — every LSH band bucket holds all 12 ids
+    val dup = (0L until 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshNearDupPairs(dup, 0.5, maxBucket = 5).collect()
+    assert(capped.length == 11) // star: representative (id 0) × others
+    assert(capped.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    val uncapped = Dedup.lshNearDupPairs(dup, 0.5).collect()
+    assert(uncapped.length == 66) // below the default cap: all pairs
+  }
+
+  test("sizedNBits targets ≤ targetPerBucket expected vectors per bucket") {
+    assert(Similarity.sizedNBits(5000L) == 1) // tiny corpus still buckets
+    assert(Similarity.sizedNBits(10000000L) == 10) // 1e7/1e4 → 2^10 buckets
+    assert(Similarity.sizedNBits(1600000000L, 100000L) == 14)
+    // monotone: more vectors never means fewer buckets
+    val bits = Seq(1e4, 1e5, 1e6, 1e7, 1e8, 1e9).map(n => Similarity.sizedNBits(n.toLong))
+    assert(bits == bits.sorted)
+  }
+
   test("cosine top-k: exact scan dominates bucket-restricted recall") {
     val exact = Similarity.cosineTopK(embs, 0L, 10).collect()
     assert(exact.length == 10)

@@ -39,6 +39,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("q29 cosine near-dups: bucket-collect — no join carries the embedding arrays") {
+    val p = plan("q29_cosine_near_dups")
+    assert(!p.contains("Join")) // one groupBy shuffle, zero joins
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q16 exact dedup: map-side partial aggregation before the hash shuffle") {
     val p = plan("q16_exact_dedup")
     assert(p.contains("HashAggregate(keys=[source"))

@@ -104,6 +104,10 @@ class ReconcileEngineSpec extends AnyFunSuite {
 
   test("quota and profile branches plan D10/D11 with probe-before-write gates") {
     val catalog = SecurityCatalog.inMemory(spark)
+    // quotas are provisioned out-of-band (system.quotas is probe-only in
+    // the reference; ALTER of a missing quota raises DB::Exception)
+    catalog.bootstrap(graft.catalog.CatalogState(
+      quotas = Seq(graft.catalog.Quota("q1", Nil))))
     val engine = new ReconcileEngine(catalog)
     val spec = UserSpec("quser", userPassword = "pw",
       userQuota = "q1", userProfile = "p1")
@@ -125,6 +129,38 @@ class ReconcileEngineSpec extends AnyFunSuite {
     // §8-Q6: append-no-dedup — second member joins the rewritten list
     val r3 = engine.usersModule(UserSpec("quser2", userPassword = "pw2", userQuota = "q1"))
     assert(r3.runQueries.contains("ALTER QUOTA q1 to quser, quser2"))
+  }
+
+  test("§8-Q12: ServerException surfaces as the DB::Exception match LIST, not a string") {
+    // reachable through the module: quota branch plans ALTER QUOTA on a
+    // quota the server doesn't have → DB::Exception → usersModule's
+    // handler mirrors re.findall(r'DB::Exception.+\.', err.message)
+    // (clickhouse_users.py:324-325)
+    val engine = new ReconcileEngine(SecurityCatalog.inMemory(spark))
+    val r = engine.usersModule(
+      UserSpec("u1", userPassword = "pw", userQuota = "no_such_quota"))
+    assert(r.failed)
+    assert(r.doc("msg") ==
+      List("DB::Exception: There is no quota `no_such_quota` in user directories."))
+  }
+
+  test("catalog rejects duplicate CREATE USER through the raw-DCL path") {
+    val catalog = SecurityCatalog.inMemory(spark)
+    val stmt = "CREATE USER 'dup' IDENTIFIED WITH sha256_password BY 'x'"
+    assert(catalog.applySql(Seq(stmt)).isRight)
+    val e = intercept[graft.catalog.ServerException] {
+      catalog.applySql(Seq(stmt))
+    }
+    assert(e.getMessage.contains("DB::Exception: User `dup` already exists."))
+    // failed batch did not append a duplicate row
+    assert(catalog.state.users.count(_.name == "dup") == 1)
+  }
+
+  test("playbook YAML vars lower to the exact module specs the replay uses") {
+    val (users, grants) = graft.sources.PlaybookYaml.specs(
+      graft.sources.PlaybookYaml.resourceText())
+    assert(users == Seq(dbAdmin, appUser)) // hash-always + init_roles=true
+    assert(grants == grantSpecs)
   }
 
   test("check mode: prospective plan reported, changed=false, catalog untouched (§8-Q5)") {
