@@ -44,10 +44,11 @@ object Bench {
     // (safepoint/JIT pathology, observed 6s↔190s on identical plans);
     // min-of-N is the standard way to report the plan's actual cost.
     val timedRuns = 2
+    var adaptiveReruns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries from each other's heap debt (lingering broadcast
       // and shuffle structures otherwise tax whoever runs next)
-      val times = (1 to timedRuns).flatMap { _ =>
+      def once(): Option[Double] = {
         System.gc()
         val t0 = System.nanoTime()
         try {
@@ -58,6 +59,14 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             None
         }
+      }
+      var times = (1 to timedRuns).flatMap(_ => once())
+      // a >2× spread between the two runs means a JVM-state artifact
+      // (the intermittent whole-process stall, see SCALE.md) polluted
+      // one — take a tie-breaker so min-of-N reflects the plan's cost
+      if (times.size == 2 && times.max / times.min > 2.0) {
+        adaptiveReruns += 1
+        times ++= once()
       }
       if (times.isEmpty) failed += name
       val dt = if (times.nonEmpty) times.min else -1.0
@@ -77,7 +86,7 @@ object Bench {
     }.sum
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wu = if (doWarmup) s""""$warmupDir"""" else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core14_total":$coreTotal,"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core14_total":$coreTotal,"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,16 +48,18 @@ object Dedup {
   val ShingleK = 3
 
   private def minhashCols(doc: DataFrame): DataFrame = {
-    // staged selects so each expensive array is computed once per row:
-    // shingles → base sha256 hashes → 8 cheap affine minhashes.
-    // CollapseProject's expensive-expression guard (SPARK-36718) keeps
-    // Catalyst from re-inlining the multi-referenced arrays.
-    val withSh = doc.select(col("doc_id"),
-      shingles(tokens(col("text")), ShingleK).as("sh"))
-    val withHs = withSh.select(col("doc_id"), col("sh"),
-      baseHashes(col("sh"), "mh").as("hs"))
-    withHs.select(Seq(col("doc_id"), col("sh")) ++
-      (0 until NumHashes).map(i => minhash(col("hs"), i).as(s"mh$i")): _*)
+    // One native expression per stage: text → distinct-shingle hashes →
+    // all 8 affine minhashes in one pass (functions/TextHashExprs).
+    // Staged selects keep each multi-referenced array computed once per
+    // row (CollapseProject's expensive-expression guard, SPARK-36718);
+    // fanOutSmallScan spreads the CPU-bound hashing across cores when
+    // the scan is under-split.
+    val withHs = graft.sources.Corpus.fanOutSmallScan(doc)
+      .select(col("doc_id"), shingleHashes(col("text"), ShingleK, "mh").as("hs"))
+    val withMh = withHs.select(col("doc_id"),
+      minhashesAll(col("hs"), NumHashes).as("mh"))
+    withMh.select(col("doc_id") +:
+      (0 until NumHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
   }
 
   /** MinHash signatures (first `NumHashes` seeded hash functions) —
@@ -109,8 +111,8 @@ object Dedup {
     // candidate side is provably tiny, so it is broadcast EXPLICITLY:
     // the big side streams, nothing wide is ever built into a hash
     // relation, at any scale.
-    val shTbl = docs.select(col("doc_id"),
-      shingles(tokens(col("text")), ShingleK).as("sh"))
+    val shTbl = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), shinglesOf(col("text"), ShingleK).as("sh"))
     val withA = shTbl
       .join(broadcast(cand), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh").as("sha_"))
@@ -122,13 +124,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash per document (64-bit sign fingerprint as a bitstring).
-    * Token hashes are materialized in their own select; the 64 bit-folds
-    * then cost arithmetic only. */
+  /** SimHash per document (64-bit sign fingerprint as a bitstring) —
+    * token hashing and the 64-bit fold are both native expressions, so
+    * the whole column is one codegen'd kernel chain. */
   def simhashAll(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        baseHashes(tokens(col("text")), "sim").as("th"))
-      .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"),
+        simhashFromHashes(tokenHashes(col("text"), "sim")).as("simhash"))
       .orderBy("doc_id")
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming,
@@ -142,9 +144,9 @@ object Dedup {
                           maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
-    val sims = docs.select(col("doc_id"),
-        baseHashes(tokens(col("text")), "sim").as("th"))
-      .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
+    val sims = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"),
+        simhashFromHashes(tokenHashes(col("text"), "sim")).as("simhash"))
 
     // Unlike the MinHash tier (whose shingle sets are too wide to carry
     // through a shuffle), the whole fingerprint is 64 chars — so it
@@ -184,7 +186,7 @@ object Dedup {
     * restricted to the window; the scale path IS lshNearDupPairs). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, maxId: Long,
                         threshold: Double): DataFrame = {
-    val g = docs.where(col("doc_id") < maxId)
+    val g = graft.sources.Corpus.fanOutSmallScan(docs.where(col("doc_id") < maxId))
       .select(col("doc_id"), charNgrams(col("text"), n).as("g"))
     val a = g.as("a"); val b = g.as("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))

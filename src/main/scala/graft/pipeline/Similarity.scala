@@ -43,9 +43,11 @@ object Similarity {
     math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
   }
 
-  /** vec as doubles + its norm (+ sign bucket when nBits > 0). */
+  /** vec as doubles + its norm (+ sign bucket when nBits > 0). Fans an
+    * under-split scan out to all cores first: the per-vector cast/norm
+    * work is CPU-bound and must not serialize on one file split. */
   private def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
-    val base = embeddings.withColumn("ed",
+    val base = graft.sources.Corpus.fanOutSmallScan(embeddings).withColumn("ed",
       transform(col("embedding"), x => x.cast("double")))
     val withNorm = base.withColumn("norm",
       sqrt(aggregate(transform(col("ed"), x => x * x), lit(0.0), (s, v) => s + v)))

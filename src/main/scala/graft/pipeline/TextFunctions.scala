@@ -55,14 +55,38 @@ object TextFunctions {
 
   /** Base hashes for a string array (materialize this ONCE per row —
     * reference it from a separate select so CollapseProject's
-    * expensive-expression guard keeps it from being re-inlined). */
+    * expensive-expression guard keeps it from being re-inlined). HOF
+    * parity spelling; the hot path uses the native forms below. */
   def baseHashes(arr: Column, seed: String): Column =
     transform(arr, x => hash64(x, seed))
+
+  /** Per-token hashes in one native expression —
+    * baseHashes(tokens(text), seed) without the interpreted per-token
+    * expression-tree walk (functions/TextHashExprs.scala kernels;
+    * parity pinned in PipelineSpec). */
+  def tokenHashes(text: Column, seed: String): Column =
+    graft.functions.HashTokens.column(text, 0, "#" + seed)
+
+  /** Distinct-k-shingle hashes in one native expression —
+    * baseHashes(shingles(tokens(text), k), seed). */
+  def shingleHashes(text: Column, k: Int, seed: String): Column =
+    graft.functions.HashTokens.column(text, k, "#" + seed)
+
+  /** Distinct k-shingle strings in one native expression —
+    * shingles(tokens(text), k). */
+  def shinglesOf(text: Column, k: Int): Column =
+    graft.functions.ShingleSet.column(text, k)
 
   /** MinHash value i over pre-computed base hashes. */
   def minhash(hs: Column, i: Int): Column =
     array_min(transform(hs,
       h => ((h % MinhashP) * minhashA(i) + minhashB(i)) % MinhashP))
+
+  /** All `count` affine minhashes in one native pass (replaces `count`
+    * interpreted transform+array_min trees over the same base array). */
+  def minhashesAll(hs: Column, count: Int): Column =
+    graft.functions.AffineMinhashes.column(hs, count, MinhashP,
+      (0 until count).map(minhashA), (0 until count).map(minhashB))
 
   /** LSH band key: joint hash of `rowsPerBand` consecutive minhashes.
     * Banding is what keeps near-dup search linear: candidates share a

@@ -31,7 +31,8 @@ object TextStats {
     * should say about word-salad text. */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = StopwordLists.foldLeft(docs.select(col("doc_id"), col("lang"), toks.as("toks"))) {
+    val scored = StopwordLists.foldLeft(graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))) {
       case (df, (l, words)) => df.withColumn(s"hits_$l", hits(col("toks"), words))
     }
     val best = StopwordLists.map { case (l, _) => col(s"hits_$l") }
@@ -76,7 +77,7 @@ object TextStats {
     * (letter runs / digit runs / single punctuation — the shape a byte
     * pair encoder sees before merges). */
   def tokenCountsBySource(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
+    graft.sources.Corpus.fanOutSmallScan(docs).select(col("source"),
         size(tokens(col("text"))).as("ws"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
           .as("bpe"))

@@ -28,6 +28,22 @@ object Corpus {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
+  /** Decouple CPU-bound per-row work from IO-sized scan parallelism.
+    *
+    * A parquet scan's task count is its SPLIT count; a small file (or a
+    * single row group) scans as ONE task, and any expensive per-row
+    * pipeline stacked on it — shingling, hashing, feature extraction —
+    * serializes on one core no matter how many the cluster has. (A
+    * stalled-bench jstack showed exactly this: one task, 95+ s of CPU,
+    * 31 idle cores.) This helper repartitions to the session's default
+    * parallelism ONLY when the scan is under-split; at 100 TB a table
+    * has more splits than the cluster has cores and the repartition
+    * (and its shuffle) vanishes. */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register all corpus tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))

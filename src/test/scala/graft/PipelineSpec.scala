@@ -55,6 +55,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(hamming(sim(0L), sim(1L)) > 12)
   }
 
+  test("native token/shingle/minhash kernels are bit-equal to the HOF spellings") {
+    val t = col("text")
+    val mismatches = docs.select(
+        TextFunctions.tokenHashes(t, "sim").as("n_th"),
+        TextFunctions.baseHashes(TextFunctions.tokens(t), "sim").as("h_th"),
+        TextFunctions.shinglesOf(t, 3).as("n_sh"),
+        TextFunctions.shingles(TextFunctions.tokens(t), 3).as("h_sh"),
+        TextFunctions.shingleHashes(t, 3, "mh").as("n_hs"),
+        TextFunctions.baseHashes(
+          TextFunctions.shingles(TextFunctions.tokens(t), 3), "mh").as("h_hs"))
+      .withColumn("n_mh", TextFunctions.minhashesAll(col("n_hs"), 8))
+      .withColumn("h_mh", array((0 until 8).map(i =>
+        TextFunctions.minhash(col("h_hs"), i)): _*))
+      .where(col("n_th") =!= col("h_th") || col("n_sh") =!= col("h_sh") ||
+        col("n_hs") =!= col("h_hs") || col("n_mh") =!= col("h_mh"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("native kernel edge cases: empty text, short docs, repeated tokens") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a a a a", "x  y").toDF("text")
+    val rows = edge.select(
+        TextFunctions.shinglesOf(col("text"), 3).as("n"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("h"),
+        TextFunctions.tokenHashes(col("text"), "sim").as("nt"),
+        TextFunctions.baseHashes(TextFunctions.tokens(col("text")), "sim").as("ht"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("fanOutSmallScan spreads an under-split scan to default parallelism") {
+    val fanned = sources.Corpus.fanOutSmallScan(docs)
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(fanned.count() == docs.count())
+  }
+
   test("native SimHash64 is bit-equal to the portable HOF spelling") {
     val th = TextFunctions.baseHashes(TextFunctions.tokens(col("text")), "sim")
     val mismatches = docs
