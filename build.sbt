@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW (no [info] log prefixes):
+// graft.Bench prints one machine-parseable JSON line; sbt's default
+// LoggedOutput decoration breaks downstream parsers. (Preferred path is
+// still `tools/run.sh graft.Bench` — clean JVM, no compile in the
+// measurement window.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
