@@ -66,6 +66,9 @@ object SparkEntry {
     // Similarity.sizedNBits(count) targets ≤1e4 vectors per bucket.
     "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
     "q33_simhash_near_dups" -> ((s, dir) => Dedup.simhashNearDupPairs(Corpus.table(s, dir, "documents"), 3)),
+    // --- dedup clustering: near-dup graph → components → keep-one ---
+    "q36_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Corpus.table(s, dir, "documents"), 0.8)),
+    "q37_cluster_dedup_kept" -> ((s, dir) => Dedup.dedupByClusters(Corpus.table(s, dir, "documents"), 0.8)),
     "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
@@ -143,6 +146,8 @@ object SparkEntry {
     "q28_multimodal_meta" -> PO.multimodalMeta,
     "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
     "q33_simhash_near_dups" -> PO.simhashNearDups(3),
+    "q36_dedup_clusters" -> PO.dedupClusters(0.8),
+    "q37_cluster_dedup_kept" -> PO.clusterDedupKept(0.8),
     "q35_knn_join" -> PO.bucketKnnJoin(3, 4),
     "q34_events_monthly" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,

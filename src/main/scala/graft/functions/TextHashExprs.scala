@@ -77,6 +77,17 @@ object TokenKernel {
     new GenericArrayData(out)
   }
 
+  /** Differing-byte count of two ASCII bitstrings; excess length counts
+    * as differing (zip_with null-padding parity). */
+  def hammingBytes(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes; val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var d = math.abs(ab.length - bb.length)
+    var i = 0
+    while (i < n) { if (ab(i) != bb(i)) d += 1; i += 1 }
+    d
+  }
+
   /** All `count` affine minhashes of a base-hash array in one pass —
     * minhash_i = min over h of ((h mod P)*a_i + b_i) mod P
     * (TextFunctions.minhash, same P/a/b family). Null on empty input
@@ -162,6 +173,37 @@ case class ShingleSet(child: Expression, k: Int)
 object ShingleSet {
   def column(c: Column, k: Int): Column =
     graftshim.column(ShingleSet(graftshim.expression(c), k))
+}
+
+/** Hamming distance between two equal-length bitstrings (byte compare —
+  * the strings are '1'/'0' ASCII). Parity with the portable spelling
+  * aggregate(zip_with(split(a,''), split(b,''), …)): length mismatch
+  * counts the excess as differing, matching zip_with's null padding. */
+case class HammingBits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string inputs")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TokenKernel.hammingBytes(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenKernel.hammingBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingBits =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingBits {
+  def column(a: Column, b: Column): Column =
+    graftshim.column(HammingBits(graftshim.expression(a), graftshim.expression(b)))
 }
 
 /** All affine minhashes over a base-hash array in one pass (replaces

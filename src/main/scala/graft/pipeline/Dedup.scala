@@ -157,8 +157,13 @@ object Dedup {
           struct(lit(c).as("cidx"),
             substring(col("simhash"), c * chunkBits + 1, chunkBits).as("chunk"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.cidx"), col("ck.chunk"))
+    // Hamming is computed per candidate INSTANCE (native byte-compare
+    // kernel, ≤chunks× per pair) and filtered BEFORE the distinct: the
+    // dedup then hash-aggregates only the few (doc_a, doc_b, hamming)
+    // survivors instead of sort-aggregating every chunk collision with
+    // two 64-char fingerprints in tow (~200k wide rows at sf0.1).
     val members = array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
-    val pairs = banded
+    banded
       .groupBy(col("cidx"), col("chunk"))
       .agg(members.as("ms"))
       .where(size(col("ms")) > 1)
@@ -166,19 +171,65 @@ object Dedup {
         (a, b) => struct(
           a.getField("doc_id").as("doc_a"),
           b.getField("doc_id").as("doc_b"),
-          a.getField("simhash").as("sha_"),
-          b.getField("simhash").as("shb_")))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sha_"), col("p.shb_"))
-      .dropDuplicates("doc_a", "doc_b")
-
-    val hamming = aggregate(
-      zip_with(split(col("sha_"), ""), split(col("shb_"), ""),
-        (x, y) => when(x === y, 0).otherwise(1)),
-      lit(0), (acc, v) => acc + v)
-    pairs
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+          hamming64(a.getField("simhash"), b.getField("simhash")).as("hamming")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected-component clusters of the near-duplicate pair graph:
+    * every document that appears in a verified LSH near-dup pair is
+    * labeled with the smallest doc_id reachable from it (its cluster
+    * representative). Iterative min-label propagation — the standard
+    * distributed-CC shape: each round is one shuffle join
+    * (edges ⋈ labels) plus a min-aggregate, and the loop stops when no
+    * label changed (≤ graph diameter rounds; near-dup clusters are
+    * shallow). Lineage is truncated per round with localCheckpoint so
+    * the plan does not grow with iterations; at 100 TB use a reliable
+    * checkpoint dir and the large-star/small-star variant (see
+    * SCALE.md) — both preserve these semantics exactly. */
+  def nearDupClusters(docs: DataFrame, threshold: Double,
+                      maxIter: Int = 20): DataFrame = {
+    val pairs = lshNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // candidate generation runs exactly once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val updated = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .where(col("u.label") =!= col("l.label"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end cluster dedup: drop every near-dup cluster member
+    * except its representative, and report per-source survivor counts.
+    * The removed set joins back anti-style on doc_id — Catalyst picks
+    * broadcast vs shuffle by its size (at 100 TB a 40%-dup corpus
+    * makes it a shuffle join, which is the correct plan). */
+  def dedupByClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val removed = nearDupClusters(docs, threshold)
+      .where(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    docs.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
   }
 
   /** Char-n-gram Jaccard pairs within a bounded id window — the

@@ -42,13 +42,14 @@ object PipelineOracles {
     s"WITH $shingleCtes SELECT doc_id, $mh FROM bh ORDER BY doc_id"
   }
 
-  /** Banded LSH near-dup pairs: 8 minhashes, 4 bands × 2 rows, true
-    * Jaccard verification at the given threshold. */
-  def lshNearDups(threshold: Double): String = {
+  /** Shared CTE chain for the banded-LSH family: 8 minhashes, 4 bands ×
+    * 2 rows, true-Jaccard verification; `near_pairs` is the thresholded
+    * pair set the clustering oracles build on. */
+  private def lshCtes(threshold: Double): String = {
     val mhList = (0 until 8).map(mhExpr).mkString(", ")
     val bandKey =
       h64("mh[band*2+1]::VARCHAR || '_' || mh[band*2+2]::VARCHAR", "band'||band||'")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |m AS (SELECT doc_id, s, [$mhList] AS mh FROM bh),
        |bands AS (SELECT doc_id, s, band, $bandKey AS bkey
        |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
@@ -59,10 +60,41 @@ object PipelineOracles {
        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
        |        len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
-       |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b),
+       |near_pairs AS (SELECT doc_a, doc_b FROM verified
+       |  WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  /** Banded LSH near-dup pairs with Jaccard verification. */
+  def lshNearDups(threshold: Double): String =
+    s"""WITH ${lshCtes(threshold)}
        |SELECT * FROM verified WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Connected components of the near-dup graph — min reachable doc_id
+    * per node via a recursive transitive closure (the oracle's
+    * fixed-point mirrors the Spark side's min-label propagation). */
+  private def clusterCtes(threshold: Double): String =
+    s"""${lshCtes(threshold)},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+       |  UNION SELECT doc_b, doc_a FROM near_pairs),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+       |clusters AS (SELECT node, min(lab) AS cluster FROM reach
+       |  GROUP BY node)""".stripMargin
+
+  def dedupClusters(threshold: Double): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold)}
+       |SELECT node AS doc_id, cluster FROM clusters ORDER BY doc_id""".stripMargin
+
+  def clusterDedupKept(threshold: Double): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold)},
+       |removed AS (SELECT node FROM clusters WHERE node <> cluster)
+       |SELECT source, count(*) AS n_kept FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM removed)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   val simhash: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -121,6 +121,19 @@ object TextFunctions {
     when(size(ms) <= maxMembers, all).otherwise(star)
   }
 
+  /** Hamming distance of two '1'/'0' bitstrings — native byte-compare
+    * (functions.HammingBits); parity with the zip_with spelling pinned
+    * in PipelineSpec. */
+  def hamming64(a: Column, b: Column): Column =
+    graft.functions.HammingBits.column(a, b)
+
+  /** Portable HOF spelling of hamming64 (the parity reference). */
+  def hammingSql(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+
   /** Jaccard similarity of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

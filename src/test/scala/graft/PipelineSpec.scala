@@ -40,6 +40,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("near-dup clusters: representative is the component min and a member") {
+    val pairs = Dedup.lshNearDupPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.nearDupClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is labeled; both ends of a pair share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b))
+    }
+    // the label is the smallest member of its component, and labels itself
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+      assert(clusters(label) == label)
+    }
+    // end-to-end dedup removes exactly the non-representatives
+    val kept = Dedup.dedupByClusters(docs, 0.8)
+      .agg(sum(col("n_kept"))).head.getLong(0)
+    val removed = clusters.count { case (doc, label) => doc != label }
+    assert(kept == docs.count() - removed)
+  }
+
   test("exact dedup: keep-first count equals distinct text count") {
     val kept = Dedup.dedupKeepFirst(docs).head.getLong(0)
     val distinct = docs.select(countDistinct(col("text"))).head.getLong(0)
@@ -103,6 +125,16 @@ class PipelineSpec extends AnyFunSuite {
       .select(TextFunctions.simhashFromHashes(th).as("native"),
         TextFunctions.simhashFromHashesSql(th).as("hof"))
       .where(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("native hamming64 matches the zip_with spelling on all simhash pairs") {
+    val sims = Dedup.simhashAll(docs).limit(40)
+    val a = sims.toDF("ida", "sa"); val b = sims.toDF("idb", "sb")
+    val mismatches = a.crossJoin(b)
+      .where(TextFunctions.hamming64(col("sa"), col("sb")) =!=
+        TextFunctions.hammingSql(col("sa"), col("sb")))
       .count()
     assert(mismatches == 0L)
   }
