@@ -77,6 +77,16 @@ object TokenKernel {
     new GenericArrayData(out)
   }
 
+  /** Left-to-right dot product over the common prefix of two double
+    * arrays (see ArrayDot scaladoc for the fold-order contract). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   /** Differing-byte count of two ASCII bitstrings; excess length counts
     * as differing (zip_with null-padding parity). */
   def hammingBytes(a: UTF8String, b: UTF8String): Int = {
@@ -173,6 +183,44 @@ case class ShingleSet(child: Expression, k: Int)
 object ShingleSet {
   def column(c: Column, k: Int): Column =
     graftshim.column(ShingleSet(graftshim.expression(c), k))
+}
+
+/** Sequential-order dot product of two double arrays — bit-identical to
+  * aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,v) -> s+v): same
+  * multiplies, same left-to-right additions, so the DuckDB oracle's
+  * list_reduce spelling needs no change. zip_with length parity: the
+  * shorter array's excess partner is null → null product → null + s =
+  * null in the HOF spelling; vectors here are fixed-width so lengths
+  * always match, and the kernel folds min-length (pinned by the parity
+  * test over the corpus). */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private val want = ArrayType(org.apache.spark.sql.types.DoubleType, false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TokenKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TokenKernel.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  def column(a: Column, b: Column): Column =
+    graftshim.column(ArrayDot(graftshim.expression(a), graftshim.expression(b)))
 }
 
 /** Hamming distance between two equal-length bitstrings (byte compare —

@@ -108,9 +108,11 @@ object Dedup {
 
     // Verification re-attaches shingle sets to the (few) candidates —
     // recomputed straight from text (string ops only, no hashing). The
-    // candidate side is provably tiny, so it is broadcast EXPLICITLY:
-    // the big side streams, nothing wide is ever built into a hash
-    // relation, at any scale.
+    // candidate side scales with TRUE duplication, not corpus size, so
+    // it is broadcast explicitly: the big side streams, nothing wide is
+    // ever built into a hash relation. If a pathologically duplicated
+    // corpus outgrows the broadcast budget, drop the hint — AQE picks a
+    // shuffle join on doc_id with identical semantics.
     val shTbl = graft.sources.Corpus.fanOutSmallScan(docs)
       .select(col("doc_id"), shinglesOf(col("text"), ShingleK).as("sh"))
     val withA = shTbl

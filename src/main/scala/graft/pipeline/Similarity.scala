@@ -49,16 +49,22 @@ object Similarity {
   private def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
     val base = graft.sources.Corpus.fanOutSmallScan(embeddings).withColumn("ed",
       transform(col("embedding"), x => x.cast("double")))
+    // norm via the native sequential-order dot kernel — bit-equal to
+    // sqrt(aggregate(transform(ed, x -> x*x), 0.0, +)) (same multiplies
+    // and fold order; parity pinned in PipelineSpec)
     val withNorm = base.withColumn("norm",
-      sqrt(aggregate(transform(col("ed"), x => x * x), lit(0.0), (s, v) => s + v)))
+      sqrt(graft.functions.ArrayDot.column(col("ed"), col("ed"))))
     if (nBits > 0)
       withNorm.withColumn("bucket", signBucket(col("embedding"), nBits))
     else withNorm
   }
 
+  /** Pair cosine on pre-cast arrays and pre-computed norms. The dot is
+    * the native ArrayDot kernel: the interpreted zip_with+aggregate
+    * fold was the dominant cost of the pair tiers (~780k 64-wide folds
+    * for q29 at sf0.1). */
   private def pairCosine(edA: Column, edB: Column, normA: Column, normB: Column): Column =
-    aggregate(zip_with(edA, edB, (x, y) => x * y), lit(0.0), (s, v) => s + v) /
-      (normA * normB)
+    graft.functions.ArrayDot.column(edA, edB) / (normA * normB)
 
   /** Exact cosine top-k against the vector with id `queryId`. */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {

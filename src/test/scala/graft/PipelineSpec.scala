@@ -129,6 +129,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("native ArrayDot is bit-equal to the zip_with+aggregate fold") {
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val mismatches = embs.select(ed.as("a")).crossJoin(
+        embs.limit(20).select(ed.as("b")))
+      .where(graft.functions.ArrayDot.column(col("a"), col("b")) =!=
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("native hamming64 matches the zip_with spelling on all simhash pairs") {
     val sims = Dedup.simhashAll(docs).limit(40)
     val a = sims.toDF("ida", "sa"); val b = sims.toDF("idb", "sb")
