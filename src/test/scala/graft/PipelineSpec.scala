@@ -138,6 +138,16 @@ class PipelineSpec extends AnyFunSuite {
           lit(0.0), (s, v) => s + v))
       .count()
     assert(mismatches == 0L)
+    // the portable HOF cosine (the DuckDB oracle's spelling) equals the
+    // native dot/norm composition on raw float vectors
+    val na = sqrt(graft.functions.ArrayDot.column(col("a"), col("a")))
+    val nb = sqrt(graft.functions.ArrayDot.column(col("b"), col("b")))
+    val cosMismatch = embs.select(col("embedding").as("ra"), ed.as("a"))
+      .crossJoin(embs.limit(20).select(col("embedding").as("rb"), ed.as("b")))
+      .where(TextFunctions.cosine(col("ra"), col("rb")) =!=
+        graft.functions.ArrayDot.column(col("a"), col("b")) / (na * nb))
+      .count()
+    assert(cosMismatch == 0L)
   }
 
   test("native hamming64 matches the zip_with spelling on all simhash pairs") {
