@@ -45,6 +45,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q18/q20: the native hash kernels are in the plan (not HOF spellings)") {
+    val p18 = plan("q18_minhash_signatures")
+    assert(p18.contains("affine_minhashes(hash_tokens("))
+    assert(!p18.contains("transform(")) // no interpreted HOF hashing left
+    val p20 = plan("q20_simhash")
+    assert(p20.contains("simhash64(hash_tokens("))
+  }
+
+  test("q33: hamming filtered before a hash-based distinct — no wide sort-aggregate") {
+    val p = plan("q33_simhash_near_dups")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("Join"))
+  }
+
   test("q16 exact dedup: map-side partial aggregation before the hash shuffle") {
     val p = plan("q16_exact_dedup")
     assert(p.contains("HashAggregate(keys=[source"))
