@@ -15,12 +15,15 @@ object QueryRunner {
 
   // once per (session, sfDir): re-registering identical functions/views
   // on every call is wasted driver work and spams "replaced a previously
-  // registered function" into bench/verify logs.
-  private val initedKeys =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // registered function" into bench/verify logs. Keyed WEAKLY on the
+  // session object itself and on the LAST registered dir, so
+  // alternating sfDirs re-registers (views must track the dir) and a
+  // fresh session never inherits a stale entry.
+  private val lastInit = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   def init(spark: SparkSession, sfDir: String): Unit = {
-    if (!initedKeys.add(System.identityHashCode(spark) + "|" + sfDir)) return
+    if (lastInit.put(spark, sfDir) == sfDir) return
     GraftFunctions.register(spark)
     F.sysUsersDf(spark).createOrReplaceTempView("sys_users")
     F.sysRoleGrantsDf(spark).createOrReplaceTempView("sys_role_grants")

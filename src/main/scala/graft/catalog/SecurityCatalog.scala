@@ -101,10 +101,14 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
 
   /** Execute each planned statement in order (the reference's
     * `[ch_connect.execute(q) for q in query_list]`,
-    * clickhouse_users.py:246) and commit. */
+    * clickhouse_users.py:246) and commit. Sequential like the server:
+    * a failing statement leaves the already-applied prefix in place
+    * (the reference's CREATE USER persists even when a later ALTER
+    * QUOTA raises — a re-run then probes user_exists=true), so the
+    * prefix is committed before the exception propagates. */
   def apply(plan: Seq[DdlStatement]): Unit = synchronized {
-    st = plan.foldLeft(st)(applyOne)
-    commit()
+    try plan.foreach(stmt => st = applyOne(st, stmt))
+    finally commit()
   }
 
   /** Raw-DCL entry point (SURVEY §7 Milestone 5): parse reference-dialect
@@ -171,8 +175,7 @@ final class SecurityCatalog(val spark: SparkSession, persistPath: Option[String]
   // ---- persistence ----------------------------------------------------
 
   private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.functions.GraftHash.sha256Hex(s)
 
   private def commit(): Unit = persistPath.foreach { p =>
     import spark.implicits._

@@ -18,6 +18,13 @@ object GraftHash {
     * the portable SQL construction
     * `conv(substr(sha2(concat(s, seed), 256), 1, 15), 16, 10)`:
     * 15 hex digits are the first 60 bits big-endian. */
+  /** Lowercase-hex sha256 of a UTF-8 string — THE sha256-hex spelling
+    * (catalog password hashing, playbook spec lowering, fixtures). */
+  def sha256Hex(s: String): String = {
+    val d = md.get(); d.reset()
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def sha256Prefix60(s: UTF8String, seedSuffix: Array[Byte]): Long = {
     val d = md.get(); d.reset()
     d.update(s.getBytes)

@@ -77,13 +77,20 @@ object TokenKernel {
     new GenericArrayData(out)
   }
 
-  /** Left-to-right dot product over the common prefix of two double
-    * arrays (see ArrayDot scaladoc for the fold-order contract). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Left-to-right dot product of two double arrays. Null exactly when
+    * the HOF spelling is null: a null element's product is null and
+    * poisons the fold, and zip_with's padding on a length mismatch
+    * does the same — so both cases return null here (boxed). */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -188,11 +195,9 @@ object ShingleSet {
 /** Sequential-order dot product of two double arrays — bit-identical to
   * aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,v) -> s+v): same
   * multiplies, same left-to-right additions, so the DuckDB oracle's
-  * list_reduce spelling needs no change. zip_with length parity: the
-  * shorter array's excess partner is null → null product → null + s =
-  * null in the HOF spelling; vectors here are fixed-width so lengths
-  * always match, and the kernel folds min-length (pinned by the parity
-  * test over the corpus). */
+  * list_reduce spelling needs no change. Null semantics also mirror the
+  * HOF spelling: a null element or a length mismatch (zip_with null
+  * padding) poisons the fold → NULL. Parity pinned in PipelineSpec. */
 case class ArrayDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   private val want = ArrayType(org.apache.spark.sql.types.DoubleType, false)
@@ -204,6 +209,8 @@ case class ArrayDot(left: Expression, right: Expression)
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires two array<double> inputs, got $other")
     }
+  // null on null input, null element, or length mismatch (HOF parity)
+  override def nullable: Boolean = true
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "array_dot"
 
@@ -211,7 +218,14 @@ case class ArrayDot(left: Expression, right: Expression)
     TokenKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TokenKernel.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotResult")
+      s"""
+         |java.lang.Double $r = graft.functions.TokenKernel.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDot =

@@ -190,9 +190,15 @@ object Dedup {
     * shallow). Lineage is truncated per round with localCheckpoint so
     * the plan does not grow with iterations; at 100 TB use a reliable
     * checkpoint dir and the large-star/small-star variant (see
-    * SCALE.md) — both preserve these semantics exactly. */
+    * SCALE.md) — both preserve these semantics exactly.
+    *
+    * Convergence is guaranteed (labels are monotone-decreasing over a
+    * finite set, fixpoint within graph-diameter rounds), so the
+    * default runs to the fixpoint the q36/q37 oracle computes; pass a
+    * finite maxIter only to bound rounds explicitly, accepting
+    * possibly-unconverged labels on deeper-than-maxIter chains. */
   def nearDupClusters(docs: DataFrame, threshold: Double,
-                      maxIter: Int = 20): DataFrame = {
+                      maxIter: Int = Int.MaxValue): DataFrame = {
     val pairs = lshNearDupPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -106,8 +106,13 @@ object TextFunctions {
     * families bucket on), so the representative verifies against every
     * member and connectivity — the property dedup clustering needs — is
     * preserved while a 10⁶-member boilerplate cluster emits 10⁶-1 rows,
-    * not ~10¹² (the round-3 scale-killer). Bounded-work property is
-    * pinned in PipelineSpec. */
+    * not ~10¹² (the round-3 scale-killer). The fallback is a deliberate
+    * recall/cost APPROXIMATION: members of an over-cap bucket that fail
+    * verification against the representative lose that bucket's pairs
+    * (other bands/chunks can still recover them). The uncapped DuckDB
+    * oracles stay exact because gate corpora never exceed the cap
+    * (max observed bucket at sf0.1: 153 of 1000). Bounded-work property
+    * is pinned in PipelineSpec. */
   def boundedPairs(ms: Column, maxMembers: Int,
                    pair: (Column, Column) => Column): Column = {
     val all = flatten(transform(

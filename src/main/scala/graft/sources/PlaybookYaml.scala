@@ -41,8 +41,12 @@ object PlaybookYaml {
       val noComment = stripComment(raw)
       val t = noComment.trim
       if (t.nonEmpty) {
-        if (!raw.startsWith(" ") && t.endsWith(":")) {
-          flush(); section = t.dropRight(1)
+        if (!raw.startsWith(" ")) {
+          // top level: a list header opens a section; a scalar var
+          // (clickhouse_user etc., playbook_example.yaml:8-12) closes
+          // the current one — it must NOT merge into the last item
+          flush()
+          section = if (t.endsWith(":")) t.dropRight(1) else ""
         } else if (t.startsWith("- ")) {
           flush()
           val (k, v) = keyValue(t.drop(2))
@@ -102,8 +106,7 @@ object PlaybookYaml {
   // ---- lowering to module specs (task-template semantics) -------------
 
   private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.functions.GraftHash.sha256Hex(s)
 
   private def str(m: Map[String, Any], k: String, dflt: String = ""): String =
     m.get(k).map(_.toString).getOrElse(dflt)

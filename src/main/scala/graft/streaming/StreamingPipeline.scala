@@ -50,4 +50,5 @@ object StreamingPipeline {
       .withColumn("h", sha2(col("text"), 256))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("h")
+      .drop("h") // internal dedup key — output schema mirrors the input
 }

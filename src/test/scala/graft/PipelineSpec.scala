@@ -148,6 +148,20 @@ class PipelineSpec extends AnyFunSuite {
         graft.functions.ArrayDot.column(col("a"), col("b")) / (na * nb))
       .count()
     assert(cosMismatch == 0L)
+    // null parity: a null element (and a length mismatch) poisons both
+    // spellings to NULL
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("a", "b")
+    val nulls = withNull.select(
+        graft.functions.ArrayDot.column(col("a"), col("b")).as("n"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (sm, v) => sm + v).as("h"))
+      .collect()
+    nulls.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
   test("native hamming64 matches the zip_with spelling on all simhash pairs") {

@@ -136,12 +136,16 @@ class ReconcileEngineSpec extends AnyFunSuite {
     // quota the server doesn't have → DB::Exception → usersModule's
     // handler mirrors re.findall(r'DB::Exception.+\.', err.message)
     // (clickhouse_users.py:324-325)
-    val engine = new ReconcileEngine(SecurityCatalog.inMemory(spark))
+    val catalog = SecurityCatalog.inMemory(spark)
+    val engine = new ReconcileEngine(catalog)
     val r = engine.usersModule(
       UserSpec("u1", userPassword = "pw", userQuota = "no_such_quota"))
     assert(r.failed)
     assert(r.doc("msg") ==
       List("DB::Exception: There is no quota `no_such_quota` in user directories."))
+    // sequential apply, like the server: the CREATE USER that preceded
+    // the failing ALTER persists (a re-run probes user_exists=true)
+    assert(catalog.state.users.map(_.name) == Seq("u1"))
   }
 
   test("catalog rejects duplicate CREATE USER through the raw-DCL path") {
@@ -161,6 +165,23 @@ class ReconcileEngineSpec extends AnyFunSuite {
       graft.sources.PlaybookYaml.resourceText())
     assert(users == Seq(dbAdmin, appUser)) // hash-always + init_roles=true
     assert(grants == grantSpecs)
+  }
+
+  test("playbook YAML: top-level scalar vars never merge into the last list item") {
+    val text =
+      """clickhouse_user: 'default'
+        |clickhouse_sql_users:
+        |  - user_name: 'u1'
+        |    user_password: 'p'
+        |clickhouse_port: 9000
+        |clickhouse_grants:
+        |  - grantee_name: 'r1'
+        |    grants: [SELECT]
+        |clickhouse_secure_connect: false
+        |""".stripMargin
+    val (users, grants) = graft.sources.PlaybookYaml.parseVars(text)
+    assert(users == Seq(Map("user_name" -> "u1", "user_password" -> "p")))
+    assert(grants == Seq(Map("grantee_name" -> "r1", "grants" -> Seq("SELECT"))))
   }
 
   test("check mode: prospective plan reported, changed=false, catalog untouched (§8-Q5)") {
