@@ -70,6 +70,9 @@ object SparkEntry {
     "q36_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Corpus.table(s, dir, "documents"), 0.8)),
     "q37_cluster_dedup_kept" -> ((s, dir) => Dedup.dedupByClusters(Corpus.table(s, dir, "documents"), 0.8)),
     "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),
+    // k-means IVF is not SQL-expressible — no oracleSql entry, so the
+    // driver records the (documented) weaker rows-only check.
+    "q38_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 8, 2)),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),

@@ -131,6 +131,56 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF ANN: a k-means-learned coarse quantizer (the classic inverted-
+    * file index) as the data-adapted alternative to the deterministic
+    * sign-bucket tier. The seeded model assigns every vector to its
+    * nearest centroid cell; a query probes only the `nProbe` cells
+    * whose centroids are most cosine-similar to it, with exact cosine
+    * re-ranking inside. Probing ALL cells is exactly brute force
+    * (pinned in PipelineSpec), so nProbe is a pure recall/cost dial.
+    *
+    * At 100 TB: train on a sample, persist the assigned table
+    * `partitionBy(cell)`, and a probe prunes to nProbe partitions —
+    * the same IVF-as-partition-pruning story as the sign-bucket tier
+    * with cells shaped by the data. The query vector is a single-row
+    * point lookup and the centroid ranking is over nClusters rows —
+    * both driver-side by design. Not SQL-expressible (k-means), so the
+    * gate records a rows-only check. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.withColumn("features",
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("features")
+
+    val qv = embeddings.where(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    def cosToQuery(c: Array[Double]): Double = {
+      var d = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+      while (i < qv.length) {
+        d += qv(i) * c(i); nq += qv(i) * qv(i); nc += c(i) * c(i); i += 1
+      }
+      if (nc == 0.0) -1.0 else d / math.sqrt(nq * nc)
+    }
+    val probes = model.clusterCenters.map(_.toArray).zipWithIndex
+      .sortBy { case (c, i) => (-cosToQuery(c), i) }
+      .take(nProbe).map(_._2)
+
+    val v = withVectorCols(assigned, 0)
+    val q = v.where(col("vec_id") === queryId)
+      .select(col("ed").as("q_ed"), col("norm").as("q_norm"))
+    v.where(col("cell").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"), col("q_norm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed
     * by the sign quantizer so candidate generation is never all-pairs.
     *

@@ -206,6 +206,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(bucketed.forall(_.getDouble(2) <= cs.head))
   }
 
+  test("IVF: probing all cells equals brute force; fewer probes trade recall") {
+    val exact = Similarity.cosineTopK(embs, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val allCells = Similarity.ivfTopK(embs, 0L, 10, 8, 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(allCells == exact) // nProbe = nClusters ⇒ exact search
+    val probed = Similarity.ivfTopK(embs, 0L, 10, 8, 2).collect()
+    assert(probed.nonEmpty && probed.length <= 10)
+    assert(probed.forall(_.getDouble(2) <= exact.head._2))
+  }
+
+  test("bucketKnnJoin composes with corpus-sized nBits") {
+    val bits = Similarity.sizedNBits(embs.count()) // 500 vecs → 1 bit
+    val res = Similarity.bucketKnnJoin(embs, 3, bits)
+      .groupBy("vec_id").count().collect()
+    assert(res.forall(_.getLong(1) <= 3)) // at most k neighbors each
+    assert(res.length == 500) // 2 buckets of 250 — everyone has mates
+  }
+
   test("multimodal plumbing: schema, batch path, deterministic stub features") {
     val media = Multimodal.fromDocuments(docs)
     assert(media.schema.fieldNames.toSeq ==
