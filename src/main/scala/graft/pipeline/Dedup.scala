@@ -204,21 +204,30 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // candidate generation runs exactly once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with the 1-hop minimum (free first propagation round); every
+    // node appears as src because edges are symmetric
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label sum: labels only ever decrease, so the
+    // sum is strictly monotone until the fixpoint — one tiny aggregate
+    // per round instead of a join+count (exact decimal: no overflow at
+    // any id scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
       val updated = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .where(col("u.label") =!= col("l.label"))
-        .count()
+      val newSum = labelSum(updated)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = updated
       iter += 1
     }
