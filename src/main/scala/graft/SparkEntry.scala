@@ -73,6 +73,9 @@ object SparkEntry {
     // k-means IVF is not SQL-expressible — no oracleSql entry, so the
     // driver records the (documented) weaker rows-only check.
     "q38_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 8, 2)),
+    // HLL sketch values are engine-specific — rows-only check; the
+    // error bound vs exact is pinned in PipelineSpec.
+    "q39_dedup_approx" -> ((s, dir) => Dedup.dedupSummaryApprox(Corpus.table(s, dir, "documents"))),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),

@@ -35,7 +35,37 @@ object GraftFunctions {
       Sha256Prefix60(exprs(0), exprs(1).eval().toString)
     })
 
-  val all: Seq[FunctionDescriptor] = Seq(hasFunction, sha256Prefix60Function)
+  /** SQL names for the pipeline's native kernels, so the extension
+    * surface is reachable from pure `spark.sql` too. Literal-argument
+    * positions (k, seed, count) must be foldable. */
+  val simhash64Function: FunctionDescriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => SimHash64(exprs.head))
+
+  val hashTokensFunction: FunctionDescriptor = (
+    FunctionIdentifier("hash_tokens"),
+    new ExpressionInfo(classOf[HashTokens].getName, "hash_tokens"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "hash_tokens(str, k, seedSuffix) requires literal k and seed")
+      HashTokens(exprs(0), exprs(1).eval().toString.toInt, exprs(2).eval().toString)
+    })
+
+  val arrayDotFunction: FunctionDescriptor = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+    (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1)))
+
+  val hammingBitsFunction: FunctionDescriptor = (
+    FunctionIdentifier("hamming_bits"),
+    new ExpressionInfo(classOf[HammingBits].getName, "hamming_bits"),
+    (exprs: Seq[Expression]) => HammingBits(exprs(0), exprs(1)))
+
+  val all: Seq[FunctionDescriptor] = Seq(
+    hasFunction, sha256Prefix60Function,
+    simhash64Function, hashTokensFunction, arrayDotFunction,
+    hammingBitsFunction)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, _, builder) =>

@@ -34,6 +34,23 @@ object Dedup {
            countDistinct(col("h")).as("n_unique"))
       .orderBy("source")
 
+  /** Approximate dedup summary: HLL++ distinct-hash counts per source —
+    * the 100 TB spelling of exactDedupSummary. Exact countDistinct
+    * shuffles every distinct hash to its group; HLL shuffles one
+    * constant-size sketch per (partition, group) and merges, so the
+    * shuffle volume is O(groups), independent of cardinality. Spark's
+    * HLL++ is deterministic for fixed input (no RNG), rsd is the
+    * accuracy dial. Not portable SQL (engine-specific sketch) → the
+    * gate records the rows-only check; the exact-vs-approx error bound
+    * is pinned in PipelineSpec. */
+  def dedupSummaryApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("source"), sha2(col("text"), 256).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           approx_count_distinct(col("h"), rsd).as("n_unique_approx"))
+      .orderBy("source")
+
   /** Keep-first exact dedup: one survivor (min doc_id) per content hash.
     * Pure aggregation — no window, so no per-partition sort at scale. */
   def dedupKeepFirst(docs: DataFrame): DataFrame =

@@ -25,6 +25,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getBoolean(0))
       assert(row.getLong(1) ==
         GraftHash.sha256Prefix60(UTF8String.fromString("table value"), "#mh".getBytes("UTF-8")))
+      // the pipeline kernels are reachable from pure SQL too
+      val k = s.sql(
+        """SELECT length(simhash64(hash_tokens('a b c', 0, '#sim'))) AS sl,
+          |  size(hash_tokens('a b c d', 3, '#mh')) AS ns,
+          |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  hamming_bits('1010', '1001') AS hb""".stripMargin).head()
+      assert(k.getInt(0) == 64)
+      assert(k.getInt(1) == 2) // two distinct 3-shingles of 4 tokens
+      assert(k.getDouble(2) == 11.0)
+      assert(k.getInt(3) == 2)
     } finally {
       SparkSession.setDefaultSession(SparkTestSession.spark)
       SparkSession.setActiveSession(SparkTestSession.spark)

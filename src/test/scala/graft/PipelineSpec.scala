@@ -62,6 +62,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == docs.count() - removed)
   }
 
+  test("approx dedup summary tracks exact distinct counts within HLL rsd") {
+    val exact = Dedup.exactDedupSummary(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Dedup.dedupSummaryApprox(docs, 0.05).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, n) =>
+      assert(math.abs(approx(src) - n) <= math.max(2L, (n * 0.15).toLong),
+        s"$src: approx ${approx(src)} vs exact $n")
+    }
+  }
+
   test("exact dedup: keep-first count equals distinct text count") {
     val kept = Dedup.dedupKeepFirst(docs).head.getLong(0)
     val distinct = docs.select(countDistinct(col("text"))).head.getLong(0)
