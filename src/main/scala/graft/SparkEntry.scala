@@ -71,7 +71,9 @@ object SparkEntry {
     "q37_cluster_dedup_kept" -> ((s, dir) => Dedup.dedupByClusters(Corpus.table(s, dir, "documents"), 0.8)),
     "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),
     // k-means IVF is not SQL-expressible — no oracleSql entry, so the
-    // driver records the (documented) weaker rows-only check.
+    // driver records the (documented) weaker rows-only check. NOTE:
+    // building this entry trains the index (Spark jobs run at fn-call
+    // time, not first action) — index build is part of the operator.
     "q38_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 8, 2)),
     // HLL sketch values are engine-specific — rows-only check; the
     // error bound vs exact is pinned in PipelineSpec.

@@ -41,7 +41,10 @@ object GraftFunctions {
   val simhash64Function: FunctionDescriptor = (
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "simhash64(tokenHashes) takes one argument")
+      SimHash64(exprs.head)
+    })
 
   val hashTokensFunction: FunctionDescriptor = (
     FunctionIdentifier("hash_tokens"),
@@ -55,12 +58,18 @@ object GraftFunctions {
   val arrayDotFunction: FunctionDescriptor = (
     FunctionIdentifier("array_dot"),
     new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-    (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "array_dot(a, b) takes two arguments")
+      ArrayDot(exprs(0), exprs(1))
+    })
 
   val hammingBitsFunction: FunctionDescriptor = (
     FunctionIdentifier("hamming_bits"),
     new ExpressionInfo(classOf[HammingBits].getName, "hamming_bits"),
-    (exprs: Seq[Expression]) => HammingBits(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "hamming_bits(a, b) takes two arguments")
+      HammingBits(exprs(0), exprs(1))
+    })
 
   val all: Seq[FunctionDescriptor] = Seq(
     hasFunction, sha256Prefix60Function,

@@ -229,12 +229,13 @@ object Dedup {
     // convergence via the label sum: labels only ever decrease, so the
     // sum is strictly monotone until the fixpoint — one tiny aggregate
     // per round instead of a join+count (exact decimal: no overflow at
-    // any id scale)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head
-        .getDecimal(0)
+    // any id scale). sum() over an EMPTY frame is null → None; an empty
+    // graph (no verified pairs) is converged immediately.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head
+        .getDecimal(0))
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
@@ -243,7 +244,7 @@ object Dedup {
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val newSum = labelSum(updated)
-      converged = newSum.compareTo(prevSum) == 0
+      converged = newSum == prevSum
       prevSum = newSum
       labels = updated
       iter += 1

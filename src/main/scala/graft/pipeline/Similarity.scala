@@ -157,20 +157,25 @@ object Similarity {
       .fit(feat)
     val assigned = model.transform(feat).drop("features")
 
-    val qv = embeddings.where(col("vec_id") === queryId)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val v = withVectorCols(assigned, 0)
+    // missing queryId → empty result, same contract as the other tiers
+    val qRow = embeddings.where(col("vec_id") === queryId)
+      .select(col("embedding")).take(1).headOption
+    if (qRow.isEmpty)
+      return v.where(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+    val qv = qRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val qNormSq = qv.map(x => x * x).sum // loop-invariant query norm
     def cosToQuery(c: Array[Double]): Double = {
-      var d = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
-      while (i < qv.length) {
-        d += qv(i) * c(i); nq += qv(i) * qv(i); nc += c(i) * c(i); i += 1
-      }
-      if (nc == 0.0) -1.0 else d / math.sqrt(nq * nc)
+      var d = 0.0; var nc = 0.0; var i = 0
+      while (i < qv.length) { d += qv(i) * c(i); nc += c(i) * c(i); i += 1 }
+      // a zero query or centroid norm ranks last, deterministically
+      if (nc == 0.0 || qNormSq == 0.0) -1.0 else d / math.sqrt(qNormSq * nc)
     }
     val probes = model.clusterCenters.map(_.toArray).zipWithIndex
       .sortBy { case (c, i) => (-cosToQuery(c), i) }
       .take(nProbe).map(_._2)
 
-    val v = withVectorCols(assigned, 0)
     val q = v.where(col("vec_id") === queryId)
       .select(col("ed").as("q_ed"), col("norm").as("q_norm"))
     v.where(col("cell").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryId)

@@ -74,6 +74,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: empty pair graph and missing query id return empty, not crash") {
+    // threshold above 1.0 → no verified pairs → empty cluster table
+    val clusters = Dedup.nearDupClusters(docs, 1.01).collect()
+    assert(clusters.isEmpty)
+    val kept = Dedup.dedupByClusters(docs, 1.01)
+      .agg(sum(col("n_kept"))).head.getLong(0)
+    assert(kept == docs.count()) // nothing removed on a clean corpus
+    // missing query id → empty top-k, same contract as the other tiers
+    assert(Similarity.ivfTopK(embs, 999999L, 5, 4, 2).collect().isEmpty)
+  }
+
   test("exact dedup: keep-first count equals distinct text count") {
     val kept = Dedup.dedupKeepFirst(docs).head.getLong(0)
     val distinct = docs.select(countDistinct(col("text"))).head.getLong(0)
