@@ -51,6 +51,45 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionization: gap closes sessions via event-time timeout and in-batch splits") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.sessionize(
+      stream.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+    val query = out.writeStream.format("memory").queryName("s_sess")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sess").toString)
+      .start()
+    try {
+      // user 7: two events 10 min apart (one session), then an in-batch
+      // gap of 2 h — the first session closes inside the batch
+      stream.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),
+        (7L, ts("2024-01-01 12:10:00"), 5.0))
+      query.processAllAvailable()
+      // user 9 far in the future pushes the watermark past 12:40 so
+      // user 7's open session times out and closes
+      stream.addData((9L, ts("2024-01-02 00:00:00"), 9.0))
+      query.processAllAvailable()
+      stream.addData((9L, ts("2024-01-03 00:00:00"), 1.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("s_sess")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0),
+        (7L, ts("2024-01-01 12:10:00"), ts("2024-01-01 12:10:00"), 1L, 5.0),
+        (9L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"), 1L, 9.0)))
+    } finally query.stop()
+  }
+
   test("streaming hash-dedup keeps the first copy within the watermark horizon") {
     val spark = SparkTestSession.spark
     import spark.implicits._
