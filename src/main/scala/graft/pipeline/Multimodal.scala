@@ -20,6 +20,22 @@ final case class MediaFeature(
     n_bytes: Long,
     feature: Array[Float])
 
+/** A transformed payload (resize output): new bytes + both dimensions. */
+final case class MediaResized(
+    media_id: Long,
+    media_type: String,
+    orig_bytes: Long,
+    resized_bytes: Long,
+    payload: Array[Byte])
+
+/** One sampled frame of a payload (frame-sample output): every input
+  * row explodes into `frame_idx` rows of frame bytes. */
+final case class MediaFrame(
+    media_id: Long,
+    frame_idx: Int,
+    n_frames: Int,
+    frame: Array[Byte])
+
 /** Multimodal-column operators.
   *
   * Decode/feature-extraction runs per PARTITION (one codec instance per
@@ -68,6 +84,64 @@ object Multimodal {
       it.map { r =>
         MediaFeature(r.media_id, r.media_type, r.payload.length.toLong,
           decoder(r.payload))
+      }
+    }
+  }
+
+  /** Production seam for resize: maps payload bytes to a
+    * target-"resolution" payload. The stub downsamples the byte stream
+    * deterministically to `target` bytes (stride sampling) — a real
+    * codec decodes, resamples pixels, re-encodes. */
+  def stubResizer(target: Int): Array[Byte] => Array[Byte] = { bytes =>
+    if (bytes.length <= target) bytes
+    else {
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) {
+        out(i) = bytes((i.toLong * bytes.length / target).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Partition-parallel payload resize through the injected codec —
+    * same batch shape as extractFeatures (codec instantiated once per
+    * task). Output carries both sizes so downstream can audit the
+    * compression ratio without re-reading payloads. */
+  def resize(media: Dataset[MediaRecord], target: Int,
+             resizer: Int => Array[Byte] => Array[Byte] = stubResizer)
+      : Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = resizer(target) // per-task codec setup
+      it.map { r =>
+        val out = codec(r.payload)
+        MediaResized(r.media_id, r.media_type,
+          r.payload.length.toLong, out.length.toLong, out)
+      }
+    }
+  }
+
+  /** Production seam for frame sampling: splits a payload into up to
+    * `maxFrames` equal-stride chunks (a real video codec seeks
+    * keyframes). Output is one row per frame — the exploded shape a
+    * frame-level training pipeline consumes — with frame_idx/n_frames
+    * metadata so frames re-associate without a join. */
+  def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int,
+                   frameBytes: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = math.max(1, math.min(maxFrames, r.payload.length / frameBytes))
+        (0 until n).iterator.map { k =>
+          val start = (k.toLong * r.payload.length / n).toInt
+          val end = math.min(start + frameBytes, r.payload.length)
+          MediaFrame(r.media_id, k, n,
+            java.util.Arrays.copyOfRange(r.payload, start, end))
+        }
       }
     }
   }

@@ -266,6 +266,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(f0.n_bytes == doc0len.toLong)
   }
 
+  test("multimodal resize and frame-sample: shapes, determinism, bounds") {
+    val media = Multimodal.fromDocuments(docs.limit(50))
+    val resized = Multimodal.resize(media, 64).collect()
+    assert(resized.length == 50)
+    resized.foreach { r =>
+      assert(r.resized_bytes <= 64 && r.resized_bytes <= r.orig_bytes)
+      assert(r.payload.length.toLong == r.resized_bytes)
+    }
+    // determinism: same payload → same resized bytes
+    val again = Multimodal.resize(media, 64).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    resized.foreach(r => assert(again(r.media_id) == r.payload.toSeq))
+
+    val frames = Multimodal.sampleFrames(media, maxFrames = 4, frameBytes = 100)
+      .collect()
+    val byDoc = frames.groupBy(_.media_id)
+    assert(byDoc.keySet.size == 50)
+    byDoc.values.foreach { fs =>
+      val n = fs.head.n_frames
+      assert(fs.length == n && n >= 1 && n <= 4)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until n))
+      fs.foreach(f => assert(f.frame.length <= 100))
+    }
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)
