@@ -152,7 +152,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    // bounded Lloyd iterations: cell quality converges fast and only
+    // affects recall-per-probe, never correctness (all-probes == exact
+    // regardless of the cells); deterministic for a fixed seed
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(feat)
     val assigned = model.transform(feat).drop("features")
