@@ -79,6 +79,7 @@ object SparkEntry {
     // error bound vs exact is pinned in PipelineSpec.
     "q39_dedup_approx" -> ((s, dir) => Dedup.dedupSummaryApprox(Corpus.table(s, dir, "documents"))),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
+    "q40_asof_join" -> ((s, dir) => RelationalOps.purchaseAsofClick(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),
     "q31_rollup" -> ((s, dir) => RelationalOps.lineitemRollup(s, dir)),
@@ -175,5 +176,19 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // implementation (inclusive >=, inner semantics, right pre-deduped
+    // per (user, ts) on both sides for a deterministic match)
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, click_ts, click_id, click_value FROM c0 WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+        |  c.click_ts, c.click_id, c.click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin.replace("\n", " "),
   )
 }

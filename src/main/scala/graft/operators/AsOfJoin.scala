@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single LATEST right row with
+  * rightTime <= leftTime sharing the key — the time-series point-lookup
+  * join Spark has no native operator for, and the canonical case where
+  * composing existing operators beats a custom physical node.
+  *
+  * Shape: tag sides, union by a common schema, and run ONE window
+  * (partitionBy key, orderBy (time, side)) carrying the last non-null
+  * right value forward; keep the left rows. Cost = one shuffle on the
+  * key + a per-partition sort — no join node at all, while the naive
+  * range-join formulation explodes to O(left × right-per-key) before
+  * aggregating back down. At 100 TB both sides shuffle once on the key
+  * and skew behaves like any window (a hot key is one partition's
+  * sort — salt upstream if a single key exceeds a task).
+  *
+  * Semantics match DuckDB `ASOF JOIN ... ON l.k = r.k AND l.t >= r.t`
+  * (inclusive: a right row AT leftTime matches — the right side sorts
+  * first on ties): inner join, left rows with no prior right row drop.
+  * Ties among RIGHT rows on the same (key, time) are the caller's to
+  * resolve (pre-dedup to one row per (key, time)) — the window order
+  * would otherwise be nondeterministic there.
+  */
+object AsOfJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val lCols = left.columns.toSeq.filterNot(_ == key)
+    val rCols = right.columns.toSeq.filterNot(_ == key)
+    require(lCols.intersect(rCols).isEmpty,
+      s"left/right column names must be disjoint apart from '$key', " +
+        s"clash: ${lCols.intersect(rCols).mkString(", ")}")
+
+    val tagged = left.select(
+        Seq(col(key), col(leftTime).cast("timestamp").as("_t"), lit(1).as("_side")) ++
+          lCols.map(col) ++
+          rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .unionByName(right.select(
+        Seq(col(key), col(rightTime).cast("timestamp").as("_t"), lit(0).as("_side")) ++
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rCols.map(col): _*))
+
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .select(Seq(col(key)) ++ lCols.map(col) ++
+        rCols.map(c => col(s"_asof_$c").as(c)): _*)
+      .where(col(rightTime).isNotNull) // inner: no prior right row → drop
+  }
+}

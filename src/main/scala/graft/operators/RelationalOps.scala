@@ -90,6 +90,26 @@ object RelationalOps {
     * tables are bucketed on orderkey so the exchange disappears.
     * Revenue rounded to 4 decimals: partial-sum combine order differs
     * between engines at the ulp level. */
+  /** Q40 — as-of join over events: each purchase matched to the user's
+    * most recent prior-or-equal click (AsOfJoin scaladoc for semantics;
+    * the right side is pre-deduped to one row per (user, ts) so the
+    * match is deterministic). Oracle: DuckDB's native ASOF JOIN. */
+  def purchaseAsofClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Corpus.table(spark, sfDir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clickRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val clicks = ev.where(col("event_type") === "click")
+      .withColumn("_rn", row_number().over(clickRank))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+      .orderBy("event_id")
+  }
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")
