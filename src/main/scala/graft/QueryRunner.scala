@@ -23,7 +23,11 @@ object QueryRunner {
     new java.util.WeakHashMap[SparkSession, String]())
 
   def init(spark: SparkSession, sfDir: String): Unit = {
-    if (lastInit.put(spark, sfDir) == sfDir) return
+    if (lastInit.get(spark) == sfDir) return
+    // memoize only AFTER registration succeeds: recording up front would
+    // leave the session permanently half-initialized if a registration
+    // throws (e.g. missing parquet dir) — later calls would early-return
+    // against broken state instead of retrying.
     GraftFunctions.register(spark)
     F.sysUsersDf(spark).createOrReplaceTempView("sys_users")
     F.sysRoleGrantsDf(spark).createOrReplaceTempView("sys_role_grants")
@@ -38,6 +42,7 @@ object QueryRunner {
     F.specTablesDf(spark).createOrReplaceTempView("spec_tables")
     F.userSpecsDf(spark).createOrReplaceTempView("user_specs")
     Corpus.registerAll(spark, sfDir)
+    lastInit.put(spark, sfDir)
   }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {

@@ -84,6 +84,13 @@ object SparkEntry {
     "q30_window_topn" -> ((s, dir) => RelationalOps.topCustomersPerNation(s, dir, 3)),
     "q31_rollup" -> ((s, dir) => RelationalOps.lineitemRollup(s, dir)),
     "q32_join_revenue" -> ((s, dir) => RelationalOps.revenueByPriority(s, dir)),
+    // q41: batch gap sessionization (lag + running-sum windows, one
+    // shuffle) — also the batch oracle of StreamingPipeline.sessionize
+    "q41_sessionize" -> ((s, dir) => RelationalOps.sessionizeEvents(s, dir, 30)),
+    // q42/q43: corpus profiling — exact length quantiles per language,
+    // vocabulary head with document frequency
+    "q42_doc_quantiles" -> ((s, dir) => TextStats.docLengthQuantiles(Corpus.table(s, dir, "documents"))),
+    "q43_top_terms" -> ((s, dir) => TextStats.topTerms(Corpus.table(s, dir, "documents"), 20)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -190,5 +197,33 @@ object SparkEntry {
         |  c.click_ts, c.click_id, c.click_value
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin.replace("\n", " "),
+    // gap sessionization: interval comparison (never epoch subtraction —
+    // exact at both engines' timestamp precisions); session membership
+    // is tie-order-independent (equal timestamps always co-session)
+    "q41_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    // quantile_cont == Spark percentile(): both exact sort-based with
+    // linear interpolation
+    "q42_doc_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(avg(n_chars), 6) AS mean_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+    "q43_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM t WHERE length(term) > 0
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin.replace("\n", " "),
   )
 }

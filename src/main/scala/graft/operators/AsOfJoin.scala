@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * composing existing operators beats a custom physical node.
   *
   * Shape: tag sides, union by a common schema, and run ONE window
-  * (partitionBy key, orderBy (time, side)) carrying the last non-null
-  * right value forward; keep the left rows. Cost = one shuffle on the
+  * (partitionBy key, orderBy (time, side)) carrying the last right ROW
+  * (a single struct of all right columns) forward; keep the left rows. Cost = one shuffle on the
   * key + a per-partition sort — no join node at all, while the naive
   * range-join formulation explodes to O(left × right-per-key) before
   * aggregating back down. At 100 TB both sides shuffle once on the key
@@ -44,14 +44,22 @@ object AsOfJoin {
           lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           rCols.map(col): _*))
 
+    // ONE struct of all right columns rides the window, so every output
+    // column comes from the SAME matched right row — per-column
+    // last(ignoreNulls) would fill a NULL in the matched row from an
+    // older right row, stitching values across rows (diverging from
+    // DuckDB ASOF, which returns the matched row's NULL as-is). The
+    // struct is non-null exactly on right rows, so ignoreNulls skips
+    // left rows, never a null FIELD.
+    val rStruct = when(col("_side") === 0,
+      struct(rCols.map(col): _*)).as("_r")
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = tagged.select(col("*"), rStruct)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     carried.where(col("_side") === 1)
+      .where(col("_asof").isNotNull) // inner: no prior right row → drop
       .select(Seq(col(key)) ++ lCols.map(col) ++
-        rCols.map(c => col(s"_asof_$c").as(c)): _*)
-      .where(col(rightTime).isNotNull) // inner: no prior right row → drop
+        rCols.map(c => col("_asof").getField(c).as(c)): _*)
   }
 }

@@ -110,6 +110,40 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Q41 — batch gap sessionization over events: a session ends
+    * `gapMinutes` after its last event. The classic two-window shape:
+    * lag() flags session starts, a running sum numbers them, one
+    * aggregate folds each session — BOTH windows and the final agg
+    * share the user_id partitioning, so the whole query is ONE shuffle
+    * (the second window and the agg reuse the first exchange). This is
+    * also the batch oracle for the streaming sessionize
+    * (StreamingPipeline) — equivalence is pinned in
+    * StreamingPipelineSpec. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      // interval comparison, not epoch subtraction: exact at any
+      // timestamp precision in both engines
+      .withColumn("_new", when(
+        col("_prev").isNull || col("ts") > col("_prev") + gap, 1).otherwise(0))
+      .withColumn("_sess", sum(col("_new")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("user_id"), col("_sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  def sessionizeEvents(spark: SparkSession, sfDir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    sessionizeBatch(Corpus.table(spark, sfDir, "events"), gapMinutes)
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")

@@ -130,10 +130,23 @@ object Dedup {
     // ever built into a hash relation. If a pathologically duplicated
     // corpus outgrows the broadcast budget, drop the hint — AQE picks a
     // shuffle join on doc_id with identical semantics.
+    //
+    // Candidates are materialized ONCE (localCheckpoint; at cluster
+    // scale: a reliable checkpoint) — they feed three consumers (the
+    // candidate-id set and both pair joins), and re-deriving the whole
+    // minhash+banding pipeline per consumer would triple the dominant
+    // cost. The id set then prunes the corpus with a broadcast
+    // semi-join BEFORE the shingle recomputation, so verification CPU
+    // scales with documents-in-candidates, not corpus size.
+    val candM = cand.localCheckpoint(true)
+    val candIds = candM
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val shTbl = graft.sources.Corpus.fanOutSmallScan(docs)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesOf(col("text"), ShingleK).as("sh"))
     val withA = shTbl
-      .join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .join(broadcast(candM), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh").as("sha_"))
     shTbl
       .join(broadcast(withA), col("doc_id") === col("doc_b"))

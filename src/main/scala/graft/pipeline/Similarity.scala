@@ -154,10 +154,19 @@ object Similarity {
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
     // bounded Lloyd iterations: cell quality converges fast and only
     // affects recall-per-probe, never correctness (all-probes == exact
-    // regardless of the cells); deterministic for a fixed seed
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(feat)
+    // regardless of the cells); deterministic for a fixed seed. Random
+    // init (not k-means||): the parallel-init's extra full passes buy
+    // marginally better cells, but cells only shape recall-per-probe —
+    // Lloyd from a seeded random start is the right training cost.
+    // Features are cached across the Lloyd passes and released right
+    // after: fit() is the only multi-pass consumer.
+    feat.cache()
+    val model = try {
+      new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(feat)
+    } finally feat.unpersist(false)
     val assigned = model.transform(feat).drop("features")
 
     val v = withVectorCols(assigned, 0)

@@ -85,6 +85,42 @@ object TextStats {
       .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
       .orderBy("source")
 
+  /** Exact document-length quantiles per language: the corpus-profiling
+    * stats a curation pipeline reads before setting length filters.
+    * percentile() is the EXACT (sort-based, linearly interpolated)
+    * aggregate, matching DuckDB quantile_cont; at 100 TB swap in
+    * percentile_approx (t-digest sketch — constant-size partials,
+    * same plan shape) once the ±ε is acceptable. Grouping by lang
+    * keeps each group's sort partition-local after one hash shuffle. */
+  def docLengthQuantiles(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_chars"), lit(0.75)), 6).as("p75"),
+        round(avg(col("n_chars")), 6).as("mean_chars"))
+      .orderBy("lang")
+
+  /** Top-k corpus terms by total occurrences (with document frequency) —
+    * the vocabulary head a tokenizer-training or stopword-mining pass
+    * reads first. explode → hash agg: the skewed keys ARE the head
+    * terms, and map-side partial aggregation collapses them before the
+    * shuffle (each mapper emits one partial per distinct term, so the
+    * hot term costs ONE row per task, not one per occurrence); top-k is
+    * TakeOrderedAndProject, never a global sort. countDistinct(doc_id)
+    * adds the standard distinct-expand: fine at this cardinality; the
+    * 100 TB spelling is approx_count_distinct for a one-pass plan. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
   /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
   def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
     docs.where(col("doc_id") < maxId)

@@ -38,10 +38,22 @@ object Corpus {
     * 31 idle cores.) This helper repartitions to the session's default
     * parallelism ONLY when the scan is under-split; at 100 TB a table
     * has more splits than the cluster has cores and the repartition
-    * (and its shuffle) vanishes. */
+    * (and its shuffle) vanishes.
+    *
+    * The probe is `inputFiles` — file-listing metadata the scan relation
+    * already holds — NOT `df.rdd.getNumPartitions`, which would force
+    * full physical planning + RDD conversion on the driver at
+    * plan-construction time for every operator invocation (and decide
+    * pre-AQE). Files here are small (≤ one 128 MB split each), so
+    * file count lower-bounds split count; at scale file count exceeds
+    * core count long before per-file splitting matters. A frame with no
+    * file lineage (in-memory test data) reports no files and is left
+    * alone — local relations already carry defaultParallelism
+    * partitions. */
   def fanOutSmallScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 
   /** Register all corpus tables as temp views for spark.sql use. */

@@ -117,11 +117,20 @@ object PlaybookYaml {
 
   def toUserSpec(m: Map[String, Any]): UserSpec = {
     val givenHash = str(m, "user_password_hash")
+    val givenPw = str(m, "user_password")
+    val state = str(m, "user_state", "present")
+    // the task always passes a hash (playbook_example.yaml:46); a present
+    // user with NEITHER credential is the playbook author's error — fail
+    // loudly like Ansible's undefined-variable template error would,
+    // never silently mint sha256("") as a plausible-looking hash.
+    // (absent users are dropped, no credential involved.)
+    require(state == "absent" || givenHash.nonEmpty || givenPw.nonEmpty,
+      s"user '${str(m, "user_name")}': one of user_password / " +
+        "user_password_hash is required when user_state is 'present'")
     UserSpec(
       userName = str(m, "user_name"),
-      // the task always passes a hash (playbook_example.yaml:46)
       userPasswordHash =
-        if (givenHash.nonEmpty) givenHash else sha256Hex(str(m, "user_password")),
+        if (givenHash.nonEmpty) givenHash else sha256Hex(givenPw),
       userQuota = str(m, "user_quota"),
       userProfile = str(m, "user_profile"),
       userRoles = seq(m, "user_roles"),

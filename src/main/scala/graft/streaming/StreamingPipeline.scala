@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Row/state shapes for gap sessionization (top level for Encoders). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+case class SessionBuf(sessions: Seq[SessionState])
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                        session_end: java.sql.Timestamp,
                        n_events: Long, total_value: Double)
@@ -50,13 +51,24 @@ object StreamingPipeline {
   /** Gap-based sessionization — the custom-state surface
     * (flatMapGroupsWithState + event-time timeout) that windowed
     * aggregation can't express: a session ends `gapMinutes` after its
-    * last event, not at a fixed boundary. Per user: in-batch events
-    * merge into the open session (splitting on intra-batch gaps, those
-    * sessions emit immediately); the open session closes when the
-    * WATERMARK passes its end + gap (event-time timeout), so state per
-    * user is one fixed-size record and total state is bounded by the
-    * active-user count — the 100 TB story is the shuffle on user_id
-    * plus O(active users) state, independent of history length. */
+    * last event, not at a fixed boundary.
+    *
+    * Exactness contract: a session is emitted ONLY once the watermark
+    * passes its end + gap — at that point any event that could still
+    * merge into it (t ≤ end + gap ≤ watermark) is already outside the
+    * lateness budget and would be dropped by the watermark filter, so
+    * Append-mode output equals the batch sessionization of the same
+    * data (pinned in StreamingPipelineSpec). Unfinalized sessions — the
+    * open one AND any gap-closed-but-not-yet-ripe ones — are held in
+    * state as a sorted interval list; each batch interval-merges the
+    * incoming events into that list (a late-but-in-budget event lands
+    * in, or bridges, held sessions instead of spawning an overlapping
+    * one, which Append could never retract).
+    *
+    * State per user is the handful of sessions inside one lateness
+    * horizon (bounded by lateness/gap + 1, NOT history length), so the
+    * 100 TB story is unchanged: one shuffle on user_id plus O(active
+    * users × sessions-in-horizon) state. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  lateness: String = "10 minutes"): Dataset[UserSession] = {
     val spark = events.sparkSession
@@ -67,37 +79,39 @@ object StreamingPipeline {
       UserSession(user, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.end), s.n, s.total)
 
-    def update(user: Long, incoming: Iterator[SessionEvent],
-               state: GroupState[SessionState]): Iterator[UserSession] = {
-      if (state.hasTimedOut) {
-        val closed = toSession(user, state.get)
-        state.remove()
-        Iterator.single(closed)
-      } else {
-        val evs = incoming.toArray.sortBy(_.ts.getTime)
-        var open = state.getOption
-        val closed = Seq.newBuilder[UserSession]
-        evs.foreach { e =>
-          val t = e.ts.getTime
-          open match {
-            case Some(s) if t <= s.end + gapMs =>
-              open = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
-                s.n + 1, s.total + e.value))
-            case Some(s) => // gap exceeded inside the batch: close + restart
-              closed += toSession(user, s)
-              open = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              open = Some(SessionState(t, t, 1, e.value))
+    // sorted interval merge with gap tolerance: any two sessions (or a
+    // session and an event) within `gapMs` coalesce; n/total are sums,
+    // so merging already-merged sessions stays exact
+    def mergeAll(ss: Seq[SessionState]): Seq[SessionState] =
+      ss.sortBy(s => (s.start, s.end))
+        .foldLeft(List.empty[SessionState]) { (acc, s) =>
+          acc match {
+            case h :: t if s.start <= h.end + gapMs =>
+              SessionState(math.min(h.start, s.start), math.max(h.end, s.end),
+                h.n + s.n, h.total + s.total) :: t
+            case _ => s :: acc
           }
-        }
-        open.foreach { s =>
-          state.update(s)
-          // timeout must stay ahead of the current watermark
-          state.setTimeoutTimestamp(
-            math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
-        }
-        closed.result().iterator
+        }.reverse
+
+    // one code path for data batches AND timeouts (incoming is empty on
+    // timeout): merge, emit ripe sessions, hold + re-arm the rest
+    def update(user: Long, incoming: Iterator[SessionEvent],
+               state: GroupState[SessionBuf]): Iterator[UserSession] = {
+      val wm = state.getCurrentWatermarkMs
+      val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val merged = mergeAll(held ++ incoming.map(e =>
+        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+      // strict <: an event with t == watermark may still be admitted,
+      // and t == end + gap == watermark would belong to this session
+      val (ripe, open) = merged.partition(_.end + gapMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(open))
+        // earliest possible finalization; must stay ahead of the watermark
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end).min + gapMs, wm + 1))
       }
+      ripe.iterator.map(toSession(user, _))
     }
 
     events.selectExpr("user_id", "ts", "value").as[SessionEvent]

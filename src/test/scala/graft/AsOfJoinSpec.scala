@@ -39,6 +39,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, "l_d", "r3")))
   }
 
+  test("asofJoin returns the matched row's NULLs — no stitching from older rows") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "lt", "l_tag")
+    // the matched (latest prior) right row has a NULL payload; the older
+    // row's non-null payload must NOT leak into the output (DuckDB ASOF
+    // returns the matched row as-is, NULL fields included)
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option("old_payload")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String])
+    ).toDF("k", "rt", "r_payload")
+
+    val out = AsOfJoin.asofJoin(left, right, "k", "lt", "rt").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getTimestamp(r.fieldIndex("rt")) == ts("2024-01-01 11:00:00"))
+    assert(r.isNullAt(r.fieldIndex("r_payload")))
+  }
+
   test("asofJoin plan is one window, no join node") {
     val s = spark
     import s.implicits._

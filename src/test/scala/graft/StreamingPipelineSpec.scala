@@ -90,6 +90,69 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionization holds sessions until the watermark: a late event merges instead of overlapping") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.sessionize(
+      stream.toDF().toDF("user_id", "ts", "value"),
+      gapMinutes = 30, lateness = "3 hours")
+    val query = out.writeStream.format("memory").queryName("s_sess_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sess_late").toString)
+      .start()
+    try {
+      // batch 1: user 7's first session gap-closes INSIDE the batch
+      // ([10:00,10:10], then 13:00) — but must NOT be emitted yet: its
+      // end+gap (10:40) is still ahead of the watermark (10:00)
+      stream.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),
+        (7L, ts("2024-01-01 13:00:00"), 4.0))
+      query.processAllAvailable()
+      assert(spark.table("s_sess_late").count() == 0)
+      // batch 2: a late-but-in-budget event (10:35 ≥ watermark 10:00)
+      // lands within the gap of the held session → MERGES into it (the
+      // early-emission design emitted [10:00,10:10] already and then
+      // produced an overlapping second session here)
+      stream.addData((7L, ts("2024-01-01 10:35:00"), 8.0))
+      query.processAllAvailable()
+      // batches 3+4: user 9 advances the watermark so user 7 finalizes
+      stream.addData((9L, ts("2024-01-02 00:00:00"), 9.0))
+      query.processAllAvailable()
+      stream.addData((9L, ts("2024-01-03 00:00:00"), 1.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("s_sess_late")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(streamed == Seq(
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:35:00"), 3L, 11.0),
+        (7L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 1L, 4.0),
+        (9L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"), 1L, 9.0)))
+
+      // Append output == batch sessionization of the same data for every
+      // finalized session (the still-open 01-03 session is the only one
+      // the stream hasn't emitted)
+      val static = Seq(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),
+        (7L, ts("2024-01-01 13:00:00"), 4.0),
+        (7L, ts("2024-01-01 10:35:00"), 8.0),
+        (9L, ts("2024-01-02 00:00:00"), 9.0),
+        (9L, ts("2024-01-03 00:00:00"), 1.0)).toDF("user_id", "ts", "value")
+      val batch = graft.operators.RelationalOps.sessionizeBatch(static, 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(batch.filterNot(_._2 == ts("2024-01-03 00:00:00")) == streamed)
+    } finally query.stop()
+  }
+
   test("streaming hash-dedup keeps the first copy within the watermark horizon") {
     val spark = SparkTestSession.spark
     import spark.implicits._
