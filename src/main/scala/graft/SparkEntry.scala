@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.operators.{RelationalOps, SecurityOps}
-import graft.pipeline.{Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats}
 import graft.sources.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,6 +91,11 @@ object SparkEntry {
     // vocabulary head with document frequency
     "q42_doc_quantiles" -> ((s, dir) => TextStats.docLengthQuantiles(Corpus.table(s, dir, "documents"))),
     "q43_top_terms" -> ((s, dir) => TextStats.topTerms(Corpus.table(s, dir, "documents"), 20)),
+    // q44/q45: curation — benchmark decontamination (eval split =
+    // doc_id % 10) and deterministic hash-stratified sampling
+    "q44_decontamination" -> ((s, dir) => Curation.decontaminationSummary(Corpus.table(s, dir, "documents"), 10L)),
+    "q45_stratified_sample" -> ((s, dir) => Curation.stratifiedSampleSummary(
+      Corpus.table(s, dir, "documents"), Map("src3" -> 50, "src7" -> 0), 10)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -225,5 +230,26 @@ object SparkEntry {
         |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM t WHERE length(term) > 0
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin.replace("\n", " "),
+    // same 60-bit shingle hash (seed 'dc') on both sides → exact parity
+    "q44_decontamination" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk),
+        |hs AS (SELECT doc_id, source,
+        |  list_transform(s, x -> ('0x'||substr(sha256(x||'#dc'),1,15))::BIGINT) AS h FROM sh),
+        |ev AS (SELECT DISTINCT unnest(h) AS g FROM hs WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, source, h FROM hs WHERE doc_id % 10 <> 0),
+        |trg AS (SELECT doc_id, unnest(h) AS g FROM tr),
+        |hit AS (SELECT DISTINCT doc_id FROM trg JOIN ev USING (g))
+        |SELECT source, count(*) AS n_train,
+        |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_contaminated
+        |FROM tr GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    "q45_stratified_sample" ->
+      """SELECT source, count(*) AS n_total,
+        |  sum(CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#samp'),1,15))::BIGINT % 100 <
+        |    (CASE WHEN source = 'src3' THEN 50 WHEN source = 'src7' THEN 0 ELSE 10 END)
+        |  THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing: benchmark decontamination and deterministic
+  * stratified sampling.
+  *
+  * 100 TB design stance:
+  *  - Decontamination is an equi-join on hashed shingles — the eval
+  *    side (benchmarks) is small by nature, so it broadcasts and the
+  *    100 TB training side streams through without a shuffle. The
+  *    shuffle-free property survives any training-corpus scale; only
+  *    an enormous eval set would demand the shuffle-join fallback
+  *    (drop the hint, AQE picks it).
+  *  - Sampling is scan-local: a deterministic content-independent hash
+  *    on the stable key, compared against a per-stratum rate. No
+  *    shuffle, no RNG state, reproducible across reruns/retries —
+  *    which rand()-based sampling is NOT under task retry. */
+object Curation {
+
+  /** Benchmark decontamination: flag training documents that share any
+    * k-token shingle with the eval split (here: doc_id % evalMod == 0
+    * stands in for a benchmark table). Returns per-source counts of
+    * training docs and contaminated docs.
+    *
+    * Dataflow: one shingle-hash pass over the corpus (the summary
+    * branch prunes the hash column away, so hashing is NOT recomputed
+    * there), distinct eval shingles broadcast, train shingles
+    * left-semi-joined against them, hits folded back as a broadcast
+    * flag join. Shingles travel as 60-bit hashes (hash64 seed "dc"),
+    * never strings — the oracle mirrors the same hash, so parity is
+    * exact including any collision. */
+  def decontaminationSummary(docs: DataFrame, evalMod: Long,
+                             k: Int = 3): DataFrame = {
+    val withSh = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        shingleHashes(col("text"), k, "dc").as("hs"))
+    val evalGrams = withSh.where(col("doc_id") % evalMod === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = withSh.where(col("doc_id") % evalMod =!= 0)
+    val contamIds = train
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train
+      .join(broadcast(contamIds.withColumn("_hit", lit(1))),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** Deterministic stratified sampling summary: keep a document iff
+    * hash64(doc_id) mod 100 falls under its source's percentage (rates
+    * override `defaultPct` per source). Reports kept/total per source.
+    * The keep decision is a pure function of the stable key — re-runs,
+    * task retries, and incremental ingest all sample the SAME rows,
+    * unlike rand()-based sampling. */
+  def stratifiedSampleSummary(docs: DataFrame, rates: Map[String, Int],
+                              defaultPct: Int): DataFrame = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val keep = (hash64(col("doc_id").cast("string"), "samp") % 100 < pct)
+      .cast("int")
+    docs.select(col("source"), keep.as("_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("_keep")).cast("long").as("n_sampled"))
+      .orderBy("source")
+  }
+}

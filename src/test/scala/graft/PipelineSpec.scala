@@ -295,4 +295,40 @@ class PipelineSpec extends AnyFunSuite {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)
   }
+
+  test("decontamination flags exactly the train docs sharing a shingle with the eval split") {
+    val s = spark
+    import s.implicits._
+    // eval split = doc_id % 10 == 0 → doc 0 ("x y z w"); doc 11 shares
+    // shingle "x y z", doc 12 shares "y z w", doc 13 shares nothing
+    // (fewer than k tokens never match), doc 14 shares nothing
+    val df = Seq(
+      (0L, "e", "x y z w"),
+      (11L, "a", "p q x y z"),
+      (12L, "a", "y z w k m"),
+      (13L, "b", "x y"),
+      (14L, "b", "totally different text here")).toDF("doc_id", "source", "text")
+    val out = Curation.decontaminationSummary(df, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 2L, 2L), ("b", 2L, 0L)))
+  }
+
+  test("stratified sampling is deterministic, keyed, and respects a 0% stratum") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}", s"doc $i")).toSeq
+      .toDF("doc_id", "source", "text")
+    val run = () => Curation.stratifiedSampleSummary(
+        df, Map("src1" -> 0, "src2" -> 100), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(); val b = run()
+    assert(a == b) // pure function of the key — no RNG state
+    val bySrc = a.map { case (k, _, kept) => k -> kept }.toMap
+    assert(a.forall(_._2 == 100L))
+    assert(bySrc("src1") == 0L)   // 0% stratum keeps nothing
+    assert(bySrc("src2") == 100L) // 100% stratum keeps everything
+    // default 10% stratum: hash-uniform ⇒ binomial(100, 0.1); allow wide slack
+    assert(bySrc("src0") > 0L && bySrc("src0") < 30L)
+    assert(bySrc("src3") > 0L && bySrc("src3") < 30L)
+  }
 }
