@@ -63,4 +63,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q16_exact_dedup")
     assert(p.contains("HashAggregate(keys=[source"))
   }
+
+  test("q41 sessionize: both windows and the session agg share ONE data shuffle") {
+    val p = plan("q41_sessionize")
+    // exactly two exchanges: the user_id hash partitioning (reused by
+    // lag, running sum, AND the (user_id, _sess) aggregate — same-key
+    // co-location) and the final output sort
+    assert("Exchange".r.findAllIn(p).length == 2)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q44 decontamination: the training side never shuffle-joins — broadcast semi + flag only") {
+    val p = plan("q44_decontamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q45 stratified sample: scan-local keep decision — no joins, partial+final agg") {
+    val p = plan("q45_stratified_sample")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate(keys=[source"))
+  }
+
+  test("q43 top terms: skew-safe partial agg collapses hot terms map-side; top-k never global-sorts") {
+    val p = plan("q43_top_terms")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("HashAggregate(keys=[term"))
+  }
 }
