@@ -96,6 +96,10 @@ object SparkEntry {
     "q44_decontamination" -> ((s, dir) => Curation.decontaminationSummary(Corpus.table(s, dir, "documents"), 10L)),
     "q45_stratified_sample" -> ((s, dir) => Curation.stratifiedSampleSummary(
       Corpus.table(s, dir, "documents"), Map("src3" -> 50, "src7" -> 0), 10)),
+    // q46: sequence packing — fixed-token-budget training sequences per
+    // source stratum (chunk-boundary running-sum formulation)
+    "q46_pack_sequences" -> ((s, dir) => Curation.packSequences(
+      Corpus.table(s, dir, "documents"), 512L)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -251,5 +255,16 @@ object SparkEntry {
         |    (CASE WHEN source = 'src3' THEN 50 WHEN source = 'src7' THEN 0 ELSE 10 END)
         |  THEN 1 ELSE 0 END)::BIGINT AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    // integer division on the pre-doc cumulative token count — the
+    // chunk-boundary packing assignment, identical on both engines
+    "q46_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, ((cum - toks) // 512)::BIGINT AS seq,
+        |  count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens
+        |FROM c GROUP BY source, seq ORDER BY source, seq""".stripMargin.replace("\n", " "),
   )
 }

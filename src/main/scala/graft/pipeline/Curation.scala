@@ -55,6 +55,35 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences. The chunk-boundary formulation (cumulative token count
+    * div budget, so a document may straddle two sequences — exactly
+    * what production packers do, splitting at the boundary) keeps the
+    * assignment a pure window expression: one running sum per stratum,
+    * no stateful reset recursion. Ordering is (doc_id) within each
+    * source stratum, so packing is deterministic and strata pack
+    * independently — the window shuffles once on source, and at 100 TB
+    * each stratum's running sum is per-partition after that shuffle;
+    * for giant strata, sub-stratify the partition key (e.g.
+    * (source, doc_id div 10^6)) to bound any single partition's sort.
+    * Returns per-sequence stats: docs packed and token payload. */
+  def packSequences(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("_cum", sum(col("toks")).over(w))
+      // the sequence a doc STARTS in: tokens before it, div budget —
+      // INTEGRAL div (a double divide would lose exactness past 2^53
+      // cumulative tokens, silent at exactly the scale that matters)
+      .withColumn("seq", expr(s"(_cum - toks) div ${budgetTokens}L"))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("source", "seq")
+  }
+
   /** Deterministic stratified sampling summary: keep a document iff
     * hash64(doc_id) mod 100 falls under its source's percentage (rates
     * override `defaultPct` per source). Reports kept/total per source.

@@ -313,6 +313,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(("a", 2L, 2L), ("b", 2L, 0L)))
   }
 
+  test("sequence packing: token totals preserved, seq ids contiguous per stratum") {
+    val out = Curation.packSequences(docs, 512L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalPacked = out.map(_._4).sum
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(totalPacked == totalTokens) // nothing dropped, nothing doubled
+    out.groupBy(_._1).foreach { case (_, seqs) =>
+      val ids = seqs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length)) // contiguous from 0
+      assert(seqs.forall(_._3 >= 1))
+    }
+  }
+
   test("stratified sampling is deterministic, keyed, and respects a 0% stratum") {
     val s = spark
     import s.implicits._
