@@ -100,6 +100,11 @@ object SparkEntry {
     // source stratum (chunk-boundary running-sum formulation)
     "q46_pack_sequences" -> ((s, dir) => Curation.packSequences(
       Corpus.table(s, dir, "documents"), 512L)),
+    // q47: semi-structured JSON field extraction + typed aggregation
+    "q47_json_props" -> ((s, dir) => RelationalOps.eventsJsonProps(s, dir)),
+    // q48: Gopher-style repetition quality signals per source
+    "q48_repetition" -> ((s, dir) => TextStats.repetitionSignals(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -266,5 +271,30 @@ object SparkEntry {
         |SELECT source, ((cum - toks) // 512)::BIGINT AS seq,
         |  count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens
         |FROM c GROUP BY source, seq ORDER BY source, seq""".stripMargin.replace("\n", " "),
+    // JSON path extraction: props->>'k' == Spark get_json_object($.k);
+    // sum_k stays integral (exact), only avg(value) needs the round
+    "q47_json_props" ->
+      """SELECT event_type, (cast(props->>'k' AS BIGINT) // 10)::BIGINT AS k_decile,
+        | count(*) AS n, sum(cast(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+        | round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY event_type, k_decile
+        |ORDER BY event_type, k_decile""".stripMargin.replace("\n", " "),
+    // repetition signals: integer numerator/denominator sums, ONE final
+    // divide — cross-row double summation is order-dependent, int sums
+    // are exact on both engines
+    "q48_repetition" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, source, len(t)::BIGINT AS n,
+        |  (len(t) - len(list_distinct(t)))::BIGINT AS dups FROM tk),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |  i -> t[i] || ' ' || t[i+1])) AS bg FROM tk WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM u GROUP BY doc_id, bg),
+        |m AS (SELECT doc_id, max(c) AS maxc FROM c GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  round(sum(d.dups)::DOUBLE / sum(d.n), 6) AS dup_token_frac,
+        |  round(sum(coalesce(m.maxc, 0))::DOUBLE / sum(greatest(d.n - 1, 1)), 6)
+        |    AS top_bigram_frac
+        |FROM d LEFT JOIN m USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", " "),
   )
 }

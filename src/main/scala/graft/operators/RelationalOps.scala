@@ -144,6 +144,25 @@ object RelationalOps {
                        gapMinutes: Int = 30): DataFrame =
     sessionizeBatch(Corpus.table(spark, sfDir, "events"), gapMinutes)
 
+  /** Q47 — semi-structured extraction: pull a typed field out of the
+    * `props` JSON column and aggregate on it. `get_json_object` is a
+    * codegen'd path walk over the string — no UDF and no full
+    * `from_json` struct materialization for a single field, so the
+    * extraction stays inside the scan's whole-stage-codegen span and
+    * the shuffle carries only (event_type, decile) partials. sum_k is
+    * an exact integer aggregate; only avg(value) needs the cross-engine
+    * round. At 100 TB the same plan holds: extraction is scan-local
+    * CPU, the aggregate keys stay low-cardinality. */
+  def eventsJsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("event_type", "k_decile")
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")

@@ -121,6 +121,45 @@ object TextStats {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Per-source repetition signals (the Gopher-style repetition
+    * filters): duplicate-token fraction and top-bigram fraction,
+    * aggregated as INTEGER numerator/denominator sums with a single
+    * final divide — cross-row float summation is order-dependent
+    * between engines, integer sums are exact, so parity holds at any
+    * scale. Dataflow: per-doc token stats are scan-local; the bigram
+    * mode needs one (doc, bigram) hash agg (map-side partials collapse
+    * repeated bigrams — the repetitive docs this filter hunts are
+    * exactly the ones that compress hardest) folded per doc, then per
+    * source. Bigram total per doc is size-1, not a second aggregate.
+    * Size guard: Spark's sequence(0, -1) runs BACKWARD (SCALE.md), so
+    * sub-2-token docs get an explicit empty array; explode_outer keeps
+    * them in the per-doc frame (zero repetition, not dropped). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        size(col("t")).cast("long").as("n_toks"),
+        (size(col("t")) - size(array_distinct(col("t")))).cast("long").as("n_dup"))
+    val bigrams = when(size(col("t")) >= 2,
+      expr("transform(sequence(0, size(t)-2), " +
+        "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = base
+      .select(col("doc_id"), col("source"), col("n_toks"), col("n_dup"),
+        explode_outer(bigrams).as("bg"))
+      .groupBy(col("source"), col("doc_id"), col("n_toks"), col("n_dup"), col("bg"))
+      .agg(count(col("bg")).as("c"))
+      .groupBy(col("source"), col("doc_id"), col("n_toks"), col("n_dup"))
+      .agg(max(col("c")).as("max_bg"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_dup")).cast("double") / sum(col("n_toks")), 6)
+          .as("dup_token_frac"),
+        round(sum(col("max_bg")).cast("double") /
+          sum(greatest(col("n_toks") - 1, lit(1L))), 6).as("top_bigram_frac"))
+      .orderBy("source")
+  }
+
   /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
   def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
     docs.where(col("doc_id") < maxId)

@@ -327,6 +327,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: hand-checked fractions, sub-2-token docs kept") {
+    val s = spark
+    import s.implicits._
+    // "a a a b": 4 toks, 2 distinct -> dup 2/4; bigrams (a a, a a, a b)
+    // -> top 2 of 3. "x": 1 tok, no bigrams -> 0/1 dup, 0/1 top (the
+    // greatest(n-1,1) floor keeps the denominator sane).
+    val df = Seq((0L, "s1", "a a a b"), (1L, "s2", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = TextStats.repetitionSignals(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("s1", 1L, 0.5, 0.666667), ("s2", 1L, 0.0, 0.0)))
+  }
+
   test("stratified sampling is deterministic, keyed, and respects a 0% stratum") {
     val s = spark
     import s.implicits._

@@ -93,4 +93,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("HashAggregate(keys=[term"))
   }
+
+  test("q47 json props: extraction is scan-local (codegen'd path walk), no joins, partial+final agg") {
+    val p = plan("q47_json_props")
+    assert(p.contains("get_json_object"))
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q48 repetition: hash aggregates all the way down — no sort-agg, no joins") {
+    val p = plan("q48_repetition")
+    assert(!p.contains("Join"))
+    assert(!p.contains("SortAggregate"))
+    assert(p.contains("HashAggregate"))
+  }
 }
