@@ -105,6 +105,11 @@ object SparkEntry {
     // q48: Gopher-style repetition quality signals per source
     "q48_repetition" -> ((s, dir) => TextStats.repetitionSignals(
       Corpus.table(s, dir, "documents"))),
+    // q49: source-pair shingle-overlap (containment audit before blending)
+    "q49_source_overlap" -> ((s, dir) => Curation.sourceShingleOverlap(
+      Corpus.table(s, dir, "documents"))),
+    // q50: daily totals + 7-day moving average per event type
+    "q50_moving_avg" -> ((s, dir) => RelationalOps.eventsMovingAvg(s, dir)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -296,5 +301,27 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM d LEFT JOIN m USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", " "),
+    // same 60-bit shingle hash (seed 'ov') both sides; int counts + one
+    // divide → exact parity
+    "q49_source_overlap" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source, ('0x'||substr(sha256(
+        |    array_to_string(t[i:i+2], ' ')||'#ov'),1,15))::BIGINT AS g
+        |  FROM tk, unnest(range(1, len(t)-1)) AS r(i)),
+        |s AS (SELECT DISTINCT source, g FROM sh),
+        |sz AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |  FROM s a JOIN s b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared::BIGINT AS shared,
+        |  round(shared::DOUBLE / (x.n + y.n - shared), 6) AS jaccard
+        |FROM p JOIN sz x ON source_a = x.source JOIN sz y ON source_b = y.source
+        |ORDER BY source_a, source_b""".stripMargin.replace("\n", " "),
+    "q50_moving_avg" ->
+      """WITH d AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  sum(value) AS v, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, round(v, 6) AS day_total,
+        |  round(avg(v) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM d ORDER BY event_type, day""".stripMargin.replace("\n", " "),
   )
 }

@@ -163,6 +163,28 @@ object RelationalOps {
         round(avg(col("value")), 6).as("avg_value"))
       .orderBy("event_type", "k_decile")
 
+  /** Q50 — time-series smoothing: daily totals with a 7-day moving
+    * average per event type. The heavy reduction is the partial+final
+    * daily aggregate (shuffle carries (type, day) partials only); the
+    * moving-average window then runs over the AGGREGATED frame — at
+    * most years×365 rows per event type — partitioned by event_type, so
+    * no global single-partition window ever sees raw events. Day is
+    * rendered as a yyyy-MM-dd string (lexicographic == chronological)
+    * so both engines group and hash identically. */
+  def eventsMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Corpus.table(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("value")).as("_v"), count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+        round(col("_v"), 6).as("day_total"),
+        round(avg(col("_v")).over(w), 6).as("ma7"))
+      .orderBy("event_type", "day")
+  }
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")

@@ -84,6 +84,40 @@ object Curation {
       .orderBy("source", "seq")
   }
 
+  /** Source-pair content-overlap matrix: for every pair of sources, the
+    * count of shared distinct 3-token shingles and the shingle Jaccard —
+    * the corpus-level containment audit run before mixing sources into
+    * a training blend (high overlap = one source largely contains the
+    * other; its weight should be cut, or the pair deduped jointly).
+    *
+    * Dataflow: one shingle-hash pass, distinct (source, hash), then a
+    * self-equi-join ON THE HASH — rows are (source, 8-byte hash) pairs,
+    * never text, and the per-source size table (|sources| rows) rides a
+    * broadcast. Integer counts + one final divide = exact parity.
+    * At 100 TB the vocabulary table dwarfs memory but not the shuffle:
+    * both join sides are the same deduped (source, hash) relation; for
+    * a cheaper audit, pre-filter `hash % m = 0` — uniform shingle
+    * sampling that estimates the same Jaccard at 1/m the cost. */
+  def sourceShingleOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("source"),
+        explode(shingleHashes(col("text"), k, "ov")).as("g"))
+      .distinct()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sz.as("x")), col("source_a") === col("x.source"))
+      .join(broadcast(sz.as("y")), col("source_b") === col("y.source"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("x.n") + col("y.n") - col("shared")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Deterministic stratified sampling summary: keep a document iff
     * hash64(doc_id) mod 100 falls under its source's percentage (rates
     * override `defaultPct` per source). Reports kept/total per source.

@@ -107,4 +107,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("q49 source overlap: hash equi-join on 8-byte shingle keys; size table broadcasts") {
+    val p = plan("q49_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin")) // the tiny per-source size table
+  }
+
+  test("q50 moving avg: window runs over the aggregated daily frame, not raw events") {
+    val p = plan("q50_moving_avg")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate")) // daily partial+final BEFORE the window
+    assert(p.contains("Window"))
+  }
 }
