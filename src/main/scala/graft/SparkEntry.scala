@@ -110,6 +110,13 @@ object SparkEntry {
       Corpus.table(s, dir, "documents"))),
     // q50: daily totals + 7-day moving average per event type
     "q50_moving_avg" -> ((s, dir) => RelationalOps.eventsMovingAvg(s, dir)),
+    // q51: argMax — top event per user via one struct-max aggregate
+    "q51_arg_max" -> ((s, dir) => RelationalOps.topEventPerUser(s, dir)),
+    // q52: windowFunnel — view→click→purchase depth within 7 days
+    "q52_funnel" -> ((s, dir) => RelationalOps.windowFunnel(s, dir, 7)),
+    // q53: embedding norm profile per label (order-independent aggs)
+    "q53_norm_profile" -> ((s, dir) => Similarity.normProfile(
+      Corpus.table(s, dir, "embeddings"))),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -323,5 +330,43 @@ object SparkEntry {
         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
         |FROM d ORDER BY event_type, day""".stripMargin.replace("\n", " "),
+    // argMax oracle spelled as row_number (DuckDB arg_max takes no
+    // struct tie-breaker); same (value, event_id) total order
+    "q51_arg_max" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events FROM events)
+        |SELECT user_id, event_type AS top_type, round(value, 6) AS top_value,
+        |  event_id AS top_event_id, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "),
+    // funnel oracle spelled as the three-way self-join (stepwise mins);
+    // the Spark side computes the identical math in one sorted fold
+    "q52_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  count(*)::BIGINT AS n_users
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |GROUP BY depth ORDER BY depth""".stripMargin.replace("\n", " "),
+    // same sequential square-sum fold as the q22 norm (bit-equal);
+    // min/max/quantile_cont are all order-independent
+    "q53_norm_profile" ->
+      """WITH n AS (SELECT label, sqrt(list_reduce(list_transform(embedding,
+        |  v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)) AS norm FROM embeddings)
+        |SELECT label, count(*) AS n, round(min(norm), 6) AS min_norm,
+        |  round(max(norm), 6) AS max_norm,
+        |  round(quantile_cont(norm, 0.5), 6) AS p50_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
   )
 }

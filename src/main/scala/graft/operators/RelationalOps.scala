@@ -185,6 +185,68 @@ object RelationalOps {
       .orderBy("event_type", "day")
   }
 
+  /** Q51 — argMax: the per-user top event as ONE struct-max hash
+    * aggregate (partial+final, map-side combine), the ClickHouse
+    * argMax(arg, val) shape. The struct orders (value, event_id, type)
+    * so ties on value break on event_id — a total order, deterministic
+    * on both engines. A window row_number() computes the same answer
+    * but sorts every partition; the struct max never sorts anything. */
+  def topEventPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("value"), col("event_id"), col("event_type"))).as("s"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.event_type").as("top_type"),
+        round(col("s.value"), 6).as("top_value"),
+        col("s.event_id").as("top_event_id"), col("n_events"))
+      .orderBy("user_id")
+
+  /** Q52 — conversion funnel (the windowFunnel analytic): per user,
+    * the deepest view→click→purchase chain with strictly increasing
+    * timestamps where every step lands within `windowDays` of the
+    * first view; output is users-per-depth. Single pass: ONE shuffle
+    * groups each user's (ts, type) events, a sorted in-row fold walks
+    * them once — the equivalent three-way self-join formulation (the
+    * oracle's spelling) shuffles the fact table three times. Per-user
+    * fold state is three timestamps; the collected array is bounded by
+    * per-user activity — the same bound any funnel engine carries, and
+    * the standard salt-or-split escape applies to pathological users.
+    * At 100 TB, pre-filter to the step types (and right-join the user
+    * universe back) so signup/error traffic never enters the shuffle. */
+  def windowFunnel(spark: SparkSession, sfDir: String,
+                   windowDays: Int): DataFrame =
+    windowFunnelBatch(Corpus.table(spark, sfDir, "events"), windowDays)
+
+  def windowFunnelBatch(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val fold = s"""
+      aggregate(es,
+        named_struct('t1', CAST(NULL AS TIMESTAMP),
+                     't2', CAST(NULL AS TIMESTAMP),
+                     't3', CAST(NULL AS TIMESTAMP)),
+        (acc, e) -> named_struct(
+          't1', CASE WHEN acc.t1 IS NULL AND e.tp = 'view'
+                     THEN e.ts ELSE acc.t1 END,
+          't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                       AND e.tp = 'click' AND e.ts > acc.t1
+                       AND e.ts <= acc.t1 + INTERVAL $windowDays DAYS
+                     THEN e.ts ELSE acc.t2 END,
+          't3', CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL
+                       AND e.tp = 'purchase' AND e.ts > acc.t2
+                       AND e.ts <= acc.t1 + INTERVAL $windowDays DAYS
+                     THEN e.ts ELSE acc.t3 END))"""
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_type").as("tp")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .withColumn("st", expr(fold))
+      .select(when(col("st.t3").isNotNull, 3)
+        .when(col("st.t2").isNotNull, 2)
+        .when(col("st.t1").isNotNull, 1).otherwise(0).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")

@@ -227,4 +227,21 @@ object Similarity {
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Embedding-norm profile per label: count, min/max and exact median
+    * of the L2 norm — the sanity report run before any cosine tier
+    * (un-normalized or zero vectors surface here first). Per-row norms
+    * use the native sequential dot kernel (bit-equal to the oracle's
+    * list_reduce fold); every aggregate is ORDER-INDEPENDENT (min, max,
+    * sort-based percentile), so the gate hash is exact with no
+    * cross-row float summation anywhere. Scan-local until the final
+    * per-label reduce. */
+  def normProfile(embeddings: DataFrame): DataFrame =
+    withVectorCols(embeddings, 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(percentile(col("norm"), lit(0.5)), 6).as("p50_norm"))
+      .orderBy("label")
 }

@@ -121,4 +121,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate")) // daily partial+final BEFORE the window
     assert(p.contains("Window"))
   }
+
+  test("q51 argMax: one struct-max hash aggregate — no window, no sort before the agg") {
+    val p = plan("q51_arg_max")
+    assert(!p.contains("Window"))
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate(keys=[user_id"))
+  }
+
+  test("q52 funnel: single shuffle on user_id — no self-joins of the fact table") {
+    val p = plan("q52_funnel")
+    assert(!p.contains("Join"))
+    // exactly two exchanges: the user_id grouping + the tiny depth agg
+    assert("Exchange".r.findAllIn(p).length <= 3)
+  }
 }
