@@ -75,9 +75,19 @@ object SparkEntry {
     // building this entry trains the index (Spark jobs run at fn-call
     // time, not first action) — index build is part of the operator.
     "q38_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 8, 2)),
+    // q38b: the IVF tier's HARD correctness gate — probing ALL cells is
+    // exactly brute force regardless of what the k-means training
+    // learned, so nProbe == nClusters must hash-match the q22 exact
+    // oracle. q38 keeps the recall dial (nProbe=2) as rows-only.
+    "q38b_ivf_exact" -> ((s, dir) => Similarity.ivfTopK(Corpus.table(s, dir, "embeddings"), 0L, 10, 8, 8)),
     // HLL sketch values are engine-specific — rows-only check; the
-    // error bound vs exact is pinned in PipelineSpec.
+    // error bound vs exact is pinned in PipelineSpec AND hash-gated via
+    // the q39b guard below.
     "q39_dedup_approx" -> ((s, dir) => Dedup.dedupSummaryApprox(Corpus.table(s, dir, "documents"))),
+    // q39b: oracle-checkable HLL guard — exact per-source counts plus a
+    // boolean pinning the sketch estimate within its error bound; the
+    // oracle expects TRUE, so a drifting sketch hash-mismatches.
+    "q39b_dedup_approx_guard" -> ((s, dir) => Dedup.dedupApproxGuard(Corpus.table(s, dir, "documents"))),
     "q34_events_monthly" -> ((s, dir) => RelationalOps.eventsMonthly(s, dir)),
     "q40_asof_join" -> ((s, dir) => RelationalOps.purchaseAsofClick(s, dir)),
     // --- wider relational closure: window / rollup / big-join paths ---
@@ -187,6 +197,11 @@ object SparkEntry {
     "q27_fingerprints" -> PO.fingerprints(50L),
     "q28_multimodal_meta" -> PO.multimodalMeta,
     "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
+    // all-probes IVF == brute force: the q22 exact-top-k oracle verbatim
+    "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
+    // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
+    "q39b_dedup_approx_guard" ->
+      "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",
     "q33_simhash_near_dups" -> PO.simhashNearDups(3),
     "q36_dedup_clusters" -> PO.dedupClusters(0.8),
     "q37_cluster_dedup_kept" -> PO.clusterDedupKept(0.8),

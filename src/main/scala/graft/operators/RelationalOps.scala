@@ -158,7 +158,13 @@ object RelationalOps {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         col("value"))
-      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      // FLOOR division, spelled integrally: Spark's `div` truncates
+      // toward zero while the DuckDB oracle's `//` floors — they diverge
+      // on negative k. (k - pmod(k,10)) is the largest multiple of 10
+      // ≤ k, so the div is exact floor semantics at any magnitude (a
+      // double floor(k/10) would lose exactness past 2^53).
+      .groupBy(col("event_type"),
+        expr("(k - pmod(k, 10)) div 10").as("k_decile"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         round(avg(col("value")), 6).as("avg_value"))
       .orderBy("event_type", "k_decile")
@@ -185,12 +191,17 @@ object RelationalOps {
       .orderBy("event_type", "day")
   }
 
-  /** Q51 — argMax: the per-user top event as ONE struct-max hash
-    * aggregate (partial+final, map-side combine), the ClickHouse
-    * argMax(arg, val) shape. The struct orders (value, event_id, type)
-    * so ties on value break on event_id — a total order, deterministic
-    * on both engines. A window row_number() computes the same answer
-    * but sorts every partition; the struct max never sorts anything. */
+  /** Q51 — argMax: the per-user top event as ONE struct-max aggregate,
+    * the ClickHouse argMax(arg, val) shape. The struct orders (value,
+    * event_id, type) so ties on value break on event_id — a total
+    * order, deterministic on both engines. Spark plans a struct-typed
+    * max as SortAggregate (struct agg buffers are not hash-aggregable),
+    * so each side of the shuffle sorts its rows by user_id first — but
+    * the aggregate is still partial+final with map-side combine: the
+    * shuffle carries ONE partial row per (input partition, user), not
+    * raw events. That shuffle bound — not the per-partition sort — is
+    * what separates this from the window row_number() form, which must
+    * shuffle every raw event to its user's partition before ranking. */
   def topEventPerUser(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.table(spark, sfDir, "events")
       .groupBy(col("user_id"))

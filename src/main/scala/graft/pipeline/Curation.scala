@@ -10,12 +10,12 @@ import TextFunctions._
   * stratified sampling.
   *
   * 100 TB design stance:
-  *  - Decontamination is an equi-join on hashed shingles — the eval
-  *    side (benchmarks) is small by nature, so it broadcasts and the
-  *    100 TB training side streams through without a shuffle. The
-  *    shuffle-free property survives any training-corpus scale; only
-  *    an enormous eval set would demand the shuffle-join fallback
-  *    (drop the hint, AQE picks it).
+  *  - Decontamination is an equi-join on hashed shingles — a true
+  *    benchmark eval side is small, AQE broadcasts it from its runtime
+  *    size, and the 100 TB training side streams through without a
+  *    shuffle; an eval side too big to broadcast degrades to a shuffle
+  *    join with identical semantics. Strategy is left to the optimizer
+  *    rather than hinted (see decontaminationSummary).
   *  - Sampling is scan-local: a deterministic content-independent hash
   *    on the stable key, compared against a per-stratum rate. No
   *    shuffle, no RNG state, reproducible across reruns/retries —
@@ -29,11 +29,19 @@ object Curation {
     *
     * Dataflow: one shingle-hash pass over the corpus (the summary
     * branch prunes the hash column away, so hashing is NOT recomputed
-    * there), distinct eval shingles broadcast, train shingles
-    * left-semi-joined against them, hits folded back as a broadcast
-    * flag join. Shingles travel as 60-bit hashes (hash64 seed "dc"),
-    * never strings — the oracle mirrors the same hash, so parity is
-    * exact including any collision. */
+    * there), distinct eval shingles semi-joined against train shingles,
+    * hits folded back as a flag join. Shingles travel as 60-bit hashes
+    * (hash64 seed "dc"), never strings — the oracle mirrors the same
+    * hash, so parity is exact including any collision.
+    *
+    * Join strategy is deliberately LEFT TO THE OPTIMIZER: a true
+    * benchmark eval set is tiny and Catalyst/AQE broadcasts it from its
+    * runtime size — but this entry's modulo STAND-IN eval split is ~10%
+    * of the corpus's distinct shingles, and a forced broadcast hint
+    * would ship that set to every executor at any corpus scale (at the
+    * 100 TB framing, far past any broadcast budget). AQE picks
+    * broadcast when the eval side is genuinely small and a shuffle
+    * join when it isn't — both with identical semantics. */
   def decontaminationSummary(docs: DataFrame, evalMod: Long,
                              k: Int = 3): DataFrame = {
     val withSh = graft.sources.Corpus.fanOutSmallScan(docs)
@@ -44,11 +52,10 @@ object Curation {
     val train = withSh.where(col("doc_id") % evalMod =!= 0)
     val contamIds = train
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .join(evalGrams, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     train
-      .join(broadcast(contamIds.withColumn("_hit", lit(1))),
-        Seq("doc_id"), "left")
+      .join(contamIds.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train"),
         sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_contaminated"))

@@ -40,20 +40,46 @@ object Corpus {
     * has more splits than the cluster has cores and the repartition
     * (and its shuffle) vanishes.
     *
-    * The probe is `inputFiles` — file-listing metadata the scan relation
-    * already holds — NOT `df.rdd.getNumPartitions`, which would force
-    * full physical planning + RDD conversion on the driver at
-    * plan-construction time for every operator invocation (and decide
-    * pre-AQE). Files here are small (≤ one 128 MB split each), so
-    * file count lower-bounds split count; at scale file count exceeds
-    * core count long before per-file splitting matters. A frame with no
-    * file lineage (in-memory test data) reports no files and is left
-    * alone — local relations already carry defaultParallelism
-    * partitions. */
+    * The probe replicates Spark's own FilePartition packing arithmetic
+    * over `inputFiles` + file sizes (listing metadata the scan relation
+    * already holds; sizes are one FileSystem.getFileStatus each) — NOT
+    * `df.rdd.getNumPartitions`, which would force full physical
+    * planning + RDD conversion on the driver at plan-construction time
+    * for every operator invocation (and decide pre-AQE), and NOT bare
+    * file count, which is wrong in both directions: one large file
+    * SPLITS into many partitions (a count-only probe would insert a
+    * redundant full-corpus shuffle), and many tiny files BIN-PACK into
+    * few partitions (a count-only probe would skip the fan-out exactly
+    * when it's needed). Estimated packed partitions =
+    * ceil(Σ(size+openCost) / maxSplitBytes) with maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, Σ/parallelism)) — the formula
+    * in Spark's FilePartition.maxSplitBytes. Past `StatFileBound` files
+    * the probe skips stat-ing and leaves the frame alone: that many
+    * files either pack to ≥cores partitions or the corpus is so small
+    * the fan-out wouldn't matter. A frame with no file lineage
+    * (in-memory test data) reports no files and is left alone — local
+    * relations already carry defaultParallelism partitions. */
+  private val StatFileBound = 4096
+
   def fanOutSmallScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= StatFileBound) return df
+    def bytesConf(key: String, default: Long): Long =
+      spark.conf.getOption(key)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(default)
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+    val maxPart = bytesConf("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalPadded = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen + openCost
+    }.sum
+    val maxSplit = math.min(maxPart, math.max(openCost, totalPadded / math.max(1, target)))
+    val estPartitions = math.ceil(totalPadded.toDouble / maxSplit).toLong
+    if (estPartitions < target) df.repartition(target) else df
   }
 
   /** Register all corpus tables as temp views for spark.sql use. */

@@ -219,6 +219,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(bits == bits.sorted)
   }
 
+  test("PROPERTY: sizedNBits bounds expected bucket population ≤ target from 10^3 to 10^12 vectors") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // the scale dial itself, not just its documentation: for ANY corpus
+    // size (exponentially distributed so every magnitude is exercised)
+    // and any sane per-bucket target, the expected population
+    // n / 2^nBits never exceeds the target, and nBits stays a usable
+    // sign-prefix width (≥1, ≤62)
+    val magnitude = Gen.choose(3.0, 12.0).map(e => math.pow(10.0, e).toLong)
+    val prop = Prop.forAll(magnitude,
+      Gen.oneOf(100L, 1000L, 10000L, 100000L)) { (n, target) =>
+      val bits = Similarity.sizedNBits(n, target)
+      bits >= 1 && bits <= 62 &&
+        n.toDouble / math.pow(2.0, bits) <= target.toDouble
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cosine top-k: exact scan dominates bucket-restricted recall") {
     val exact = Similarity.cosineTopK(embs, 0L, 10).collect()
     assert(exact.length == 10)

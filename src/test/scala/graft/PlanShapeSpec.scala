@@ -122,11 +122,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
-  test("q51 argMax: one struct-max hash aggregate — no window, no sort before the agg") {
+  test("q51 argMax: one partial+final struct-max aggregate — no window, no join, one data shuffle") {
     val p = plan("q51_arg_max")
     assert(!p.contains("Window"))
     assert(!p.contains("Join"))
-    assert(p.contains("HashAggregate(keys=[user_id"))
+    // Spark plans max(struct(...)) as SortAggregate (struct agg buffers
+    // are not hash-aggregable) — but it is STILL partial+final with
+    // map-side combine, so the shuffle carries one partial row per
+    // (partition, user), which is the property that matters at scale.
+    assert(p.contains("SortAggregate(key=[user_id"))
+    // two exchanges only: the user_id partial shuffle + the output sort
+    assert("Exchange".r.findAllIn(p).length == 2)
   }
 
   test("q52 funnel: single shuffle on user_id — no self-joins of the fact table") {
