@@ -127,7 +127,20 @@ object SparkEntry {
     // q53: embedding norm profile per label (order-independent aggs)
     "q53_norm_profile" -> ((s, dir) => Similarity.normProfile(
       Corpus.table(s, dir, "embeddings"))),
+    // q54: day-grained retention cohorts (first-active-day × offset)
+    "q54_retention" -> ((s, dir) => RelationalOps.retentionCohorts(s, dir)),
+    // q55: per-source TF-IDF head — source-characteristic vocabulary
+    "q55_tfidf_terms" -> ((s, dir) => TextStats.tfidfTopTerms(
+      Corpus.table(s, dir, "documents"), 5)),
+    // q56: lang × source crosstab via relational PIVOT (explicit values)
+    "q56_lang_source_pivot" -> ((s, dir) => TextStats.langSourceCrosstab(
+      Corpus.table(s, dir, "documents"), CrosstabSources)),
   )
+
+  /** The fixed source enum of the driver corpus (src0..src19 at every
+    * SF) — pivot columns are config-known, not discovered (see
+    * TextStats.langSourceCrosstab). */
+  private val CrosstabSources: Seq[String] = (0 until 20).map(i => s"src$i")
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Q1–Q11 are self-contained via VALUES CTEs
@@ -374,6 +387,40 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |GROUP BY depth ORDER BY depth""".stripMargin.replace("\n", " "),
+    // day-grained retention: distinct (user, day) then min-day cohort;
+    // date_diff('day') on day-truncated stamps == Spark datediff
+    "q54_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cd FROM ud GROUP BY user_id)
+        |SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cd, ud.d) AS day_offset,
+        |  count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // TF-IDF: integer tf/df, ONE ln() per term, rank on the ROUNDED
+    // score with term tie-break (rank insensitive to libm ulp)
+    "q55_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, term, count(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |tf AS (SELECT source, term, sum(c)::BIGINT AS tf FROM dt GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT tf.source, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n_total::DOUBLE / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY tfidf DESC, term) AS rn FROM s)
+        |SELECT source, term, tf, df, tfidf, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin.replace("\n", " "),
+    // pivot spelled as CASE-sums — same explicit column enum
+    "q56_lang_source_pivot" -> {
+      val cols = CrosstabSources.map(s =>
+        s"sum(CASE WHEN source = '$s' THEN 1 ELSE 0 END)::BIGINT AS $s")
+        .mkString(", ")
+      s"SELECT lang, $cols FROM documents GROUP BY lang ORDER BY lang"
+    },
     // same sequential square-sum fold as the q22 norm (bit-equal);
     // min/max/quantile_cont are all order-independent
     "q53_norm_profile" ->

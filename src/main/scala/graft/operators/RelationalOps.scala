@@ -258,6 +258,28 @@ object RelationalOps {
       .orderBy("depth")
   }
 
+  /** Q54 — retention cohorts (the ClickHouse retention() analytic,
+    * day-grained): users are cohorted by their FIRST active day; for
+    * each (cohort day, day offset) the output counts how many of that
+    * cohort were active offset days later. ONE data shuffle: per-user
+    * active-day sets are collected in a single user_id aggregate
+    * (bounded by the calendar — days per user, not events per user),
+    * the cohort day is array_min of the set (no second window or
+    * self-join), and the final (cohort, offset) aggregate is
+    * calendar²-sized. At 100 TB the same plan holds: the only
+    * event-volume shuffle carries (user_id, day) partials collapsed
+    * map-side by the partial collect_set. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.table(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .groupBy(col("user_id")).agg(collect_set(col("d")).as("ds"))
+      .select(col("user_id"), array_min(col("ds")).as("cd"),
+        explode(col("ds")).as("d"))
+      .groupBy(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cd")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")

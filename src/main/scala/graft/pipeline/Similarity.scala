@@ -146,6 +146,18 @@ object Similarity {
     * point lookup and the centroid ranking is over nClusters rows —
     * both driver-side by design. Not SQL-expressible (k-means), so the
     * gate records a rows-only check. */
+  /** The trained IVF index — k-means model — memoized once per
+    * (corpus, nClusters, seed) per session, the same
+    * build-the-index-once pattern as Dedup.verifiedPairIndex: every
+    * probe configuration (any nProbe, any query) shares one training
+    * run, exactly as a production IVF index is trained once and probed
+    * many times. Keyed on the corpus frame's semantic plan hash + file
+    * lineage. At 100 TB: train on a sample and persist the model +
+    * `partitionBy(cell)` assignments; this cache is the in-session
+    * stand-in for that persisted artifact. */
+  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -160,13 +172,17 @@ object Similarity {
     // Lloyd from a seeded random start is the right training cost.
     // Features are cached across the Lloyd passes and released right
     // after: fit() is the only multi-pass consumer.
-    feat.cache()
-    val model = try {
-      new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(feat)
-    } finally feat.unpersist(false)
+    val model = ivfIndex.computeIfAbsent(
+      (embeddings.semanticHash(), embeddings.inputFiles.toSeq.hashCode,
+        nClusters, seed),
+      _ => {
+        feat.cache()
+        try new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+          .setInitMode("random")
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(feat)
+        finally feat.unpersist(false)
+      })
     val assigned = model.transform(feat).drop("features")
 
     val v = withVectorCols(assigned, 0)

@@ -121,6 +121,68 @@ object TextStats {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Per-source TF-IDF head: the k most source-characteristic terms —
+    * the distinctive-vocabulary report a corpus-mixing decision reads
+    * (q43's global head answers "what is common"; this answers "what is
+    * DIFFERENT about src7"). tfidf = tf × ln(N/df) with tf counted per
+    * (source, term) and df per term over the whole corpus.
+    *
+    * ONE tokenization pass feeds both statistics, with no self-join:
+    * because every document belongs to exactly one source, the
+    * (doc, term) pairs partition by source, so global df(term) is the
+    * SUM of per-(source, term) distinct-doc counts — computed as a
+    * window sum over the term partition of the one aggregate both
+    * numbers grow from (a join-free decomposition; the naive
+    * tf ⋈ df formulation optimizes its two branches apart and scans
+    * the corpus twice). df is never a countDistinct expand: the
+    * doc-level aggregate's rows ARE the distinct (doc, term) pairs.
+    * Ranking happens on the ROUNDED score in BOTH engines with the
+    * term as total tie-break, so the rank is insensitive to sub-ulp
+    * libm differences in ln(). At 100 TB: the corpus shuffles once as
+    * (doc, term) partials collapsed map-side; everything after is
+    * vocabulary-sized (the df window and the per-source top-k shuffle
+    * scored terms, not documents). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val st = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("term"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("sdf"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val scored = st
+      .withColumn("df", sum(col("sdf")).over(W.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 6))
+    val w = W.partitionBy(col("source")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
+  /** Lang × source crosstab via relational PIVOT — the corpus
+    * composition matrix read before choosing mixture weights. Pivot
+    * values are EXPLICIT (the fixed source list): Spark requires them
+    * for a deterministic schema without an extra distinct pass, and at
+    * 100 TB "discover the columns" is a full scan a curation config
+    * should not pay — sources are a config-known enum. The plan is one
+    * hash aggregate over (lang, source) partials expanded to columns;
+    * absent combinations surface as 0, matching the oracle's
+    * CASE-sum spelling. */
+  def langSourceCrosstab(docs: DataFrame, sources: Seq[String]): DataFrame =
+    docs.groupBy(col("lang"))
+      .pivot("source", sources)
+      .agg(count(lit(1)))
+      .select(col("lang") +:
+        sources.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy("lang")
+
   /** Per-source repetition signals (the Gopher-style repetition
     * filters): duplicate-token fraction and top-bigram fraction,
     * aggregated as INTEGER numerator/denominator sums with a single

@@ -135,6 +135,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 2)
   }
 
+  test("q54 retention: one event-volume shuffle (user_id collect_set) — no joins, no windows") {
+    val p = plan("q54_retention")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    // collect_set is an ObjectHashAggregate, partial+final (map-side
+    // combine of per-user day sets before the only data shuffle)
+    assert(p.contains("ObjectHashAggregate"))
+    // exactly three exchanges: user_id shuffle, (cohort, offset) agg,
+    // output sort — none of them carry raw events
+    assert("Exchange".r.findAllIn(p).length == 3)
+  }
+
+  test("q55 tfidf: ONE corpus scan (join-free df decomposition) + rank-limit pushdown") {
+    val p = plan("q55_tfidf_terms")
+    // two parquet scans total: the corpus and the 1-row n_total count —
+    // the naive tf⋈df formulation scans+tokenizes the corpus twice
+    assert("Scan parquet".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+    // per-source top-k is rank-limit-pushed (partial WindowGroupLimit
+    // before the source exchange), never a global sort of the vocab
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q56 pivot: one hash aggregate on lang — no joins, no expand per source") {
+    val p = plan("q56_lang_source_pivot")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate(keys=[lang"))
+  }
+
   test("q52 funnel: single shuffle on user_id — no self-joins of the fact table") {
     val p = plan("q52_funnel")
     assert(!p.contains("Join"))
