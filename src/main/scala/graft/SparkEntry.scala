@@ -135,6 +135,12 @@ object SparkEntry {
     // q56: lang × source crosstab via relational PIVOT (explicit values)
     "q56_lang_source_pivot" -> ((s, dir) => TextStats.langSourceCrosstab(
       Corpus.table(s, dir, "documents"), CrosstabSources)),
+    // q57: unigram-model quality profile (exact-arithmetic LM filter)
+    "q57_unigram_quality" -> ((s, dir) => TextStats.unigramQuality(
+      Corpus.table(s, dir, "documents"))),
+    // q58: embedding cluster dedup — cosine pairs → CC → keep-one
+    "q58_embedding_dedup" -> ((s, dir) => Similarity.dedupEmbeddingsByClusters(
+      Corpus.table(s, dir, "embeddings"), 0.4, 4)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -414,6 +420,24 @@ object SparkEntry {
         |  ORDER BY tfidf DESC, term) AS rn FROM s)
         |SELECT source, term, tf, df, tfidf, rn FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin.replace("\n", " "),
+    // unigram quality: integer counts/comparisons, sort-based medians,
+    // one final divide — exact parity by construction
+    "q57_unigram_quality" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, term, count(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |v AS (SELECT term, sum(c)::BIGINT AS cnt FROM dt GROUP BY 1),
+        |j AS (SELECT dt.doc_id, dt.source, dt.c, v.cnt FROM dt JOIN v USING (term)),
+        |d AS (SELECT doc_id, source, sum(c)::BIGINT AS n_toks,
+        |  sum(CASE WHEN cnt < 5 THEN c ELSE 0 END)::BIGINT AS n_rare,
+        |  quantile_cont(cnt, 0.5) AS med_freq FROM j GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(n_rare)::DOUBLE / sum(n_toks), 6) AS rare_token_rate,
+        |  round(quantile_cont(med_freq, 0.5), 6) AS p50_med_freq
+        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    // embedding cluster dedup: recursive min-label CTE over cosine pairs
+    "q58_embedding_dedup" -> PO.embeddingClusterKept(0.4, 4),
     // pivot spelled as CASE-sums — same explicit column enum
     "q56_lang_source_pivot" -> {
       val cols = CrosstabSources.map(s =>

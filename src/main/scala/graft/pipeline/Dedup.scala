@@ -297,10 +297,24 @@ object Dedup {
     * finite maxIter only to bound rounds explicitly, accepting
     * possibly-unconverged labels on deeper-than-maxIter chains. */
   def nearDupClusters(docs: DataFrame, threshold: Double,
-                      maxIter: Int = Int.MaxValue): DataFrame = {
-    val pairs = verifiedPairIndex(docs, threshold)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+                      maxIter: Int = Int.MaxValue): DataFrame =
+    minLabelComponents(verifiedPairIndex(docs, threshold),
+        "doc_a", "doc_b", maxIter)
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+
+  /** Min-label connected components over an undirected pair graph —
+    * the shared clustering core of every near-dup tier (text LSH pairs
+    * AND embedding cosine pairs run the same loop; see nearDupClusters
+    * and Similarity.dedupEmbeddingsByClusters). Input: one row per
+    * undirected edge (aCol, bCol). Output: (node, label) with label =
+    * the smallest node id reachable from node. Semantics and scale
+    * notes as documented on nearDupClusters. */
+  private[pipeline] def minLabelComponents(pairs: DataFrame,
+      aCol: String, bCol: String,
+      maxIter: Int = Int.MaxValue): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true) // candidate generation runs exactly once
     // seed with the 1-hop minimum (free first propagation round); every
     // node appears as src because edges are symmetric
@@ -330,8 +344,7 @@ object Dedup {
       labels = updated
       iter += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-      .orderBy("doc_id")
+    labels.select(col("node"), col("label"))
   }
 
   /** End-to-end cluster dedup: drop every near-dup cluster member

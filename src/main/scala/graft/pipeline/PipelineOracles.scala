@@ -173,6 +173,30 @@ object PipelineOracles {
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
        |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding cluster dedup: recursive min-label reachability over the
+    * verified cosine near-dup pairs (same CTE shape as the text tier's
+    * clusterCtes), keep the smallest vec_id per component, count
+    * survivors per class label. */
+  def embeddingClusterKept(threshold: Double, nBits: Int): String =
+    s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+       |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
+       |near_pairs AS (SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+       |  WHERE cos >= $threshold),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
+       |  UNION SELECT vec_b, vec_a FROM near_pairs),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+       |clusters AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+       |removed AS (SELECT node FROM clusters WHERE node <> cluster)
+       |SELECT label, count(*) AS n_kept FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM removed)
+       |GROUP BY label ORDER BY label""".stripMargin
+
   def bucketKnnJoin(k: Int, nBits: Int): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),

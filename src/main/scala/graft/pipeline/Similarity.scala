@@ -244,6 +244,26 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-level cluster dedup: connected components over the
+    * verified cosine near-dup pairs, keep one representative (smallest
+    * vec_id) per cluster, report per-class-label survivor counts — the
+    * embedding-space twin of Dedup.dedupByClusters, sharing the SAME
+    * min-label component loop (Dedup.minLabelComponents), so the two
+    * tiers cannot drift apart semantically. Candidate generation is the
+    * sign-bucketed pair tier (never all-pairs); the removed set is
+    * O(true near-dups) and Catalyst sizes the anti-join from it. */
+  def dedupEmbeddingsByClusters(embeddings: DataFrame, threshold: Double,
+                                nBits: Int): DataFrame = {
+    val pairs = cosineNearDupPairs(embeddings, threshold, nBits)
+    val removed = Dedup.minLabelComponents(pairs, "vec_a", "vec_b")
+      .where(col("node") =!= col("label"))
+      .select(col("node"))
+    embeddings.join(removed, embeddings("vec_id") === removed("node"),
+        "left_anti")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
+  }
+
   /** Embedding-norm profile per label: count, min/max and exact median
     * of the L2 norm — the sanity report run before any cosine tier
     * (un-normalized or zero vectors surface here first). Per-row norms

@@ -166,6 +166,49 @@ object TextStats {
       .orderBy("source", "rn")
   }
 
+  /** Unigram-model quality profile per source — the exact-arithmetic
+    * form of the classic LM-based quality filter (CCNet-style): score
+    * each document against the corpus's own unigram statistics and
+    * aggregate per source. Two signals: the RARE-TOKEN RATE (fraction
+    * of token instances whose corpus frequency is below
+    * `rareThreshold` — the OOV/garble detector) and the median of
+    * per-doc median term frequencies (low = exotic vocabulary). Both
+    * are gate-exact by construction: integer counts, integer
+    * comparisons, sort-based medians, ONE final divide — no log/exp,
+    * whose cross-engine ulp drift the float-parity policy forbids in
+    * aggregates (a true log-prob scorer is this plan plus ln() on the
+    * already-joined count column; the PLAN is what matters at scale).
+    *
+    * One corpus pass, join-free: per-(doc, term) counts aggregate
+    * once, the global term frequency is a window SUM over the term
+    * partition (the q55 decomposition — model "training" and scoring
+    * share one lineage instead of a corpus×vocab join), per-doc
+    * medians run over each doc's DISTINCT terms. At 100 TB every
+    * shuffle after the first carries (doc, term) partials or
+    * doc-level rows, never raw tokens. */
+  def unigramQuality(docs: DataFrame, rareThreshold: Long = 5L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dt = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = dt
+      .withColumn("cnt", sum(col("c")).over(W.partitionBy(col("term"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(when(col("cnt") < rareThreshold, col("c")).otherwise(0L))
+          .as("n_rare"),
+        percentile(col("cnt"), lit(0.5)).as("med_freq"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_rare")).cast("double") / sum(col("n_toks")), 6)
+          .as("rare_token_rate"),
+        round(percentile(col("med_freq"), lit(0.5)), 6).as("p50_med_freq"))
+      .orderBy("source")
+  }
+
   /** Lang × source crosstab via relational PIVOT — the corpus
     * composition matrix read before choosing mixture weights. Pivot
     * values are EXPLICIT (the fixed source list): Spark requires them

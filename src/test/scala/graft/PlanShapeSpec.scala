@@ -165,6 +165,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate(keys=[lang"))
   }
 
+  test("q57 unigram quality: join-free model scoring — one corpus scan, window-decomposed frequencies") {
+    val p = plan("q57_unigram_quality")
+    assert(!p.contains("Join")) // training and scoring share one lineage
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("Window"))
+  }
+
+  test("q58 embedding dedup: bucketed pair generation — no cartesian, no BNLJ, anti-join sized by true dups") {
+    val p = plan("q58_embedding_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q52 funnel: single shuffle on user_id — no self-joins of the fact table") {
     val p = plan("q52_funnel")
     assert(!p.contains("Join"))
