@@ -84,7 +84,11 @@ object Bench {
       System.err.println(f"[bench] $name%-28s ${dt}%8.2f s  (runs: ${times.mkString(", ")})")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: sub-ms digits are JVM noise, and the full-precision
+    // doubles pushed the round-6 JSON line past the driver's tail-capture
+    // buffer (BENCH_r06 "parsed": null) — keep the line short
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // the frozen SURVEY §2.9 set (q1–q14) — comparable across rounds
@@ -99,7 +103,16 @@ object Bench {
     val wu = if (doWarmup) s""""$warmupDir"""" else "null"
     val rr = rerunsByQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core14_total":$coreTotal,"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"sf":"$sfDir"}""")
+    // Queries whose timed path probes a session-scoped built-once index
+    // (Dedup pair index / IVF model, see SessionCache): under min-of-2
+    // the second run hits the cache built by the first, so these numbers
+    // measure warm-index probes — the production steady state, but NOT
+    // comparable to pre-r6 cold numbers (ADVICE r6: mark them).
+    val cached = Seq("q36_dedup_clusters", "q37_cluster_dedup_kept",
+        "q38_ivf_topk", "q38b_ivf_exact")
+      .filter(n => results.exists(_._1 == n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"warm_index_queries":$cached,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

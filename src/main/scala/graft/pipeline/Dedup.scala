@@ -34,6 +34,26 @@ object Dedup {
            countDistinct(col("h")).as("n_unique"))
       .orderBy("source")
 
+  /** Normalized exact dedup: duplicate groups AFTER text normalization
+    * (lowercase, collapse whitespace runs, trim) — the "fuzzy-exact"
+    * tier every pipeline runs between raw-hash dedup and MinHash:
+    * catches re-encodings and formatting variants that differ as bytes
+    * but not as content, at exact-dedup cost. Groups travel as sha256
+    * of the normalized text, never the text itself, so the shuffle key
+    * is 64 bytes regardless of document size — same map-side
+    * partial-agg + hash-shuffle shape as exactDedupSummary. Returns
+    * only groups with >1 members: (hash, member count, smallest doc_id
+    * = the canonical keeper). */
+  def normalizedDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
+          .as("norm_h"))
+      .groupBy(col("norm_h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("norm_h")
+
   /** Approximate dedup summary: HLL++ distinct-hash counts per source —
     * the 100 TB spelling of exactDedupSummary. Exact countDistinct
     * shuffles every distinct hash to its group; HLL shuffles one
@@ -257,27 +277,29 @@ object Dedup {
     * any downstream keep/drop pass) needs the SAME pair set, and the LSH
     * candidate generation + jaccard verification is the dominant cost of
     * the whole family — re-deriving it per consumer multiplies the most
-    * expensive stage of the pipeline. Keyed on the corpus frame's
-    * semantic plan hash + its file lineage, so two reads of the same
-    * table share the index while different corpora (or thresholds) never
+    * expensive stage of the pipeline. Held in the session-scoped
+    * SessionCache (never a JVM-global map: a checkpoint from one
+    * session is dead in another), keyed on the corpus frame's semantic
+    * plan hash + a (path, size, mtime) lineage fingerprint, so two
+    * reads of the same table share the index while different corpora,
+    * thresholds, or an in-place rewrite of the same file names never
     * collide. The cached frame is localCheckpoint-materialized (lineage
     * truncated); at cluster scale persist the pair set to a reliable
     * checkpoint dir or a parquet sink instead — same semantics, and the
     * pair table (O(true duplicates), tiny relative to the corpus) is
     * exactly what a production pipeline would write out anyway. */
-  private val pairIndex =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
-
   private def verifiedPairIndex(docs: DataFrame, threshold: Double): DataFrame =
-    pairIndex.computeIfAbsent(
-      (docs.semanticHash(), docs.inputFiles.toSeq.hashCode, threshold),
+    graft.SessionCache.getOrBuild(docs.sparkSession,
+      ("Dedup.pairIndex", docs.semanticHash(),
+        graft.SessionCache.lineageFingerprint(docs), threshold)) {
       // eager: the pair set feeds BOTH branches of the symmetric edge
       // union — a lazy checkpoint would let their tasks race to compute
       // it (same hazard as candM above); index construction is the
       // build step, so building at insert time is the honest cost.
-      _ => lshNearDupPairs(docs, threshold)
+      lshNearDupPairs(docs, threshold)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    }
 
   /** Connected-component clusters of the near-duplicate pair graph:
     * every document that appears in a verified LSH near-dup pair is

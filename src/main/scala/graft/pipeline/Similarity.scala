@@ -151,12 +151,13 @@ object Similarity {
     * build-the-index-once pattern as Dedup.verifiedPairIndex: every
     * probe configuration (any nProbe, any query) shares one training
     * run, exactly as a production IVF index is trained once and probed
-    * many times. Keyed on the corpus frame's semantic plan hash + file
-    * lineage. At 100 TB: train on a sample and persist the model +
+    * many times. Session-scoped (SessionCache — a model trained under a
+    * stopped session must not leak into a new one), keyed on the corpus
+    * frame's semantic plan hash + a (path, size, mtime) lineage
+    * fingerprint so an in-place rewrite retrains instead of serving the
+    * old cells. At 100 TB: train on a sample and persist the model +
     * `partitionBy(cell)` assignments; this cache is the in-session
     * stand-in for that persisted artifact. */
-  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
@@ -172,17 +173,16 @@ object Similarity {
     // Lloyd from a seeded random start is the right training cost.
     // Features are cached across the Lloyd passes and released right
     // after: fit() is the only multi-pass consumer.
-    val model = ivfIndex.computeIfAbsent(
-      (embeddings.semanticHash(), embeddings.inputFiles.toSeq.hashCode,
-        nClusters, seed),
-      _ => {
-        feat.cache()
-        try new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-          .setInitMode("random")
-          .setFeaturesCol("features").setPredictionCol("cell")
-          .fit(feat)
-        finally feat.unpersist(false)
-      })
+    val model = graft.SessionCache.getOrBuild(embeddings.sparkSession,
+      ("Similarity.ivfIndex", embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings), nClusters, seed)) {
+      feat.cache()
+      try new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(feat)
+      finally feat.unpersist(false)
+    }
     val assigned = model.transform(feat).drop("features")
 
     val v = withVectorCols(assigned, 0)

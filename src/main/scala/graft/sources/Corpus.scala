@@ -58,7 +58,17 @@ object Corpus {
     * files either pack to ≥cores partitions or the corpus is so small
     * the fan-out wouldn't matter. A frame with no file lineage
     * (in-memory test data) reports no files and is left alone — local
-    * relations already carry defaultParallelism partitions. */
+    * relations already carry defaultParallelism partitions.
+    *
+    * Stats are memoized per (session, path) via SessionCache, so the
+    * several operators that probe the same table per query pay one
+    * FileSystem.getFileStatus per file per session — on an object
+    * store the repeat probes would otherwise add real driver latency.
+    * A file that vanishes between listing and stat (or any FS error)
+    * degrades to the count-only heuristic instead of throwing at
+    * plan-construction time: count-only is wrong in both directions
+    * (see above) but only costs a redundant-or-missing fan-out, never
+    * a failed query (ADVICE r6). */
   private val StatFileBound = 4096
 
   def fanOutSmallScan(df: DataFrame): DataFrame = {
@@ -72,11 +82,10 @@ object Corpus {
         .getOrElse(default)
     val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
     val maxPart = bytesConf("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val totalPadded = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen + openCost
-    }.sum
+    val sizes = files.map(f => graft.SessionCache.fileStat(spark, f).map(_._1))
+    if (sizes.exists(_.isEmpty))
+      return if (files.length < target) df.repartition(target) else df
+    val totalPadded = sizes.map(_.get + openCost).sum
     val maxSplit = math.min(maxPart, math.max(openCost, totalPadded / math.max(1, target)))
     val estPartitions = math.ceil(totalPadded.toDouble / maxSplit).toLong
     if (estPartitions < target) df.repartition(target) else df
