@@ -141,6 +141,16 @@ object SparkEntry {
     // q58: embedding cluster dedup — cosine pairs → CC → keep-one
     "q58_embedding_dedup" -> ((s, dir) => Similarity.dedupEmbeddingsByClusters(
       Corpus.table(s, dir, "embeddings"), 0.4, 4)),
+    // q59: context-budget chunking — 32-token windows, 8-token overlap
+    "q59_chunk_documents" -> ((s, dir) => Curation.chunkDocuments(
+      Corpus.table(s, dir, "documents"), 32, 8)),
+    // q60: temperature-scaled (α=0.5) source mixture / epochs table
+    "q60_mixture_weights" -> ((s, dir) => Curation.mixtureWeights(
+      Corpus.table(s, dir, "documents"))),
+    // q61: normalized exact dedup — duplicate groups after
+    // lowercase/whitespace normalization
+    "q61_normalized_dedup" -> ((s, dir) => Dedup.normalizedDupGroups(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -454,5 +464,38 @@ object SparkEntry {
         |  round(max(norm), 6) AS max_norm,
         |  round(quantile_cont(norm, 0.5), 6) AS p50_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
+    // chunking: starts are 0, stride, … while < len(toks); both slicers
+    // are 1-based-inclusive and clamp at the end, so the final short
+    // chunk agrees by construction
+    "q59_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) - 1, 24)) AS start FROM t)
+        |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+        |  least(32, len(toks) - start)::BIGINT AS n_tokens,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    // α=0.5 spelled sqrt(): IEEE sqrt is correctly rounded, so both
+    // engines agree bit-for-bit (pow(x,0.5) might not); the window sums
+    // run over the |sources|-row post-agg frame
+    "q60_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER (), 6)
+        |    AS mix_weight,
+        |  round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER ()
+        |    * sum(n_tokens) OVER () / n_tokens, 6) AS epochs
+        |FROM s ORDER BY source""".stripMargin.replace("\n", " "),
+    // normalization parity: Java \s and RE2 \s agree on the corpus
+    // charset (plain ASCII spaces); sha256 hex is lowercase in both
+    "q61_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_h
+        |  FROM documents)
+        |SELECT norm_h, count(*) AS n_docs, min(doc_id) AS keep_doc
+        |FROM n GROUP BY norm_h HAVING count(*) > 1
+        |ORDER BY norm_h""".stripMargin.replace("\n", " "),
   )
 }

@@ -125,6 +125,65 @@ object Curation {
       .orderBy("source_a", "source_b")
   }
 
+  /** Document chunking: split each document into fixed-token windows
+    * with overlap — the step between cleaning and tokenization in a
+    * training-data pipeline (long documents must be cut to the model's
+    * context budget; overlap preserves cross-boundary context). Chunk
+    * starts are 0, stride, 2·stride, … while they land inside the
+    * document (stride = chunkTokens − overlapTokens); the final chunk
+    * may be shorter than chunkTokens. Entirely scan-local — tokenize,
+    * generate starts, slice — so it parallelizes with the scan and
+    * shuffles nothing; output is O(1/stride) rows per input token at
+    * any corpus size. The trailing orderBy is gate determinism only —
+    * a production chunker writes the exploded frame as-is. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int,
+                     overlapTokens: Int): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap $overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("toks")) - col("start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Temperature-scaled source mixture weights: the blend table a
+    * training run samples from. Each source's raw weight is
+    * n_tokens^α with α = 0.5 (the multilingual-sampling temperature
+    * trick: α < 1 up-weights small sources so the head doesn't drown
+    * the tail); `epochs` is how many passes over the source the blend
+    * implies (weight · total_tokens / n_tokens). α = 0.5 is spelled
+    * sqrt() deliberately — IEEE sqrt is correctly rounded, so Spark
+    * and the oracle agree bit-for-bit where pow(x, 0.5) might not.
+    * One partial+final aggregate over the corpus; the unpartitioned
+    * normalization window runs over the POST-AGG frame (|sources|
+    * rows — config-sized at any corpus scale, same stance as the q49
+    * size table). */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val raw = sqrt(col("n_tokens").cast("double"))
+    docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(raw / sum(raw).over(w), 6).as("mix_weight"),
+        round(raw / sum(raw).over(w) * sum(col("n_tokens")).over(w)
+          / col("n_tokens"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Deterministic stratified sampling summary: keep a document iff
     * hash64(doc_id) mod 100 falls under its source's percentage (rates
     * override `defaultPct` per source). Reports kept/total per source.

@@ -377,4 +377,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySrc("src0") > 0L && bySrc("src0") < 30L)
     assert(bySrc("src3") > 0L && bySrc("src3") < 30L)
   }
+
+  test("chunking: coverage, overlap, and boundary arithmetic are exact") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunk 4, overlap 1 (stride 3): starts 0,3,6,9 →
+    // lengths 4,4,4,1; consecutive chunks share exactly one token
+    val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Curation.chunkDocuments(df, 4, 1).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    val texts = rows.map(_.getString(3))
+    assert(texts(0) == "t0 t1 t2 t3" && texts(3) == "t9")
+    // overlap invariant: chunk i's last token == chunk i+1's first
+    texts.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a.split(" ").last == b.split(" ").head)
+    }
+    // every token of the corpus appears in some chunk (coverage)
+    val covered = texts.flatMap(_.split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+  }
+
+  test("mixture weights: normalized, monotone, epochs·tokens sums to total") {
+    val rows = Curation.mixtureWeights(docs).collect()
+    val wSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4) // rounded weights still ~normalize
+    // α = 0.5 damps the head: weight ratio grows slower than token ratio
+    val byTok = rows.sortBy(_.getLong(2))
+    val (lo, hi) = (byTok.head, byTok.last)
+    assert(hi.getDouble(3) / lo.getDouble(3) <=
+      hi.getLong(2).toDouble / lo.getLong(2) + 1e-6)
+    // epochs · n_tokens ≈ mix_weight · total_tokens for every source
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) * r.getLong(2) -
+        r.getDouble(3) * total) < total * 1e-4)
+    }
+  }
+
+  test("normalized dedup subsumes raw exact dup groups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, " hello   world "),
+      (4L, "unique doc"), (5L, "unique doc")).toDF("doc_id", "text")
+    val groups = Dedup.normalizedDupGroups(df).collect()
+    assert(groups.length == 2)
+    val byKeep = groups.map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(byKeep(1L) == 3L) // case/whitespace variants collapse together
+    assert(byKeep(4L) == 2L) // raw exact dups still found
+  }
 }
