@@ -184,4 +184,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly two exchanges: the user_id grouping + the tiny depth agg
     assert("Exchange".r.findAllIn(p).length <= 3)
   }
+
+  test("q59 chunking: scan-local slice — no joins, no aggregates, no data shuffle") {
+    val p = plan("q59_chunk_documents")
+    assert(!p.contains("Join"))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    // the only exchange is the gate-determinism sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q60 mixture weights: one partial+final corpus agg; window over the post-agg frame") {
+    val p = plan("q60_mixture_weights")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate(keys=[source"))
+    // window input is the aggregated frame: its exchange moves |sources|
+    // rows, so a single-partition window exchange is present and fine
+    assert(p.contains("Window"))
+  }
+
+  test("q61 normalized dedup: 64-byte group key with map-side partial aggregation") {
+    val p = plan("q61_normalized_dedup")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate(keys=[norm_h"))
+    assert(p.contains("partial_count")) // map-side combine before the shuffle
+  }
 }
