@@ -151,6 +151,9 @@ object SparkEntry {
     // lowercase/whitespace normalization
     "q61_normalized_dedup" -> ((s, dir) => Dedup.normalizedDupGroups(
       Corpus.table(s, dir, "documents"))),
+    // q62: fixed-size deterministic sample — hash-rank k per source
+    "q62_fixed_k_sample" -> ((s, dir) => Curation.fixedKSample(
+      Corpus.table(s, dir, "documents"), 5)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -497,5 +500,16 @@ object SparkEntry {
         |SELECT norm_h, count(*) AS n_docs, min(doc_id) AS keep_doc
         |FROM n GROUP BY norm_h HAVING count(*) > 1
         |ORDER BY norm_h""".stripMargin.replace("\n", " "),
+    // same portable 60-bit hash as q45 (sha256 prefix), rank ties
+    // broken on doc_id so the sample is total-order deterministic
+    "q62_fixed_k_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#fk'),1,15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin.replace("\n", " "),
   )
 }

@@ -184,6 +184,30 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Fixed-SIZE deterministic sample: exactly k documents per source —
+    * the ones with the smallest hash64(doc_id) — vs the fixed-RATE
+    * sampling of stratifiedSampleSummary. Hash-rank sampling is the
+    * distributed spelling of "uniform k without replacement" that
+    * stays reproducible under retries and incremental ingest (the k
+    * smallest hashes of a grown corpus are a superset-stable choice,
+    * unlike reservoir sampling whose state depends on arrival order).
+    * The row_number-≤-k filter compiles to a WindowGroupLimit, so each
+    * map partition forwards at most k rows per source into the window
+    * shuffle — shuffle volume is O(k · sources · partitions), never
+    * corpus-sized (same pushdown story as topTerms/tfidf). */
+  def fixedKSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        hash64(col("doc_id").cast("string"), "fk").as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** Deterministic stratified sampling summary: keep a document iff
     * hash64(doc_id) mod 100 falls under its source's percentage (rates
     * override `defaultPct` per source). Reports kept/total per source.

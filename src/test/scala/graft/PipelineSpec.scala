@@ -416,6 +416,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-k sample: exactly k per stratum, deterministic, superset-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toSeq
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val a = Curation.fixedKSample(df, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a.groupBy(_._1).forall(_._2.length == 7))
+    assert(a == Curation.fixedKSample(df, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // superset stability: the k smallest hashes of a GROWN corpus can
+    // only swap members in, never reorder survivors — every doc kept
+    // from the small corpus that survives in the big one keeps rank ≤ k
+    val grown = (0L until 600L).map(i => (i, s"src${i % 3}")).toSeq
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val b = Curation.fixedKSample(grown, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val survivors = a.map(t => (t._1, t._2)).toSet.intersect(b)
+    assert(survivors.nonEmpty) // hash-uniform: some of 7 survive a 2× grow
+  }
+
   test("normalized dedup subsumes raw exact dup groups") {
     val s = spark
     import s.implicits._

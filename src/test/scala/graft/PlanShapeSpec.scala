@@ -202,6 +202,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("q62 fixed-k sample: rank filter pushes a WindowGroupLimit below the shuffle") {
+    val p = plan("q62_fixed_k_sample")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("Join"))
+  }
+
   test("q61 normalized dedup: 64-byte group key with map-side partial aggregation") {
     val p = plan("q61_normalized_dedup")
     assert(!p.contains("Join"))
