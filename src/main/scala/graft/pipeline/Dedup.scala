@@ -138,7 +138,16 @@ object Dedup {
     * shuffle ONLY on the band key; there is no cross join anywhere.
     */
   def lshNearDupPairs(docs: DataFrame, threshold: Double,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000): DataFrame =
+    // deterministic order on the public/gate surface only — the
+    // cluster/index consumers take the unsorted variant, because a
+    // global sort of the pair table is pure waste to a CC loop and at
+    // 100 TB the pair set is O(duplicates), not test-sized
+    lshNearDupPairsUnsorted(docs, threshold, maxBucket)
+      .orderBy("doc_a", "doc_b")
+
+  private[pipeline] def lshNearDupPairsUnsorted(
+      docs: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val sig = minhashCols(docs)
     val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
     val bandStructs = array((0 until Bands).map(b =>
@@ -208,7 +217,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(jaccard(col("sha_"), col("sh")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash per document (64-bit sign fingerprint as a bitstring) —
@@ -296,7 +304,7 @@ object Dedup {
       // union — a lazy checkpoint would let their tasks race to compute
       // it (same hazard as candM above); index construction is the
       // build step, so building at insert time is the honest cost.
-      lshNearDupPairs(docs, threshold)
+      lshNearDupPairsUnsorted(docs, threshold, maxBucket = 1000)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
     }

@@ -227,7 +227,14 @@ object Similarity {
     * over `maxBucket` degrade to representative star pairs
     * (TextFunctions.boundedPairs). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         nBits: Int, maxBucket: Int = 1000): DataFrame = {
+                         nBits: Int, maxBucket: Int = 1000): DataFrame =
+    // sorted on the public/gate surface only — see lshNearDupPairs
+    cosineNearDupPairsUnsorted(embeddings, threshold, nBits, maxBucket)
+      .orderBy("vec_a", "vec_b")
+
+  private def cosineNearDupPairsUnsorted(
+      embeddings: DataFrame, threshold: Double,
+      nBits: Int, maxBucket: Int): DataFrame = {
     val v = withVectorCols(embeddings, nBits)
       .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
     v.groupBy(col("bucket"))
@@ -241,7 +248,6 @@ object Similarity {
             a.getField("norm"), b.getField("norm")), 6).as("cos")))).as("p"))
       .select(col("p.vec_a"), col("p.vec_b"), col("p.cos"))
       .where(col("cos") >= threshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Embedding-level cluster dedup: connected components over the
@@ -254,7 +260,8 @@ object Similarity {
     * O(true near-dups) and Catalyst sizes the anti-join from it. */
   def dedupEmbeddingsByClusters(embeddings: DataFrame, threshold: Double,
                                 nBits: Int): DataFrame = {
-    val pairs = cosineNearDupPairs(embeddings, threshold, nBits)
+    val pairs = cosineNearDupPairsUnsorted(embeddings, threshold, nBits,
+      maxBucket = 1000)
     val removed = Dedup.minLabelComponents(pairs, "vec_a", "vec_b")
       .where(col("node") =!= col("label"))
       .select(col("node"))
