@@ -154,6 +154,9 @@ object SparkEntry {
     // q62: fixed-size deterministic sample — hash-rank k per source
     "q62_fixed_k_sample" -> ((s, dir) => Curation.fixedKSample(
       Corpus.table(s, dir, "documents"), 5)),
+    // q63: int8 scalar-quantization error audit per label
+    "q63_quantization_error" -> ((s, dir) => Similarity.quantizationErrorProfile(
+      Corpus.table(s, dir, "embeddings"))),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -511,5 +514,23 @@ object SparkEntry {
         |  FROM h)
         |SELECT source, doc_id, rn FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin.replace("\n", " "),
+    // same sequential fold + d·d spelling as the Spark side; the scale
+    // expression (127.0/max_abs) keeps the identical association order
+    "q63_quantization_error" ->
+      """WITH q AS (SELECT label,
+        |  list_transform(embedding, v -> v::DOUBLE) AS ed FROM embeddings),
+        |m AS (SELECT label, ed,
+        |  list_max(list_transform(ed, v -> abs(v))) AS max_abs,
+        |  sqrt(list_reduce(list_transform(ed, v -> v * v),
+        |    (x, y) -> x + y)) AS norm FROM q),
+        |e AS (SELECT label, CASE WHEN max_abs = 0 OR norm = 0 THEN 0.0
+        |  ELSE sqrt(list_reduce(list_transform(ed,
+        |    v -> (v - round(v * (127.0/max_abs)) / (127.0/max_abs))
+        |       * (v - round(v * (127.0/max_abs)) / (127.0/max_abs))),
+        |    (x, y) -> x + y)) / norm END AS qerr FROM m)
+        |SELECT label, count(*) AS n, round(min(qerr), 6) AS min_qerr,
+        |  round(max(qerr), 6) AS max_qerr,
+        |  round(quantile_cont(qerr, 0.5), 6) AS p50_qerr
+        |FROM e GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
   )
 }

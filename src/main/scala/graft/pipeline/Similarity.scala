@@ -271,6 +271,42 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Int8 scalar-quantization error profile per label — the compression
+    * audit run before shipping vectors to an ANN index (4× smaller than
+    * float32; is the recall cost acceptable?). Each vector is quantized
+    * with its own scale s = 127 / max|v| (symmetric per-vector scalar
+    * quantization, the faiss SQ8-style baseline), reconstructed, and
+    * scored by RELATIVE L2 error ‖v − q/s‖ / ‖v‖. Per-label stats are
+    * order-independent (min/max/sort-median), and both error norms fold
+    * sequentially (same trick as normProfile), so the gate hash is
+    * exact. Scan-local until the final per-label reduce — no shuffle
+    * carries an array. round() at the quantization point is half-away-
+    * from-zero in both engines; a zero vector quantizes to itself
+    * (error 0) by the maxAbs guard. */
+  def quantizationErrorProfile(embeddings: DataFrame): DataFrame = {
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(ed, x => abs(x)))
+    val s = lit(127.0) / maxAbs
+    // Σ(v − round(v·s)/s)² in array order — matches the oracle's
+    // sequential list_reduce fold bit-for-bit. Squaring is spelled d·d,
+    // not pow(d, 2): Math.pow's y=2 path is not contractually x·x
+    val err2 = aggregate(ed, lit(0.0), (acc, v) => {
+      val d = v - round(v * s, 0) / s
+      acc + d * d
+    })
+    val norm = sqrt(graft.functions.ArrayDot.column(ed, ed))
+    val relErr = when(maxAbs === 0.0 || norm === 0.0, lit(0.0))
+      .otherwise(sqrt(err2) / norm)
+    graft.sources.Corpus.fanOutSmallScan(embeddings)
+      .select(col("label"), relErr.as("qerr"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("qerr")), 6).as("min_qerr"),
+        round(max(col("qerr")), 6).as("max_qerr"),
+        round(percentile(col("qerr"), lit(0.5)), 6).as("p50_qerr"))
+      .orderBy("label")
+  }
+
   /** Embedding-norm profile per label: count, min/max and exact median
     * of the L2 norm — the sanity report run before any cosine tier
     * (un-normalized or zero vectors surface here first). Per-row norms

@@ -138,7 +138,14 @@ object TextStats {
     * doc-level aggregate's rows ARE the distinct (doc, term) pairs.
     * Ranking happens on the ROUNDED score in BOTH engines with the
     * term as total tie-break, so the rank is insensitive to sub-ulp
-    * libm differences in ln(). At 100 TB: the corpus shuffles once as
+    * libm differences in ln(). Residual parity risk (ADVICE r6): the
+    * rounded VALUE itself flips if tf·ln(N/df) lands within 1 ulp of a
+    * 1e-6 midpoint AND Spark's Math.log and the oracle's libm ln
+    * disagree on that input — none of the corpus's (tf, N, df) triples
+    * do, and the fixtures are frozen; if they ever unfreeze, rank and
+    * hash on an integer surrogate (e.g. round(tf·ln·1e6) as BIGINT
+    * with a coarser guard digit) instead. At 100 TB: the corpus
+    * shuffles once as
     * (doc, term) partials collapsed map-side; everything after is
     * vocabulary-sized (the df window and the per-source top-k shuffle
     * scored terms, not documents). */

@@ -437,6 +437,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.nonEmpty) // hash-uniform: some of 7 survive a 2× grow
   }
 
+  test("quantization error: int8 SQ relative error is small, nonneg, zero-vector-safe") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.quantizationErrorProfile(embs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(mn >= 0.0 && mx >= mn)
+      // int8 symmetric SQ on 64-dim unit-ish vectors: worst-case rel
+      // error is ~(1/254)·sqrt(d)·(maxAbs/norm) — comfortably < 0.1
+      assert(mx < 0.1, s"label ${r.get(0)}: max_qerr $mx")
+    }
+    // a zero vector must report error 0, not NaN
+    val z = Seq((1L, Array.fill(4)(0.0f), "z")).toDF("vec_id", "embedding", "label")
+    val zr = Similarity.quantizationErrorProfile(z).collect()
+    assert(zr.head.getDouble(2) == 0.0 && zr.head.getDouble(3) == 0.0)
+  }
+
   test("normalized dedup subsumes raw exact dup groups") {
     val s = spark
     import s.implicits._

@@ -208,6 +208,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q63 quantization error: scan-local scoring — no joins, no array through a shuffle") {
+    val p = plan("q63_quantization_error")
+    assert(!p.contains("Join"))
+    // the shuffle carries (label, qerr) doubles, never the embedding
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("q61 normalized dedup: 64-byte group key with map-side partial aggregation") {
     val p = plan("q61_normalized_dedup")
     assert(!p.contains("Join"))
