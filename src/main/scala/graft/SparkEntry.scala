@@ -147,9 +147,9 @@ object SparkEntry {
     // q60: temperature-scaled (α=0.5) source mixture / epochs table
     "q60_mixture_weights" -> ((s, dir) => Curation.mixtureWeights(
       Corpus.table(s, dir, "documents"))),
-    // q61: normalized exact dedup — duplicate groups after
-    // lowercase/whitespace normalization
-    "q61_normalized_dedup" -> ((s, dir) => Dedup.normalizedDupGroups(
+    // q61: normalized exact dedup — per-source raw-vs-normalized
+    // distinct-hash summary (group detail: Dedup.normalizedDupGroups)
+    "q61_normalized_dedup" -> ((s, dir) => Dedup.normalizedDedupSummary(
       Corpus.table(s, dir, "documents"))),
     // q62: fixed-size deterministic sample — hash-rank k per source
     "q62_fixed_k_sample" -> ((s, dir) => Curation.fixedKSample(
@@ -497,12 +497,13 @@ object SparkEntry {
     // normalization parity: Java \s and RE2 \s agree on the corpus
     // charset (plain ASCII spaces); sha256 hex is lowercase in both
     "q61_normalized_dedup" ->
-      """WITH n AS (SELECT doc_id,
+      """WITH n AS (SELECT source, sha256(text) AS raw_h,
         |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_h
         |  FROM documents)
-        |SELECT norm_h, count(*) AS n_docs, min(doc_id) AS keep_doc
-        |FROM n GROUP BY norm_h HAVING count(*) > 1
-        |ORDER BY norm_h""".stripMargin.replace("\n", " "),
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT raw_h) AS n_unique_raw,
+        |  count(DISTINCT norm_h) AS n_unique_norm
+        |FROM n GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // same portable 60-bit hash as q45 (sha256 prefix), rank ties
     // broken on doc_id so the sample is total-order deterministic
     "q62_fixed_k_sample" ->

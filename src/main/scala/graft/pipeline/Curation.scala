@@ -97,24 +97,35 @@ object Curation {
     * a training blend (high overlap = one source largely contains the
     * other; its weight should be cut, or the pair deduped jointly).
     *
-    * Dataflow: one shingle-hash pass, distinct (source, hash), then a
-    * self-equi-join ON THE HASH — rows are (source, 8-byte hash) pairs,
-    * never text, and the per-source size table (|sources| rows) rides a
-    * broadcast. Integer counts + one final divide = exact parity.
-    * At 100 TB the vocabulary table dwarfs memory but not the shuffle:
-    * both join sides are the same deduped (source, hash) relation; for
-    * a cheaper audit, pre-filter `hash % m = 0` — uniform shingle
+    * Dataflow: one shingle-hash pass, then ONE shuffle — group the
+    * exploded (source, 8-byte hash) rows BY HASH and collect each
+    * hash's distinct source set. Sources are a config-known enum, so
+    * the per-hash set is O(|sources|) — tiny — and every (a<b) source
+    * pair expands map-side from the sorted set; the old self-equi-join
+    * spelling re-shuffled the deduped vocabulary TWICE more (both join
+    * sides repartition by hash) for the same pair counts. Shared-pair
+    * counts and per-source sizes both fold from the one grouped frame
+    * (vocabulary-sized aggregates; the size table rides a broadcast).
+    * Integer counts + one final divide = exact parity.
+    * At 100 TB the vocabulary table dwarfs memory but not the shuffle;
+    * for a cheaper audit, pre-filter `hash % m = 0` — uniform shingle
     * sampling that estimates the same Jaccard at 1/m the cost. */
   def sourceShingleOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = graft.sources.Corpus.fanOutSmallScan(docs)
+    val byHash = graft.sources.Corpus.fanOutSmallScan(docs)
       .select(col("source"),
         explode(shingleHashes(col("text"), k, "ov")).as("g"))
-      .distinct()
-    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val sz = byHash.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // all (i<j) pairs of the sorted per-hash source set, expanded inline
+    val pairs = byHash
+      .where(size(col("ss")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(" +
+          "slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x AS source_a, y AS source_b))))")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(broadcast(sz.as("x")), col("source_a") === col("x.source"))

@@ -54,6 +54,28 @@ object Dedup {
       .where(col("n_docs") > 1)
       .orderBy("norm_h")
 
+  /** Gate-facing normalized-dedup summary: per source, documents vs
+    * distinct RAW content hashes vs distinct NORMALIZED hashes — the
+    * "how much does normalization buy" report (n_unique_raw −
+    * n_unique_norm = docs reclaimed by case/whitespace folding). Always
+    * |sources| rows, so the gate checks real values even on a corpus
+    * with no duplicates at all (the group-detail form above is the
+    * production artifact, but an empty frame is a gate that cannot
+    * fail; its semantics are pinned on crafted variants in
+    * PipelineSpec). Same one-shuffle partial-agg shape as
+    * exactDedupSummary — both hashes are computed scan-side, 64-byte
+    * keys through the shuffle. */
+  def normalizedDedupSummary(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), sha2(col("text"), 256).as("raw_h"),
+        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
+          .as("norm_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_unique_raw"),
+        countDistinct(col("norm_h")).as("n_unique_norm"))
+      .orderBy("source")
+
   /** Approximate dedup summary: HLL++ distinct-hash counts per source —
     * the 100 TB spelling of exactDedupSummary. Exact countDistinct
     * shuffles every distinct hash to its group; HLL shuffles one

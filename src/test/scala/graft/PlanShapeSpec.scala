@@ -108,11 +108,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
-  test("q49 source overlap: hash equi-join on 8-byte shingle keys; size table broadcasts") {
+  test("q49 source overlap: one vocab shuffle, pairs expand map-side — no vocabulary join") {
     val p = plan("q49_source_overlap")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin")) // the old self-join re-shuffled the vocab twice
     assert(p.contains("BroadcastHashJoin")) // the tiny per-source size table
+    assert(p.contains("ObjectHashAggregate")) // collect_set by hash, never sort-agg
   }
 
   test("q50 moving avg: window runs over the aggregated daily frame, not raw events") {
@@ -215,10 +217,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
-  test("q61 normalized dedup: 64-byte group key with map-side partial aggregation") {
+  test("q61 normalized dedup: hash aggregates over 64-byte hash keys — no join, no sort-agg") {
     val p = plan("q61_normalized_dedup")
     assert(!p.contains("Join"))
-    assert(p.contains("HashAggregate(keys=[norm_h"))
-    assert(p.contains("partial_count")) // map-side combine before the shuffle
+    assert(!p.contains("SortAggregate"))
+    assert(p.contains("HashAggregate")) // distinct-expand partials, hashes computed scan-side
   }
 }
