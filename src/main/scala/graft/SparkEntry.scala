@@ -157,6 +157,19 @@ object SparkEntry {
     // q63: int8 scalar-quantization error audit per label
     "q63_quantization_error" -> ((s, dir) => Similarity.quantizationErrorProfile(
       Corpus.table(s, dir, "embeddings"))),
+    // q64: cross-document shingle-share profile (boilerplate diagnostic)
+    "q64_crossdoc_share" -> ((s, dir) => Dedup.crossDocShingleShare(
+      Corpus.table(s, dir, "documents"))),
+    // q65: deterministic hash-based train/val/test split summary
+    "q65_train_split" -> ((s, dir) => Curation.trainSplitSummary(
+      Corpus.table(s, dir, "documents"))),
+    // q66: hash-shard balance audit (16 writer shards)
+    "q66_hash_shards" -> ((s, dir) => Curation.hashShardBalance(
+      Corpus.table(s, dir, "documents"), 16)),
+    // q67: minhash-estimate vs true-jaccard calibration audit (shares
+    // the q36/q37 session pair index)
+    "q67_minhash_audit" -> ((s, dir) => Dedup.minhashEstimateAudit(
+      Corpus.table(s, dir, "documents"), 0.8)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -533,5 +546,38 @@ object SparkEntry {
         |  round(max(qerr), 6) AS max_qerr,
         |  round(quantile_cont(qerr, 0.5), 6) AS p50_qerr
         |FROM e GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
+    // distinct 3-shingles per doc (hash seed 'xd'), df>1 = shared with
+    // another doc; integer counts, one divide
+    "q64_crossdoc_share" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, len(t)-1), i -> ('0x'||substr(sha256(
+        |    array_to_string(t[i:i+2], ' ')||'#xd'),1,15))::BIGINT))) AS g FROM tk),
+        |d2 AS (SELECT doc_id, source, count(*) OVER (PARTITION BY g) AS ddf FROM sh),
+        |pd AS (SELECT doc_id, source, count(*) AS n_sh,
+        |  sum(CASE WHEN ddf > 1 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM d2 GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(n_shared)::DOUBLE / sum(n_sh), 6) AS shared_shingle_frac
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    // same portable 60-bit hash (seed 'split'); 80/10/10 split
+    "q65_train_split" ->
+      """WITH h AS (SELECT source,
+        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#split'),1,15))::BIGINT % 100 AS hm,
+        |  len(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT source,
+        |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens
+        |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin.replace("\n", " "),
+    // same portable 60-bit hash (seed 'shard'); 16 shards
+    "q66_hash_shards" ->
+      """WITH h AS (SELECT
+        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#shard'),1,15))::BIGINT % 16 AS shard,
+        |  len(string_split(text, ' '))::BIGINT AS toks FROM documents)
+        |SELECT shard, count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens,
+        |  min(toks) AS min_doc_toks, max(toks) AS max_doc_toks
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
+    "q67_minhash_audit" ->
+      PO.minhashEstimateAudit(0.8).replace("\n", " "),
   )
 }

@@ -219,6 +219,51 @@ object Curation {
       .orderBy("source", "rn")
   }
 
+  /** Deterministic train/val/test split: every document is assigned by
+    * hash64(doc_id) mod 100 — < trainPct train, < trainPct+valPct val,
+    * else test — and the summary reports docs and tokens per
+    * (source, split). The assignment is a pure function of the stable
+    * key: task retries, re-runs, and incremental ingest land every doc
+    * in the SAME split (rand()-based splitting does not survive any of
+    * those), and no document can ever migrate between train and test as
+    * the corpus grows — the leakage guarantee an eval pipeline actually
+    * needs. Scan-local + one partial-agg shuffle of (source, split)
+    * partials; no shuffle touches text. */
+  def trainSplitSummary(docs: DataFrame, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val h = hash64(col("doc_id").cast("string"), "split") % 100
+    val split = when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val").otherwise("test")
+    docs
+      .select(col("source"), split.as("split"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  /** Hash-shard balance audit: assign every document to one of nShards
+    * output shards by hash64(doc_id) mod nShards — the deterministic
+    * shard function a distributed writer uses (each shard is written
+    * independently; no global sort, no coordination) — and report docs,
+    * tokens, and the min/max document token count per shard. The point
+    * of the audit is the balance numbers themselves: uniform hashing
+    * bounds shard skew, and a shard whose token total drifts from the
+    * mean flags either a hash problem or pathological doc-length skew.
+    * Scan-local + one nShards-row aggregate, any corpus size. */
+  def hashShardBalance(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    docs
+      .select((hash64(col("doc_id").cast("string"), "shard") % nShards)
+          .as("shard"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("toks")).as("min_doc_toks"), max(col("toks")).as("max_doc_toks"))
+      .orderBy("shard")
+  }
+
   /** Deterministic stratified sampling summary: keep a document iff
     * hash64(doc_id) mod 100 falls under its source's percentage (rates
     * override `defaultPct` per source). Reports kept/total per source.

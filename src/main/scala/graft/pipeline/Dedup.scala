@@ -326,8 +326,10 @@ object Dedup {
       // union — a lazy checkpoint would let their tasks race to compute
       // it (same hazard as candM above); index construction is the
       // build step, so building at insert time is the honest cost.
+      // The verified jaccard rides along (one double per pair): the
+      // clustering consumers project it away, the estimate audit needs
+      // it, and a production pipeline persists it anyway.
       lshNearDupPairsUnsorted(docs, threshold, maxBucket = 1000)
-        .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
     }
 
@@ -410,6 +412,73 @@ object Dedup {
       .select(col("doc_id"))
     docs.join(removed, Seq("doc_id"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** MinHash-estimate quality audit: for every VERIFIED near-dup pair,
+    * the Jaccard the signatures would have estimated (fraction of the 8
+    * minhash positions agreeing) next to the true shingle Jaccard — the
+    * calibration report that justifies trusting signature agreement at
+    * scales where exact verification is too expensive (same
+    * audit-the-approximation stance as q38b/q39b). Reuses the
+    * session-scoped pair index (pairs + true jaccard come from the one
+    * materialized build); signatures are recomputed only for documents
+    * that appear in a pair — the corpus is pruned with a broadcast
+    * semi-join first, so audit CPU scales with true duplication, not
+    * corpus size. mh_est = k/8 is exact binary arithmetic; abs_err
+    * subtracts the already-rounded jaccard — both engines agree
+    * bit-for-bit. */
+  def minhashEstimateAudit(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = verifiedPairIndex(docs, threshold) // doc_a, doc_b, jaccard
+    val ids = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigs = minhashCols(docs)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val aSide = sigs.columns.filter(_.startsWith("mh"))
+      .foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val withA = aSide
+      .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .drop("doc_id")
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(agree.cast("double") / NumHashes, 6).as("mh_est"),
+        round(abs(col("jaccard") - agree.cast("double") / NumHashes), 6)
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-document shingle-share profile per source: what fraction of
+    * each document's distinct 3-token shingles also occur in at least
+    * one OTHER document — the corpus-level boilerplate/duplication
+    * diagnostic read before choosing dedup thresholds (a source whose
+    * docs share most of their shingles is template-heavy; near-dup
+    * thresholds tuned on a low-share source will under-fire there).
+    *
+    * Join-free, one corpus-sized shuffle: per-(doc, shingle-hash) rows
+    * aggregate once, the shingle's document frequency is a window count
+    * over the hash partition (the q55/q57 decomposition), and
+    * everything after is doc-level. Shingles travel as 60-bit hashes;
+    * "shared" means document frequency > 1, so a shingle repeated only
+    * WITHIN one doc does not count (distinct-per-doc by construction).
+    * Integer counts, one final divide. */
+  def crossDocShingleShare(docs: DataFrame, k: Int = 3): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dg = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        explode(shingleHashes(col("text"), k, "xd")).as("g"))
+    val perDoc = dg
+      .withColumn("ddf", count(lit(1)).over(W.partitionBy(col("g"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ddf") > 1, 1L).otherwise(0L)).as("n_shared"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_shared")).cast("double") / sum(col("n_shingles")), 6)
+          .as("shared_shingle_frac"))
       .orderBy("source")
   }
 

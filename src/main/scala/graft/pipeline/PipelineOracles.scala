@@ -128,6 +128,21 @@ object PipelineOracles {
        |SELECT * FROM v WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** MinHash-estimate audit: verified pairs + the signature-agreement
+    * estimate (fraction of the 8 minhashes agreeing) vs true jaccard. */
+  def minhashEstimateAudit(threshold: Double): String =
+    s"""WITH ${lshCtes(threshold)}
+       |SELECT v.doc_a, v.doc_b, v.jaccard,
+       |  round(len(list_filter(range(1, 9), i -> ma.mh[i] = mb.mh[i]))::DOUBLE / 8, 6)
+       |    AS mh_est,
+       |  round(abs(v.jaccard -
+       |    len(list_filter(range(1, 9), i -> ma.mh[i] = mb.mh[i]))::DOUBLE / 8), 6)
+       |    AS abs_err
+       |FROM verified v JOIN m ma ON ma.doc_id = v.doc_a
+       |                JOIN m mb ON mb.doc_id = v.doc_b
+       |WHERE v.jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def ngramJaccard(maxId: Long, threshold: Double): String =
     s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, length(text)-1), i -> substr(text, i, 3))) AS ng

@@ -467,4 +467,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(byKeep(1L) == 3L) // case/whitespace variants collapse together
     assert(byKeep(4L) == 2L) // raw exact dups still found
   }
+
+  test("train split partitions every source; assignment is key-deterministic") {
+    val splits = Curation.trainSplitSummary(docs).collect()
+    assert(splits.forall(r => Set("train", "val", "test")(r.getString(1))))
+    val total = splits.map(_.getLong(2)).sum
+    assert(total == docs.count()) // every doc lands in exactly one split
+    // same keys → same assignment on a re-read of the same table
+    val again = Curation.trainSplitSummary(docs).collect()
+    assert(splits.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("hash shards: ids in range, doc totals partition the corpus") {
+    val shards = Curation.hashShardBalance(docs, 16).collect()
+    assert(shards.forall { r => val id = r.getLong(0); id >= 0 && id < 16 })
+    assert(shards.map(_.getLong(1)).sum == docs.count())
+    shards.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4)) // min_doc_toks <= max_doc_toks
+    }
+  }
+
+  test("cross-doc shingle share: identical docs share all, unique doc shares none") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b c d e f", "s1"),
+      (3L, "q w e r t y", "s2")).toDF("doc_id", "text", "source")
+    val rows = Dedup.crossDocShingleShare(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("s1") == 1.0) // every shingle of each twin occurs in the other
+    assert(rows("s2") == 0.0) // disjoint vocabulary shares nothing
+  }
+
+  test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
+    val audit = Dedup.minhashEstimateAudit(docs, 0.8).collect()
+    val pairs = Dedup.lshNearDupPairs(docs, 0.8).count()
+    assert(audit.length.toLong == pairs)
+    audit.foreach { r =>
+      val (j, est, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(math.abs(j - est) - err) < 1e-6)
+      // 8 hashes → estimates quantized to eighths
+      assert(math.abs(est * 8 - math.round(est * 8)) < 1e-9)
+    }
+  }
 }

@@ -223,4 +223,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
     assert(p.contains("HashAggregate")) // distinct-expand partials, hashes computed scan-side
   }
+
+  test("q64 cross-doc share: join-free — df via window over the hash partition") {
+    val p = plan("q64_crossdoc_share")
+    assert(!p.contains("Join"))
+    assert(p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q65 train split: scan-local assignment, one partial+final aggregate") {
+    val p = plan("q65_train_split")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count")) // map-side combine before the shuffle
+  }
+
+  test("q66 hash shards: scan-local assignment, one partial+final aggregate") {
+    val p = plan("q66_hash_shards")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
+    val p = plan("q67_minhash_audit")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    // the signature recomputation reads only pair members (semi-join prune)
+    assert(p.contains("LeftSemi"))
+  }
 }
