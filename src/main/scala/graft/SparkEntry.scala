@@ -170,6 +170,12 @@ object SparkEntry {
     // the q36/q37 session pair index)
     "q67_minhash_audit" -> ((s, dir) => Dedup.minhashEstimateAudit(
       Corpus.table(s, dir, "documents"), 0.8)),
+    // q68: incremental delta-vs-base dedup (ingest admission gate)
+    "q68_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedupSummary(
+      Corpus.table(s, dir, "documents"), 10L, 0.8)),
+    // q69: collocation head — top bigrams by lift (exp-PMI), support ≥ 10
+    "q69_collocations" -> ((s, dir) => TextStats.collocationHead(
+      Corpus.table(s, dir, "documents"), 10L, 25)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -579,5 +585,24 @@ object SparkEntry {
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
     "q67_minhash_audit" ->
       PO.minhashEstimateAudit(0.8).replace("\n", " "),
+    "q68_incremental_dedup" ->
+      PO.incrementalDedup(10L, 0.8).replace("\n", " "),
+    // lift = (n_pair·N)/(n_a·n_b): int64 products, one double divide —
+    // bit-identical in both engines; ranking on the rounded value
+    "q69_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (SELECT term, count(*) AS c1 FROM
+        |  (SELECT unnest(t) AS term FROM tk) u
+        |  WHERE length(term) > 0 GROUP BY term),
+        |n AS (SELECT sum(c1)::BIGINT AS n_total FROM uc),
+        |bc AS (SELECT term_a, term_b, count(*) AS n_pair FROM
+        |  (SELECT t[i] AS term_a, t[i+1] AS term_b
+        |   FROM tk, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2) b
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT term_a, term_b, n_pair, ca.c1 AS n_a, cb.c1 AS n_b,
+        |  round((n_pair * n_total)::DOUBLE / (ca.c1 * cb.c1), 6) AS lift
+        |FROM bc JOIN uc ca ON term_a = ca.term
+        |        JOIN uc cb ON term_b = cb.term CROSS JOIN n
+        |ORDER BY lift DESC, term_a, term_b LIMIT 25""".stripMargin.replace("\n", " "),
   )
 }

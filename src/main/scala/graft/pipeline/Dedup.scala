@@ -168,13 +168,20 @@ object Dedup {
     lshNearDupPairsUnsorted(docs, threshold, maxBucket)
       .orderBy("doc_a", "doc_b")
 
-  private[pipeline] def lshNearDupPairsUnsorted(
-      docs: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
+  /** (doc_id, band, bkey) — every document exploded to its LSH band
+    * keys. The shared candidate-generation input of the symmetric
+    * (corpus-vs-itself) and asymmetric (delta-vs-base) near-dup tiers. */
+  private def bandedKeys(docs: DataFrame): DataFrame = {
     val sig = minhashCols(docs)
     val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
     val bandStructs = array((0 until Bands).map(b =>
       struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+  }
 
+  private[pipeline] def lshNearDupPairsUnsorted(
+      docs: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     // Candidate generation WITHOUT a self-join: group ids per
     // (band, key) bucket and expand each bucket's pair combinations —
     // the classic map-reduce LSH shape. One shuffle carrying three
@@ -183,9 +190,7 @@ object Dedup {
     // formulation was correct but its 4-join AQE tree was
     // pathologically variance-prone in-session (6s…190s); this DAG is
     // one shuffle + two broadcast joins.
-    val banded = sig
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val banded = bandedKeys(docs)
     val ids = array_sort(collect_list(col("doc_id")))
     val cand = banded
       .groupBy(col("band"), col("bkey"))
@@ -479,6 +484,73 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("n_shared")).cast("double") / sum(col("n_shingles")), 6)
           .as("shared_shingle_frac"))
+      .orderBy("source")
+  }
+
+  /** Incremental (delta-vs-base) dedup summary: the admission gate a
+    * production pipeline runs on every NEW batch of documents against
+    * the standing corpus — the asymmetric form of dedup that the
+    * corpus-vs-itself tiers (q16–q21) do not cover. Documents with
+    * `hash64(doc_id) % deltaMod == 0` stand in for the incoming batch;
+    * the rest are the base corpus. A delta doc is dropped if its hash
+    * already exists in the base (exact tier) or if it verifies as a
+    * near-duplicate (shingle Jaccard ≥ threshold) of ANY base doc via
+    * banded MinHash-LSH (near tier). Returns per-source counts:
+    * delta docs, exact hits, near hits (exact hits excluded), admitted.
+    * The stand-in batch is a HASH split (hash64(doc_id) % deltaMod),
+    * not a raw modulo: the corpus assigns doc_id ranges per source, so
+    * a modulo split would put the whole batch in 2 of 20 sources.
+    *
+    * Scale shape: the exact tier is a semi-join of delta hashes against
+    * base hashes (base side streams; no text through the shuffle). The
+    * near tier joins DELTA band keys against BASE band keys — an
+    * equi-join on (band, bkey) where the delta side is one ingest batch:
+    * AQE broadcasts it when genuinely small and shuffles both sides
+    * otherwise, either way never all-pairs. Jaccard verification
+    * re-attaches shingle sets only for candidate members on BOTH sides
+    * (broadcast semi-join prune, same as lshNearDupPairs), so verify
+    * CPU scales with candidate volume, not corpus size. */
+  def incrementalDedupSummary(docs: DataFrame, deltaMod: Long,
+                              threshold: Double): DataFrame = {
+    val isDelta = hash64(col("doc_id").cast("string"), "inc") % deltaMod === 0
+    val base = docs.where(!isDelta)
+    val delta = docs.where(isDelta)
+
+    val baseH = base.select(sha2(col("text"), 256).as("h")).distinct()
+    val exactHits = delta.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(baseH, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+    // asymmetric LSH: delta bands ⋈ base bands on the bucket key
+    val cand = bandedKeys(delta).as("d")
+      .join(bandedKeys(base).as("b"), Seq("band", "bkey"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+      .localCheckpoint(true) // feeds the id set + both verify joins once
+    val candIds = cand
+      .select(explode(array(col("delta_id"), col("base_id"))).as("doc_id"))
+      .distinct()
+    val shTbl = graft.sources.Corpus.fanOutSmallScan(docs)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesOf(col("text"), ShingleK).as("sh"))
+    val withD = shTbl
+      .join(broadcast(cand), col("doc_id") === col("delta_id"))
+      .select(col("delta_id"), col("base_id"), col("sh").as("shd_"))
+    val nearHits = shTbl
+      .join(broadcast(withD), col("doc_id") === col("base_id"))
+      .where(jaccard(col("shd_"), col("sh")) >= threshold)
+      .select(col("delta_id").as("doc_id")).distinct()
+
+    val flagged = delta
+      .join(exactHits.withColumn("_ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("_nr", lit(1)), Seq("doc_id"), "left")
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(coalesce(col("_ex"), lit(0))).cast("long").as("n_exact_dup"),
+        sum(when(col("_ex").isNull && col("_nr") === 1, 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum(when(col("_ex").isNull && col("_nr").isNull, 1L).otherwise(0L))
+          .as("n_admitted"))
       .orderBy("source")
   }
 

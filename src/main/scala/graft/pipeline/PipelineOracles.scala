@@ -128,6 +128,48 @@ object PipelineOracles {
        |SELECT * FROM v WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Incremental delta-vs-base dedup: delta = hash64(doc_id, 'inc') %
+    * deltaMod == 0 (hash split — doc_id ranges encode the source),
+    * exact tier by content hash, near tier by asymmetric banded LSH
+    * (delta bands ⋈ base bands) with raw-jaccard verification — the
+    * exact mirror of Dedup.incrementalDedupSummary. */
+  def incrementalDedup(deltaMod: Long, threshold: Double): String = {
+    val mhList = (0 until 8).map(mhExpr).mkString(", ")
+    val bandKey =
+      h64("mh[band*2+1]::VARCHAR || '_' || mh[band*2+2]::VARCHAR", "band'||band||'")
+    def isDelta(c: String) = s"${h64(s"$c::VARCHAR", "inc")} % $deltaMod = 0"
+    def notDelta(c: String) = s"${h64(s"$c::VARCHAR", "inc")} % $deltaMod <> 0"
+    s"""WITH $shingleCtes,
+       |m AS (SELECT doc_id, s, [$mhList] AS mh FROM bh),
+       |bands AS (SELECT doc_id, band, $bandKey AS bkey
+       |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
+       |dd AS (SELECT doc_id FROM documents WHERE ${isDelta("doc_id")}),
+       |cand AS (SELECT DISTINCT d.doc_id AS delta_id, bb.doc_id AS base_id
+       |  FROM bands d JOIN bands bb ON d.band = bb.band AND d.bkey = bb.bkey
+       |  WHERE d.doc_id IN (SELECT doc_id FROM dd)
+       |    AND bb.doc_id NOT IN (SELECT doc_id FROM dd)),
+       |near AS (SELECT DISTINCT delta_id FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.delta_id
+       |  JOIN sh sb ON sb.doc_id = cand.base_id
+       |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.s, sb.s))) >= $threshold),
+       |ex AS (SELECT DISTINCT doc_id FROM documents
+       |  WHERE ${isDelta("doc_id")} AND sha256(text) IN
+       |    (SELECT sha256(text) FROM documents WHERE ${notDelta("doc_id")}))
+       |SELECT d.source, count(*) AS n_delta,
+       |  sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_exact_dup,
+       |  sum(CASE WHEN ex.doc_id IS NULL AND near.delta_id IS NOT NULL
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_near_dup,
+       |  sum(CASE WHEN ex.doc_id IS NULL AND near.delta_id IS NULL
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_admitted
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN near ON near.delta_id = d.doc_id
+       |WHERE ${isDelta("d.doc_id")}
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** MinHash-estimate audit: verified pairs + the signature-agreement
     * estimate (fraction of the 8 minhashes agreeing) vs true jaccard. */
   def minhashEstimateAudit(threshold: Double): String =

@@ -272,6 +272,51 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Collocation head: the k adjacent token pairs most over-represented
+    * vs independence — lift(x,y) = c_xy·N / (c_x·c_y), the exp of PMI —
+    * with a min-support floor. This is the statistic a tokenizer-merge
+    * or phrase-mining pass ranks on (raw bigram frequency, q43-style,
+    * just surfaces stopword pairs). Lift is used INSTEAD of log-PMI
+    * deliberately: the ranking is identical (exp is monotone) and the
+    * arithmetic stays exact — two int64 products and ONE double divide,
+    * correctly rounded in both engines, where ln() would be at the
+    * mercy of libm ulp drift (the float-parity policy).
+    *
+    * Scale shape: one (bigram) and one (unigram) hash aggregate over
+    * the corpus — both collapse map-side, so each shuffle carries
+    * vocabulary-sized partials, never token instances. The count join
+    * is vocab×vocab-sized and the support floor prunes it before the
+    * join; top-k is TakeOrderedAndProject (never a global sort). N
+    * rides a one-row broadcast. c_xy·N overflows int64 only past ~10^9
+    * occurrences × 10^9 tokens — at that corpus scale, pre-divide by
+    * gcd or go DECIMAL(38). */
+  def collocationHead(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val toks = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).as("n_total"))
+    val bg = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> " +
+          "struct(element_at(t, i+1) AS term_a, element_at(t, i+2) AS term_b))"))
+        .as("b"))
+      .select(col("b.term_a"), col("b.term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    bg
+      .join(uni.select(col("term").as("term_a"), col("c1").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("c1").as("n_b")), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round((col("n_pair") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
   def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
     docs.where(col("doc_id") < maxId)

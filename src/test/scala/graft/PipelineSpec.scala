@@ -499,6 +499,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s2") == 0.0) // disjoint vocabulary shares nothing
   }
 
+  test("incremental dedup: counts partition the delta; planted dup is caught") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.incrementalDedupSummary(docs, 10L, 0.8).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.getString(0)}: delta != exact + near + admitted")
+    }
+    // exact tier on a crafted corpus: with deltaMod = 5, the 'inc' hash
+    // puts docs {6, 7} in the delta (precomputed); doc 7 is an exact
+    // copy of base doc 3 → one exact hit, doc 6 unique → admitted
+    val crafted = (1L to 8L)
+      .map(i => (i,
+        if (i == 7L || i == 3L) "a b c d e f" else s"uniq$i text nr$i here",
+        "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.incrementalDedupSummary(crafted, 5L, 0.8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L) // docs 6 and 7 are the delta
+    assert(r.getLong(2) == 1L) // doc 7 == doc 3 exactly
+    assert(r.getLong(4) == 1L) // doc 6 admitted
+  }
+
+  test("collocation head: lift over-represents adjacent pairs, support floor holds") {
+    val rows = TextStats.collocationHead(docs, 10L, 25).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 10L) // n_pair >= minCount
+      assert(r.getDouble(5) > 0.0)
+    }
+    // descending by rounded lift
+    val lifts = rows.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
   test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
     val audit = Dedup.minhashEstimateAudit(docs, 0.8).collect()
     val pairs = Dedup.lshNearDupPairs(docs, 0.8).count()

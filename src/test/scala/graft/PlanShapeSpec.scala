@@ -245,6 +245,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
   }
 
+  test("q68 incremental dedup: equi-joins only — band-key join, never all-pairs") {
+    val p = plan("q68_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi")) // exact tier + candidate-member prune
+  }
+
+  test("q69 collocations: map-side-combined count aggs; top-k is TakeOrdered, not a sort") {
+    val p = plan("q69_collocations")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count")) // bigram + unigram partials collapse map-side
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
