@@ -176,6 +176,9 @@ object SparkEntry {
     // q69: collocation head — top bigrams by lift (exp-PMI), support ≥ 10
     "q69_collocations" -> ((s, dir) => TextStats.collocationHead(
       Corpus.table(s, dir, "documents"), 10L, 25)),
+    // q70: sign-bucket ANN recall@10 vs exact, sampled query set
+    "q70_bucket_recall" -> ((s, dir) => Similarity.bucketRecallAudit(
+      Corpus.table(s, dir, "embeddings"), 10, 4, 100L)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -587,6 +590,8 @@ object SparkEntry {
       PO.minhashEstimateAudit(0.8).replace("\n", " "),
     "q68_incremental_dedup" ->
       PO.incrementalDedup(10L, 0.8).replace("\n", " "),
+    "q70_bucket_recall" ->
+      PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
     // lift = (n_pair·N)/(n_a·n_b): int64 products, one double divide —
     // bit-identical in both engines; ranking on the rounded value
     "q69_collocations" ->

@@ -254,6 +254,31 @@ object PipelineOracles {
        |WHERE vec_id NOT IN (SELECT node FROM removed)
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Sign-bucket ANN recall@k vs brute-force ground truth over the
+    * sampled query set (vec_id % queryMod == 0) — mirrors
+    * Similarity.bucketRecallAudit: rank on the ROUNDED cosine with
+    * vec_id tie-break in both rankings. */
+  def bucketRecallAudit(k: Int, nBits: Int, queryMod: Long): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+       |  FROM b WHERE vec_id % $queryMod = 0),
+       |scored AS (SELECT qid, vec_id, bucket, qb,
+       |  round(${cosineExpr("embedding", "qe")}, 6) AS cos
+       |  FROM b, q WHERE vec_id <> qid),
+       |ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) x WHERE rn <= $k),
+       |bk AS (SELECT qid AS bqid, vec_id AS bvec FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored WHERE bucket = qb) y WHERE rn <= $k)
+       |SELECT qid,
+       |  sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  round(sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN bk ON qid = bqid AND vec_id = bvec
+       |GROUP BY qid ORDER BY qid""".stripMargin
+
   def bucketKnnJoin(k: Int, nBits: Int): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),

@@ -271,6 +271,53 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Recall@k audit of the sign-bucket ANN tier: for a SAMPLED query
+    * set (vec_id % queryMod == 0), how many of the true (brute-force)
+    * top-k cosine neighbors the bucket-local search returns. This is
+    * the measurement that turns nBits from a guess into a dial — and
+    * the production recipe verbatim: ground truth is exact by
+    * construction ON THE SAMPLE, so the audit's all-pairs stage is
+    * O(|sample| · corpus), not corpus², and the sample rides a
+    * broadcast. ONE scored pass feeds both rankings (the bucketed
+    * ranking filters it; Catalyst reuses the exchange), ranking is on
+    * the ROUNDED cosine with vec_id tie-break so both engines rank
+    * identically. recall = hits/k is exact (int/int, one divide).
+    * Completes the audit-the-approximation family: LSH→q67, HLL→q39b,
+    * IVF→q38b, sign-bucket→this. */
+  def bucketRecallAudit(embeddings: DataFrame, k: Int, nBits: Int,
+                        queryMod: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val v = withVectorCols(embeddings, nBits)
+      .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
+    val q = v.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("q_ed"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("bucket"), col("q_bucket"),
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"), col("q_norm")), 6)
+          .as("cos"))
+    val w = W.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = scored
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val bucketed = scored.where(col("bucket") === col("q_bucket"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid").as("bqid"), col("vec_id").as("bvec"))
+    // both sides are ≤ k·|sample| rows; the hit-check join broadcasts
+    // the bucketed side by construction (never corpus-sized)
+    exact
+      .join(broadcast(bucketed),
+        col("qid") === col("bqid") && col("vec_id") === col("bvec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("bvec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k_eff"), 6).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Int8 scalar-quantization error profile per label — the compression
     * audit run before shipping vectors to an ANN index (4× smaller than
     * float32; is the recall cost acceptable?). Each vector is quantized

@@ -535,6 +535,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(lifts == lifts.sorted.reverse)
   }
 
+  test("bucket recall audit: recall in [0,1]; 0 bits would be exact (sanity via all-probes analogue)") {
+    val rows = Similarity.bucketRecallAudit(embs, 10, 4, 100L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recall = r.getDouble(2)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getLong(1) <= 10L)
+    }
+    // 1-bit buckets search half the corpus → recall must not decrease
+    // when the bucket gets coarser for the same query set
+    val coarse = Similarity.bucketRecallAudit(embs, 10, 1, 100L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fine = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    fine.foreach { case (qid, rFine) =>
+      assert(coarse(qid) >= rFine,
+        s"qid $qid: coarser bucket lowered recall ${coarse(qid)} < $rFine")
+    }
+  }
+
   test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
     val audit = Dedup.minhashEstimateAudit(docs, 0.8).collect()
     val pairs = Dedup.lshNearDupPairs(docs, 0.8).count()

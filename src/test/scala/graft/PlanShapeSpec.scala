@@ -259,6 +259,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count")) // bigram + unigram partials collapse map-side
   }
 
+  test("q70 bucket recall: sampled queries broadcast — the corpus side never shuffles wide") {
+    val p = plan("q70_bucket_recall")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
