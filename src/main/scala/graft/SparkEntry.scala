@@ -179,6 +179,9 @@ object SparkEntry {
     // q70: sign-bucket ANN recall@10 vs exact, sampled query set
     "q70_bucket_recall" -> ((s, dir) => Similarity.bucketRecallAudit(
       Corpus.table(s, dir, "embeddings"), 10, 4, 100L)),
+    // q71: kNN majority-label consistency (embedding-quality eval)
+    "q71_knn_label_audit" -> ((s, dir) => Similarity.knnLabelAudit(
+      Corpus.table(s, dir, "embeddings"), 5, 4)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -592,6 +595,8 @@ object SparkEntry {
       PO.incrementalDedup(10L, 0.8).replace("\n", " "),
     "q70_bucket_recall" ->
       PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
+    "q71_knn_label_audit" ->
+      PO.knnLabelAudit(5, 4).replace("\n", " "),
     // lift = (n_pair·N)/(n_a·n_b): int64 products, one double divide —
     // bit-identical in both engines; ranking on the rounded value
     "q69_collocations" ->

@@ -101,7 +101,13 @@ object Similarity {
     * One bucket-local pair generation + a rank window partitioned by
     * vector: the window shuffles on vec_id, already the pair output's
     * natural key. */
-  def bucketKnnJoin(embeddings: DataFrame, k: Int, nBits: Int): DataFrame = {
+  def bucketKnnJoin(embeddings: DataFrame, k: Int, nBits: Int): DataFrame =
+    // sorted on the public/gate surface only — downstream consumers
+    // (the label audit) take the unsorted variant
+    bucketKnnJoinUnsorted(embeddings, k, nBits).orderBy("vec_id", "rank")
+
+  private def bucketKnnJoinUnsorted(embeddings: DataFrame, k: Int,
+                                    nBits: Int): DataFrame = {
     // Bucket-collect instead of a self-join: members of each bucket are
     // gathered once and all ordered pairs are generated bucket-locally.
     // (A self-join formulation hits a Spark attribute-rebinding bug
@@ -128,7 +134,44 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .orderBy("vec_id", "rank")
+  }
+
+  /** kNN label-consistency audit: every vector is "classified" by the
+    * majority label of its k bucket-local nearest neighbors and scored
+    * against its own label — the standard embedding-quality eval (a
+    * space where neighbors don't share labels won't retrieve or
+    * cluster well either). Majority ties break on the lexicographically
+    * smallest label, so the vote is deterministic in both engines.
+    * Returns per-label: vectors, majority-correct count, accuracy
+    * (int/int, one divide — exact parity).
+    *
+    * Scale shape: rides the bucketed kNN join (never all-pairs); the
+    * vote is one (vec, label) count aggregate over ≤ k rows per vector
+    * plus a WindowGroupLimit-style rank pick; the label attach is an
+    * equi-join against the (vec_id, label) projection, which Catalyst
+    * sizes — at audit scales the neighbor table is sample- or
+    * corpus-linear, never quadratic. */
+  def knnLabelAudit(embeddings: DataFrame, k: Int, nBits: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val knn = bucketKnnJoinUnsorted(embeddings, k, nBits)
+      .join(labels.select(col("vec_id").as("neighbor"),
+        col("label").as("n_label")), "neighbor")
+    val votes = knn.groupBy(col("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("v"))
+    val top = votes
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("vec_id")).orderBy(col("v").desc, col("n_label"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("n_label").as("predicted"))
+    top.join(labels, "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      .orderBy("label")
   }
 
   /** IVF ANN: a k-means-learned coarse quantizer (the classic inverted-

@@ -554,6 +554,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("knn label audit: accuracy bounds hold; perfect clusters score 1.0") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.knnLabelAudit(embs, 5, 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // two tight, well-separated label clusters → every majority vote
+    // is the own label → accuracy 1.0 for both
+    val crafted = (
+      (1L to 4L).map(i => (i, Array(1.0f, 0.0f, 0.01f * i, 0.0f), "a")) ++
+      (5L to 8L).map(i => (i, Array(-1.0f, 0.0f, 0.0f, 0.01f * i), "b"))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAudit(crafted, 3, 1).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"label ${r.getString(0)}: accuracy ${r.getDouble(3)}"))
+  }
+
   test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
     val audit = Dedup.minhashEstimateAudit(docs, 0.8).collect()
     val pairs = Dedup.lshNearDupPairs(docs, 0.8).count()

@@ -266,6 +266,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q71 knn label audit: bucket-collect pairs — no cartesian, no wide self-join") {
+    val p = plan("q71_knn_label_audit")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window")) // neighbor rank + majority-vote pick
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
