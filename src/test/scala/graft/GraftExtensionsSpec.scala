@@ -40,4 +40,50 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(SparkTestSession.spark)
     }
   }
+
+  test("optimizer rule rewrites the portable hash spelling to the native kernel") {
+    SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // non-foldable input over a real scan: literals constant-fold and
+      // VALUES collapses to an eagerly-evaluated LocalRelation
+      s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("ext_docs")
+      val portable = s.sql(
+        "SELECT cast(conv(substring(sha2(concat(text, '#mh'), 256), 1, 15), 16, 10) AS BIGINT) AS h " +
+          "FROM ext_docs WHERE doc_id = 0")
+      // the optimized plan carries the kernel, not the 5-expression chain
+      val opt = portable.queryExecution.optimizedPlan.toString
+      assert(opt.contains("sha256_prefix60"), s"no rewrite in:\n$opt")
+      assert(!opt.contains("sha2("), s"portable chain survived in:\n$opt")
+      // and the value is the portable value, bit-for-bit
+      val doc0 = s.sql("SELECT text FROM ext_docs WHERE doc_id = 0")
+        .head().getString(0)
+      assert(portable.head().getLong(0) ==
+        GraftHash.sha256Prefix60(
+          UTF8String.fromString(doc0), "#mh".getBytes("UTF-8")))
+      // no-seed form rewrites too
+      val noSeed = s.sql(
+        "SELECT cast(conv(substring(sha2(text, 256), 1, 15), 16, 10) AS BIGINT) AS h " +
+          "FROM ext_docs WHERE doc_id = 0")
+      assert(noSeed.queryExecution.optimizedPlan.toString
+        .contains("sha256_prefix60"))
+      assert(noSeed.head().getLong(0) ==
+        GraftHash.sha256Prefix60(UTF8String.fromString(doc0), Array.emptyByteArray))
+      // a NON-matching shape (different substring window) is untouched
+      val other = s.sql(
+        "SELECT cast(conv(substring(sha2(text, 256), 1, 14), 16, 10) AS BIGINT) AS h " +
+          "FROM ext_docs WHERE doc_id = 0")
+      assert(!other.queryExecution.optimizedPlan.toString
+        .contains("sha256_prefix60"))
+    } finally {
+      SparkSession.setDefaultSession(SparkTestSession.spark)
+      SparkSession.setActiveSession(SparkTestSession.spark)
+    }
+  }
 }
