@@ -133,4 +133,30 @@ object StreamingPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("h")
       .drop("h") // internal dedup key — output schema mirrors the input
+
+  /** Streaming ingest admission — the streaming spelling of the batch
+    * incremental-dedup gate (Dedup.incrementalDedupSummary, q68): every
+    * incoming document is admitted only if its content hash is neither
+    * (a) already in the STANDING base corpus, nor (b) seen earlier in
+    * the stream within the watermark horizon.
+    *
+    * Tier (a) is a stream-static LEFT ANTI join against the base's
+    * distinct hash projection — the static side is planned per
+    * micro-batch, so a base refresh (the nightly compaction that folds
+    * admitted docs in) is picked up without restarting the query.
+    * Tier (b) is the bounded-state within-stream dedup above. Order
+    * matters: the anti join drops base dups BEFORE they enter dedup
+    * state, so state is spent only on genuinely-new content. At 100 TB
+    * the base hash projection is a 64-byte-row table the join shuffles
+    * or broadcasts by its true size; no text crosses either boundary. */
+  def admitStream(docs: DataFrame, base: DataFrame,
+                  lateness: String = "10 minutes"): DataFrame = {
+    val baseH = base.select(sha2(col("text"), 256).as("h")).distinct()
+    docs
+      .withColumn("h", sha2(col("text"), 256))
+      .join(baseH, Seq("h"), "left_anti")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+  }
 }

@@ -177,4 +177,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(kept == Seq(1L, 3L)) // duplicate doc 2 dropped
     } finally query.stop()
   }
+
+  test("ingest admission: base dups rejected, in-stream dups rejected, new docs admitted") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Seq((100L, "already ingested"), (101L, "base only"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingPipeline.admitStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), base,
+      lateness = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("s_admit")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sadmit").toString)
+      .start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "already ingested"), // base dup
+        (ts("2024-01-01 10:01:00"), 2L, "fresh document"),   // admitted
+        (ts("2024-01-01 10:02:00"), 3L, "fresh document"),   // stream dup
+        (ts("2024-01-01 10:03:00"), 4L, "another new one"))  // admitted
+      query.processAllAvailable()
+      val admitted = spark.table("s_admit").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(admitted == Seq(2L, 4L))
+    } finally query.stop()
+  }
 }
