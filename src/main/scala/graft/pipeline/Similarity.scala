@@ -314,6 +314,69 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Persist the IVF index: train (or reuse the session-cached) k-means
+    * quantizer, assign every vector to its cell, and write the assigned
+    * table cell-partitioned (sources/PartitionedStore). This is the
+    * index-BUILD job of a production deployment: run once (or per
+    * compaction), then every probe is a partition-pruned read — no
+    * Spark-side recomputation, no model in the serving path beyond the
+    * centroid list, which is nClusters rows and lives wherever the
+    * query router runs. Returns the centroids (cell → vector) the
+    * prober needs for cell ranking. */
+  def buildIvfStore(embeddings: DataFrame, dir: String,
+                    nClusters: Int, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.withColumn("features",
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val model = graft.SessionCache.getOrBuild(embeddings.sparkSession,
+      ("Similarity.ivfIndex", embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings), nClusters, seed)) {
+      feat.cache()
+      try new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(feat)
+      finally feat.unpersist(false)
+    }
+    graft.sources.PartitionedStore.writeByCell(
+      model.transform(feat).drop("features"), dir, "cell")
+    model.clusterCenters.map(_.toArray).zipWithIndex.map(_.swap)
+  }
+
+  /** Probe a persisted IVF store: rank the (driver-side, config-sized)
+    * centroid list against the query, read ONLY the nProbe best cells
+    * (partition pruning — no other file is opened), exact-cosine
+    * re-rank inside. Identical semantics to the in-memory ivfTopK for
+    * the same corpus/model (pinned in PartitionedStoreSpec); the store
+    * version is what actually serves queries at 100 TB. */
+  def probeIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    centroids: Array[(Int, Array[Double])],
+                    queryVec: Array[Float], queryId: Long,
+                    k: Int, nProbe: Int): DataFrame = {
+    val qv = queryVec.map(_.toDouble)
+    val qNormSq = qv.map(x => x * x).sum
+    def cosToQuery(c: Array[Double]): Double = {
+      var d = 0.0; var nc = 0.0; var i = 0
+      while (i < qv.length) { d += qv(i) * c(i); nc += c(i) * c(i); i += 1 }
+      if (nc == 0.0 || qNormSq == 0.0) -1.0 else d / math.sqrt(qNormSq * nc)
+    }
+    val probes = centroids
+      .sortBy { case (i, c) => (-cosToQuery(c), i) }
+      .take(nProbe).map(_._1.toString).toSeq
+    val cells = graft.sources.PartitionedStore
+      .probeCells(spark, dir, "cell", probes)
+    val v = withVectorCols(cells, 0)
+    val qn = math.sqrt(qNormSq)
+    val qLit = array(qv.toIndexedSeq.map(lit): _*)
+    v.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.ArrayDot.column(col("ed"), qLit) /
+          (col("norm") * lit(qn)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Recall@k audit of the sign-bucket ANN tier: for a SAMPLED query
     * set (vec_id % queryMod == 0), how many of the true (brute-force)
     * top-k cosine neighbors the bucket-local search returns. This is

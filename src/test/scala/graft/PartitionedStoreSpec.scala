@@ -51,6 +51,24 @@ class PartitionedStoreSpec extends AnyFunSuite {
       s"probe read $numFiles/$totalFiles files — no pruning")
   }
 
+  test("persisted IVF probe == in-memory ivfTopK for the same model and query") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfstore").toString + "/ivf"
+    val embs = Corpus.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = pipeline.Similarity.buildIvfStore(embs, dir, nClusters = 8)
+    assert(centroids.length == 8)
+
+    val queryVec = embs.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val fromStore = pipeline.Similarity.probeIvfStore(
+        spark, dir, centroids, queryVec, 0L, k = 10, nProbe = 3)
+      .collect().map(_.toSeq)
+    val inMemory = pipeline.Similarity.ivfTopK(
+        embs, 0L, k = 10, nClusters = 8, nProbe = 3)
+      .collect().map(_.toSeq)
+    assert(fromStore.toSeq == inMemory.toSeq)
+  }
+
   test("store round-trips the full frame (no rows lost to partitioning)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pstore2").toString + "/docs"
