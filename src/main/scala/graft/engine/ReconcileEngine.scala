@@ -124,21 +124,21 @@ final class ReconcileEngine(val catalog: SecurityCatalog) {
       // (clickhouse_users.py:188, §8-Q6); the ALTER is only planned when
       // the user is not already a member, so dedup never materializes.
       val quotaApplyUsers = quotaMembers(spec.userQuota) :+ user
-      status += ("user_quotas" -> userQuotas, "user_has_quota" -> hasQuota)
+      status ++= Seq("user_quotas" -> userQuotas, "user_has_quota" -> hasQuota)
       if (!hasQuota) plan += AlterQuotaMembers(spec.userQuota, quotaApplyUsers)
     }
 
     if (spec.userProfile.nonEmpty) {
       val profiles = userProfiles(user)
       val hasProfile = profiles.contains(spec.userProfile)
-      status += ("user_profiles" -> profiles, "user_has_profile" -> hasProfile)
+      status ++= Seq("user_profiles" -> profiles, "user_has_profile" -> hasProfile)
       if (!hasProfile) plan += AlterUserProfile(user, spec.userProfile)
     }
 
     if (spec.userRoles.nonEmpty) {
       val roles = grantedRoles(user)
       val hasRoles = spec.userRoles.forall(roles.contains)
-      status += ("user_roles" -> roles, "user_has_roles" -> hasRoles)
+      status ++= Seq("user_roles" -> roles, "user_has_roles" -> hasRoles)
       // The reference creates and grants ALL desired roles when any one
       // is missing (clickhouse_users.py:235-241) — the anti-join gates
       // WHETHER to act, not the statement contents.

@@ -386,7 +386,7 @@ object Dedup {
     // any id scale). sum() over an EMPTY frame is null → None; an empty
     // graph (no verified pairs) is converged immediately.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0))
     var prevSum = labelSum(labels)
     var converged = prevSum.isEmpty

@@ -97,7 +97,7 @@ object StreamingPipeline {
     // timeout): merge, emit ripe sessions, hold + re-arm the rest
     def update(user: Long, incoming: Iterator[SessionEvent],
                state: GroupState[SessionBuf]): Iterator[UserSession] = {
-      val wm = state.getCurrentWatermarkMs
+      val wm = state.getCurrentWatermarkMs()
       val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
       val merged = mergeAll(held ++ incoming.map(e =>
         SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
