@@ -182,6 +182,8 @@ object SparkEntry {
     // q71: kNN majority-label consistency (embedding-quality eval)
     "q71_knn_label_audit" -> ((s, dir) => Similarity.knnLabelAudit(
       Corpus.table(s, dir, "embeddings"), 5, 4)),
+    // q72: burst-day anomaly flags (integer-exact 1.25× trailing-7d rule)
+    "q72_burst_days" -> ((s, dir) => RelationalOps.burstDays(s, dir)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -597,6 +599,19 @@ object SparkEntry {
       PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
     "q71_knn_label_audit" ->
       PO.knnLabelAudit(5, 4).replace("\n", " "),
+    // integer-only burst rule (n*28 > 5*trail7, the 1.25x WARN dial) —
+    // no float crosses engines
+    "q72_burst_days" ->
+      """WITH d AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, n,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail7,
+        |  count(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist FROM d)
+        |SELECT event_type, day, n, trail7::BIGINT AS trail7
+        |FROM t WHERE hist = 7 AND n * 28 > trail7 * 5
+        |ORDER BY event_type, day""".stripMargin.replace("\n", " "),
     // lift = (n_pair·N)/(n_a·n_b): int64 products, one double divide —
     // bit-identical in both engines; ranking on the rounded value
     "q69_collocations" ->

@@ -273,6 +273,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window")) // neighbor rank + majority-vote pick
   }
 
+  test("q72 burst days: window over the daily POST-AGG frame, not raw events") {
+    val p = plan("q72_burst_days")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate")) // daily partial+final before the window
+    assert(p.contains("Window"))
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
