@@ -369,12 +369,55 @@ object Dedup {
     * undirected edge (aCol, bCol). Output: (node, label) with label =
     * the smallest node id reachable from node. Semantics and scale
     * notes as documented on nearDupClusters. */
+  /** Edge-count bound for the driver-local CC fast path: 10⁶ edges ≈
+    * 16 MB of (long, long) — trivially driver-sized, and far above any
+    * observed pair-table size (the pair set is O(true duplicates)).
+    * Above the bound the distributed loop below runs unchanged. */
+  private val MaxLocalEdges = 1000000L
+
   private[pipeline] def minLabelComponents(pairs: DataFrame,
       aCol: String, bCol: String,
       maxIter: Int = Int.MaxValue): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true) // candidate generation runs exactly once
+
+    // Size-gated driver fast path: the pair graph is O(true duplicates)
+    // — tiny relative to the corpus at every scale — and each
+    // distributed propagation round costs a join + aggregate +
+    // checkpoint + driver action. When the (already materialized) edge
+    // set fits comfortably on the driver, a union-find computes the
+    // identical min-label fixpoint in microseconds; past the bound the
+    // iterative loop below takes over untouched. This is the standard
+    // production CC shape (GraphFrames does the same): distribute the
+    // EXPENSIVE part (candidate generation + verification), solve the
+    // small residual graph locally. maxIter semantics are preserved by
+    // routing explicit-round-bounded calls to the iterative loop.
+    val nEdges = edges.count()
+    if (nEdges <= MaxLocalEdges && maxIter == Int.MaxValue) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the representative IS the component min
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.sorted
+        .map(n => (n, find(n))).toDF("node", "label")
+    }
+
     // seed with the 1-hop minimum (free first propagation round); every
     // node appears as src because edges are symmetric
     var labels = edges.groupBy(col("src").as("node"))

@@ -499,6 +499,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s2") == 0.0) // disjoint vocabulary shares nothing
   }
 
+  test("CC local fast path == distributed min-label loop on the same graph") {
+    // explicit maxIter routes to the iterative distributed loop; the
+    // default takes the union-find fast path — both must agree exactly
+    val local = Dedup.nearDupClusters(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = Dedup.nearDupClusters(docs, 0.8, maxIter = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("incremental dedup: counts partition the delta; planted dup is caught") {
     val s = spark
     import s.implicits._
