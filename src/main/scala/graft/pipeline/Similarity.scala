@@ -277,21 +277,32 @@ object Similarity {
 
   private def cosineNearDupPairsUnsorted(
       embeddings: DataFrame, threshold: Double,
-      nBits: Int, maxBucket: Int): DataFrame = {
-    val v = withVectorCols(embeddings, nBits)
-      .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
-    v.groupBy(col("bucket"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("ed"), col("norm")))).as("ms"))
-      .where(size(col("ms")) > 1)
-      .select(explode(boundedPairs(col("ms"), maxBucket,
-        (a, b) => struct(
-          a.getField("vec_id").as("vec_a"),
-          b.getField("vec_id").as("vec_b"),
-          round(pairCosine(a.getField("ed"), b.getField("ed"),
-            a.getField("norm"), b.getField("norm")), 6).as("cos")))).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"), col("p.cos"))
-      .where(col("cos") >= threshold)
-  }
+      nBits: Int, maxBucket: Int): DataFrame =
+    // Session-scoped pair index, the embedding-space twin of
+    // Dedup.verifiedPairIndex: the pair tier (q29) and the cluster-dedup
+    // tier (q58) consume the SAME verified pair set, and bucket-collect
+    // + pair cosine is the dominant cost of both — materialize once per
+    // (corpus, threshold, nBits) per session. Same keying discipline:
+    // semantic plan hash + (path, size, mtime) lineage fingerprint.
+    graft.SessionCache.getOrBuild(embeddings.sparkSession,
+      ("Similarity.cosinePairIndex", embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings),
+        threshold, nBits, maxBucket)) {
+      val v = withVectorCols(embeddings, nBits)
+        .select(col("vec_id"), col("ed"), col("norm"), col("bucket"))
+      v.groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("ed"), col("norm")))).as("ms"))
+        .where(size(col("ms")) > 1)
+        .select(explode(boundedPairs(col("ms"), maxBucket,
+          (a, b) => struct(
+            a.getField("vec_id").as("vec_a"),
+            b.getField("vec_id").as("vec_b"),
+            round(pairCosine(a.getField("ed"), b.getField("ed"),
+              a.getField("norm"), b.getField("norm")), 6).as("cos")))).as("p"))
+        .select(col("p.vec_a"), col("p.vec_b"), col("p.cos"))
+        .where(col("cos") >= threshold)
+        .localCheckpoint(true)
+    }
 
   /** Embedding-level cluster dedup: connected components over the
     * verified cosine near-dup pairs, keep one representative (smallest

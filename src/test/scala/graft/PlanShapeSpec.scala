@@ -40,6 +40,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q29 cosine near-dups: bucket-collect — no join carries the embedding arrays") {
+    // the pair table is session-cached (built eagerly at construction);
+    // this pins the probe surface — the bucket-collect BUILD shape is
+    // structurally shared with q35, whose plan is pinned uncached below
     val p = plan("q29_cosine_near_dups")
     assert(!p.contains("Join")) // one groupBy shuffle, zero joins
     assert(!p.contains("CartesianProduct"))
