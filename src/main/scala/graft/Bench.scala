@@ -87,7 +87,11 @@ object Bench {
     // ms precision: sub-ms digits are JVM noise, and the full-precision
     // doubles pushed the round-6 JSON line past the driver's tail-capture
     // buffer (BENCH_r06 "parsed": null) — keep the line short
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator (de_DE, fr_FR, …) would break the JSON line
+    def ms(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -10,64 +10,88 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one JVM can host several SparkSessions (the test suite does), and a
   * frame localCheckpoint'd under one session is dead in another — a
   * JVM-global cache would happily serve it, turning pure operators into
-  * ones that can return wrong results cross-session. Entries here hang
-  * off the owning session through a WeakHashMap, so (a) a second
-  * session never sees the first's artifacts and (b) when a session is
-  * stopped and dropped, its entries become unreachable and the pinned
-  * checkpoint blocks collectable — the cache lives exactly as long as
-  * the artifacts it stores.
+  * ones that can return wrong results cross-session. Entries here are
+  * keyed per session, so a second session never sees the first's
+  * artifacts.
+  *
+  * Lifecycle, honestly: a cached DataFrame strongly references its
+  * SparkSession, so weak-keying on the session could never reclaim
+  * anything (the value chain keeps the key reachable — WeakHashMap's
+  * documented trap). Instead the map is strongly keyed and every access
+  * PURGES entries whose underlying SparkContext has stopped — the
+  * cycle-the-context pattern reclaims fully. Sessions sharing one
+  * live context accumulate at most (#sessions × #built indexes)
+  * entries, each O(pair-table) — content-bounded, and exactly the
+  * artifacts a production deployment would hold for serving anyway.
   *
   * Cache keys additionally carry a LINEAGE FINGERPRINT: the input
   * files' (path, length, mtime) triples rather than bare paths, so an
   * in-place rewrite that keeps file names changes the fingerprint and
   * misses the cache instead of serving results computed from the old
-  * bytes. Stats flow through a per-session path→status memo, so the
-  * fingerprint costs one FileSystem.getFileStatus per file per session
-  * no matter how many operators probe it, and a vanished file degrades
+  * bytes. Fingerprint stats are read FRESH per index build (builds are
+  * rare; staleness there would defeat the rewrite detection), while
+  * the fanOutSmallScan probe uses the per-session memo (hot path, one
+  * getFileStatus per file per session). A vanished file degrades
   * (contributes a sentinel) instead of throwing at plan-build time.
   */
 object SessionCache {
-  private val perSession = new java.util.WeakHashMap[
+  private val perSession = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[Any, AnyRef]]()
 
-  private def mapFor(spark: SparkSession) = perSession.synchronized {
+  private def mapFor(spark: SparkSession) = {
+    // reclaim sessions whose context is gone — see lifecycle note above
+    val it = perSession.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     var m = perSession.get(spark)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
-      perSession.put(spark, m)
+      m = perSession.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]())
     }
     m
   }
 
-  /** Memoize `build` under `key` for this session. `build` runs at most
-    * once per (session, key); concurrent callers block on the winner
-    * (ConcurrentHashMap.computeIfAbsent semantics) — the same
-    * build-the-index-once guarantee the old static maps gave, minus the
-    * cross-session aliasing. */
-  def getOrBuild[T <: AnyRef](spark: SparkSession, key: Any)(build: => T): T =
-    mapFor(spark).computeIfAbsent(key, _ => build).asInstanceOf[T]
+  /** Memoize `build` under `key` for this session. The value is built
+    * OUTSIDE the map and published with putIfAbsent — builds run
+    * multi-second Spark jobs and may re-enter this cache (fileStat from
+    * inside an index build), which computeIfAbsent's recursive-update
+    * contract forbids. A lost race means one redundant build of an
+    * idempotent artifact; the winner's value is what every caller
+    * returns. */
+  def getOrBuild[T <: AnyRef](spark: SparkSession, key: Any)(build: => T): T = {
+    val m = mapFor(spark)
+    val hit = m.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val built = build
+    val prev = m.putIfAbsent(key, built)
+    (if (prev != null) prev else built).asInstanceOf[T]
+  }
+
+  private def statNow(spark: SparkSession, path: String): Option[(Long, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.IOException => None }
 
   /** (length, mtime) of one file, memoized per session. None when the
     * file vanished between listing and stat or the filesystem errored —
     * callers fall back instead of failing plan construction. */
   def fileStat(spark: SparkSession, path: String): Option[(Long, Long)] =
-    mapFor(spark).computeIfAbsent(("fileStat", path), _ =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p)
-        Some((st.getLen, st.getModificationTime))
-      } catch { case _: java.io.IOException => None }
-    ).asInstanceOf[Option[(Long, Long)]]
+    getOrBuild(spark, ("fileStat", path))(statNow(spark, path))
 
   /** Fingerprint of a frame's file lineage: hash of sorted
-    * (path, length, mtime); a file that cannot be stat-ed contributes
+    * (path, length, mtime), stat-ed FRESH (not memoized) so an in-place
+    * rewrite within a session's lifetime changes the fingerprint — the
+    * memoized stats would freeze at first probe and never detect it.
+    * Index builds are rare; the fresh stats cost one getFileStatus per
+    * file per build. A file that cannot be stat-ed contributes
     * (path, -1, -1), which still invalidates once it becomes readable
     * again with real stats. */
   def lineageFingerprint(df: DataFrame): Int = {
     val spark = df.sparkSession
     df.inputFiles.toSeq.sorted.map { f =>
-      val st = fileStat(spark, f)
+      val st = statNow(spark, f)
       (f, st.fold(-1L)(_._1), st.fold(-1L)(_._2))
     }.hashCode
   }

@@ -511,16 +511,21 @@ object SparkEntry {
     // α=0.5 spelled sqrt(): IEEE sqrt is correctly rounded, so both
     // engines agree bit-for-bit (pow(x,0.5) might not); the window sums
     // run over the |sources|-row post-agg frame
+    // denominator folded in SOURCE order (list_reduce over an ORDER BY
+    // list) — mirrors the Spark side's sorted sequential aggregate, so
+    // the cross-row double sum is bit-identical, not engine-ordered
     "q60_mixture_weights" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-        |  FROM documents GROUP BY source)
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT list_reduce(list(sqrt(n_tokens::DOUBLE) ORDER BY source),
+        |    (a, b) -> a + b) AS denom,
+        |  sum(n_tokens)::BIGINT AS tot_tokens FROM s)
         |SELECT source, n_docs, n_tokens,
-        |  round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER (), 6)
-        |    AS mix_weight,
-        |  round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER ()
-        |    * sum(n_tokens) OVER () / n_tokens, 6) AS epochs
-        |FROM s ORDER BY source""".stripMargin.replace("\n", " "),
+        |  round(sqrt(n_tokens::DOUBLE) / denom, 6) AS mix_weight,
+        |  round(sqrt(n_tokens::DOUBLE) / denom * tot_tokens / n_tokens, 6)
+        |    AS epochs
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin.replace("\n", " "),
     // normalization parity: Java \s and RE2 \s agree on the corpus
     // charset (plain ASCII spaces); sha256 hex is lowercase in both
     "q61_normalized_dedup" ->

@@ -192,14 +192,22 @@ object RelationalOps {
   }
 
   /** Burst-day detection — the ingest-monitoring anomaly flag: a day
-    * whose event count exceeds 1.25× its trailing-7-day average, with
-    * the comparison spelled in INTEGERS (n·28 > 5·trailing_sum) so no
-    * float
-    * ever crosses engines — variance/stddev-based z-scores are the
-    * textbook spelling but cross-row float summation is order-dependent
-    * between engines and would poison the gate hash (the float-parity
-    * policy). Only days with a full 7-day history qualify (a window
-    * count guards the ramp-up). One daily pre-aggregate (partial+final,
+    * whose event count exceeds 1.25× the average of its trailing seven
+    * OBSERVED days, with the comparison spelled in INTEGERS
+    * (n·28 > 5·trailing_sum) so no float ever crosses engines —
+    * variance/stddev-based z-scores are the textbook spelling but
+    * cross-row float summation is order-dependent between engines and
+    * would poison the gate hash (the float-parity policy).
+    *
+    * Frame semantics, precisely: ROWS BETWEEN 7 PRECEDING AND 1
+    * PRECEDING over the daily aggregate — seven preceding OBSERVED
+    * daily buckets, which equals seven calendar days only when the
+    * type emits events every day (true of this corpus; the oracle
+    * spells the identical frame). A calendar-gapped stream that wants
+    * strict calendar semantics should use a date-RANGE frame or join
+    * against a generated calendar so absent days contribute zeros.
+    * Only days with a full 7-row history qualify (the window count
+    * guards the ramp-up). One daily pre-aggregate (partial+final,
     * map-side combine) then a per-type window over the POST-AGG frame:
     * |types × days| rows — config-sized relative to the event stream,
     * so the window sort is never the bottleneck at any event volume. */

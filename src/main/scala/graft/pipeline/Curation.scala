@@ -175,23 +175,35 @@ object Curation {
     * implies (weight · total_tokens / n_tokens). α = 0.5 is spelled
     * sqrt() deliberately — IEEE sqrt is correctly rounded, so Spark
     * and the oracle agree bit-for-bit where pow(x, 0.5) might not.
-    * One partial+final aggregate over the corpus; the unpartitioned
-    * normalization window runs over the POST-AGG frame (|sources|
-    * rows — config-sized at any corpus scale, same stance as the q49
-    * size table). */
+    *
+    * The √-sum DENOMINATOR is a cross-row double sum, which a window
+    * `sum() OVER ()` would accumulate in engine-chosen order — the one
+    * float-parity hazard in this operator. It is folded instead over
+    * the per-source weights SORTED BY SOURCE (array_sort + sequential
+    * aggregate, mirrored by the oracle's list_reduce over an ORDER BY
+    * list), so both engines add the same ~|sources| doubles in the
+    * same order: bit-exact, not merely close. Token totals stay
+    * integer sums. One partial+final aggregate over the corpus; the
+    * normalization fold runs over the POST-AGG frame (|sources| rows —
+    * config-sized at any corpus scale, same stance as the q49 size
+    * table) and rides back on a one-row broadcast. */
   def mixtureWeights(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy()
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    val raw = sqrt(col("n_tokens").cast("double"))
-    docs
+    val grouped = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val totals = grouped.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("n_tokens").cast("double")).as("raw")))),
+        lit(0.0), (acc, x) => acc + x.getField("raw")).as("denom"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val raw = sqrt(col("n_tokens").cast("double"))
+    grouped.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(raw / sum(raw).over(w), 6).as("mix_weight"),
-        round(raw / sum(raw).over(w) * sum(col("n_tokens")).over(w)
-          / col("n_tokens"), 6).as("epochs"))
+        round(raw / col("denom"), 6).as("mix_weight"),
+        round(raw / col("denom") * col("tot_tokens") / col("n_tokens"), 6)
+          .as("epochs"))
       .orderBy("source")
   }
 

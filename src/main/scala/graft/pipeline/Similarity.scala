@@ -202,20 +202,24 @@ object Similarity {
     * `partitionBy(cell)` assignments; this cache is the in-session
     * stand-in for that persisted artifact. */
 
-  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+  /** Featurized frame + the session-cached k-means quantizer — the ONE
+    * training site both the in-memory tier (ivfTopK) and the persisted
+    * store (buildIvfStore) share, so the cache key and training params
+    * can never de-sync between them. Bounded Lloyd iterations: cell
+    * quality converges fast and only affects recall-per-probe, never
+    * correctness (all-probes == exact regardless of the cells);
+    * deterministic for a fixed seed. Random init (not k-means||): the
+    * parallel-init's extra full passes buy marginally better cells, but
+    * cells only shape recall-per-probe — Lloyd from a seeded random
+    * start is the right training cost. Features are cached across the
+    * Lloyd passes and released right after: fit() is the only
+    * multi-pass consumer. */
+  private def ivfModel(embeddings: DataFrame, nClusters: Int, seed: Long)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    // bounded Lloyd iterations: cell quality converges fast and only
-    // affects recall-per-probe, never correctness (all-probes == exact
-    // regardless of the cells); deterministic for a fixed seed. Random
-    // init (not k-means||): the parallel-init's extra full passes buy
-    // marginally better cells, but cells only shape recall-per-probe —
-    // Lloyd from a seeded random start is the right training cost.
-    // Features are cached across the Lloyd passes and released right
-    // after: fit() is the only multi-pass consumer.
     val model = graft.SessionCache.getOrBuild(embeddings.sparkSession,
       ("Similarity.ivfIndex", embeddings.semanticHash(),
         graft.SessionCache.lineageFingerprint(embeddings), nClusters, seed)) {
@@ -226,6 +230,12 @@ object Similarity {
         .fit(feat)
       finally feat.unpersist(false)
     }
+    (feat, model)
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    val (feat, model) = ivfModel(embeddings, nClusters, seed)
     val assigned = model.transform(feat).drop("features")
 
     val v = withVectorCols(assigned, 0)
@@ -336,20 +346,7 @@ object Similarity {
     * prober needs for cell ranking. */
   def buildIvfStore(embeddings: DataFrame, dir: String,
                     nClusters: Int, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = embeddings.withColumn("features",
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val model = graft.SessionCache.getOrBuild(embeddings.sparkSession,
-      ("Similarity.ivfIndex", embeddings.semanticHash(),
-        graft.SessionCache.lineageFingerprint(embeddings), nClusters, seed)) {
-      feat.cache()
-      try new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(feat)
-      finally feat.unpersist(false)
-    }
+    val (feat, model) = ivfModel(embeddings, nClusters, seed)
     graft.sources.PartitionedStore.writeByCell(
       model.transform(feat).drop("features"), dir, "cell")
     model.clusterCenters.map(_.toArray).zipWithIndex.map(_.swap)

@@ -198,13 +198,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
-  test("q60 mixture weights: one partial+final corpus agg; window over the post-agg frame") {
+  test("q60 mixture weights: one partial+final corpus agg; totals ride a one-row broadcast") {
     val p = plan("q60_mixture_weights")
-    assert(!p.contains("Join"))
     assert(p.contains("HashAggregate(keys=[source"))
-    // window input is the aggregated frame: its exchange moves |sources|
-    // rows, so a single-partition window exchange is present and fine
-    assert(p.contains("Window"))
+    // the sorted-fold denominator comes back as a ONE-ROW broadcast
+    // cross join over the |sources|-row aggregated frame — the only
+    // join in the plan, and its build side is a single row
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window")) // no engine-ordered window sum anywhere
   }
 
   test("q62 fixed-k sample: rank filter pushes a WindowGroupLimit below the shuffle") {
