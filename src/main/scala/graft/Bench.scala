@@ -114,7 +114,7 @@ object Bench {
     // comparable to pre-r6 cold numbers (ADVICE r6: mark them).
     val cached = Seq("q36_dedup_clusters", "q37_cluster_dedup_kept",
         "q38_ivf_topk", "q38b_ivf_exact", "q67_minhash_audit",
-        "q29_cosine_near_dups", "q58_embedding_dedup")
+        "q29_cosine_near_dups", "q58_embedding_dedup", "q73_cluster_sizes")
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"warm_index_queries":$cached,"sf":"$sfDir"}""")

@@ -184,6 +184,12 @@ object SparkEntry {
       Corpus.table(s, dir, "embeddings"), 5, 4)),
     // q72: burst-day anomaly flags (integer-exact 1.25× trailing-7d rule)
     "q72_burst_days" -> ((s, dir) => RelationalOps.burstDays(s, dir)),
+    // q73: near-dup cluster-size histogram (the dedup approval report)
+    "q73_cluster_sizes" -> ((s, dir) => Dedup.clusterSizeHistogram(
+      Corpus.table(s, dir, "documents"), 0.8)),
+    // q74: per-eval-doc contamination detail (the q44 summary's eval side)
+    "q74_contaminated_evals" -> ((s, dir) => Curation.contaminatedEvalDocs(
+      Corpus.table(s, dir, "documents"), 10L)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -617,6 +623,19 @@ object SparkEntry {
         |SELECT event_type, day, n, trail7::BIGINT AS trail7
         |FROM t WHERE hist = 7 AND n * 28 > trail7 * 5
         |ORDER BY event_type, day""".stripMargin.replace("\n", " "),
+    "q73_cluster_sizes" ->
+      PO.clusterSizeHistogram(0.8).replace("\n", " "),
+    // same '#dc' shingle hashes as q44; distinct (eval, train) pairs
+    "q74_contaminated_evals" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |  i -> ('0x'||substr(sha256(array_to_string(t[i:i+2], ' ')||'#dc'),1,15))::BIGINT))
+        |  AS h FROM tk),
+        |ev AS (SELECT doc_id AS eval_doc, unnest(h) AS g FROM hs WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS train_doc, unnest(h) AS g FROM hs WHERE doc_id % 10 <> 0),
+        |p AS (SELECT DISTINCT eval_doc, train_doc FROM ev JOIN tr USING (g))
+        |SELECT eval_doc, count(*) AS n_train_hits FROM p
+        |GROUP BY eval_doc ORDER BY eval_doc""".stripMargin.replace("\n", " "),
     // lift = (n_pair·N)/(n_a·n_b): int64 products, one double divide —
     // bit-identical in both engines; ranking on the rounded value
     "q69_collocations" ->

@@ -62,6 +62,31 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Contamination detail — the EVAL side of q44's summary: for each
+    * contaminated benchmark document, how many training documents share
+    * at least one k-shingle with it. This is the report an eval owner
+    * reads to decide whether a benchmark item must be dropped (the
+    * training-side summary says how dirty the corpus is; this says
+    * which eval items are compromised and how badly). Same one-hash-
+    * pass dataflow as decontaminationSummary; the distinct (eval doc,
+    * train doc) pair set is O(true contamination), and only hashes
+    * cross the join. */
+  def contaminatedEvalDocs(docs: DataFrame, evalMod: Long,
+                           k: Int = 3): DataFrame = {
+    val withSh = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        shingleHashes(col("text"), k, "dc").as("hs"))
+    val evalSh = withSh.where(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc"), explode(col("hs")).as("h"))
+    val trainSh = withSh.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h"))
+    evalSh.join(trainSh, Seq("h"))
+      .select(col("eval_doc"), col("train_doc")).distinct()
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_train_hits"))
+      .orderBy("eval_doc")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences. The chunk-boundary formulation (cumulative token count
     * div budget, so a document may straddle two sequences — exactly

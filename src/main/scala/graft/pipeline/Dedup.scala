@@ -463,6 +463,20 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Near-dup cluster-size histogram: how many clusters have exactly k
+    * members — the one-page dedup report a pipeline owner reads before
+    * approving a drop (a fat tail of large clusters means boilerplate
+    * or template content; all-pairs-of-two means true random near-dups).
+    * Rides the session pair index + the shared CC loop; everything
+    * after clustering is cluster-count-sized. */
+  def clusterSizeHistogram(docs: DataFrame, threshold: Double): DataFrame =
+    nearDupClusters(docs, threshold)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("k")
+
   /** MinHash-estimate quality audit: for every VERIFIED near-dup pair,
     * the Jaccard the signatures would have estimated (fraction of the 8
     * minhash positions agreeing) next to the true shingle Jaccard — the

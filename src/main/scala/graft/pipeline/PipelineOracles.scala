@@ -89,6 +89,13 @@ object PipelineOracles {
     s"""WITH RECURSIVE ${clusterCtes(threshold)}
        |SELECT node AS doc_id, cluster FROM clusters ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram over the same recursive-CC clusters. */
+  def clusterSizeHistogram(threshold: Double): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold)},
+       |sz AS (SELECT cluster, count(*) AS k FROM clusters GROUP BY cluster)
+       |SELECT k, count(*) AS n_clusters FROM sz
+       |GROUP BY k ORDER BY k""".stripMargin
+
   def clusterDedupKept(threshold: Double): String =
     s"""WITH RECURSIVE ${clusterCtes(threshold)},
        |removed AS (SELECT node FROM clusters WHERE node <> cluster)

@@ -587,6 +587,24 @@ class PipelineSpec extends AnyFunSuite {
       s"label ${r.getString(0)}: accuracy ${r.getDouble(3)}"))
   }
 
+  test("cluster histogram: sizes >= 2, total members == clustered docs") {
+    val hist = Dedup.clusterSizeHistogram(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.nonEmpty)
+    assert(hist.forall(_._1 >= 2)) // a cluster needs at least two members
+    val members = hist.map { case (k, n) => k * n }.sum
+    assert(members == Dedup.nearDupClusters(docs, 0.8).count())
+  }
+
+  test("contamination detail: eval docs only, hit counts positive") {
+    val rows = Curation.contaminatedEvalDocs(docs, 10L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0) // eval side of the split
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
     val audit = Dedup.minhashEstimateAudit(docs, 0.8).collect()
     val pairs = Dedup.lshNearDupPairs(docs, 0.8).count()

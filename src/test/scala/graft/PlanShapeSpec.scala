@@ -285,6 +285,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("q73 cluster sizes: cluster-count-sized aggregates after the shared CC solve") {
+    val p = plan("q73_cluster_sizes")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q74 contamination detail: hash equi-join only — no text crosses the join") {
+    val p = plan("q74_contaminated_evals")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
