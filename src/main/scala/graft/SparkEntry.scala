@@ -190,6 +190,9 @@ object SparkEntry {
     // q74: per-eval-doc contamination detail (the q44 summary's eval side)
     "q74_contaminated_evals" -> ((s, dir) => Curation.contaminatedEvalDocs(
       Corpus.table(s, dir, "documents"), 10L)),
+    // q75: sequence-length histogram (context-budget planning input)
+    "q75_seqlen_histogram" -> ((s, dir) => TextStats.seqLenHistogram(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -625,6 +628,12 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin.replace("\n", " "),
     "q73_cluster_sizes" ->
       PO.clusterSizeHistogram(0.8).replace("\n", " "),
+    // integral div both sides; DuckDB // is integer division
+    "q75_seqlen_histogram" ->
+      """SELECT source,
+        |  least(len(string_split(text, ' ')) // 16, 8)::BIGINT AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin.replace("\n", " "),
     // same '#dc' shingle hashes as q44; distinct (eval, train) pairs
     "q74_contaminated_evals" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

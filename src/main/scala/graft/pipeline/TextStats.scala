@@ -317,7 +317,24 @@ object TextStats {
       .limit(k)
   }
 
-  /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
+  /** Sequence-length histogram: documents bucketed by token count
+    * (width `bucketTokens`, open-ended top bucket at `maxBucket`) per
+    * source — the distribution a context-budget decision reads before
+    * setting chunking and packing parameters (q59/q46): if most docs
+    * fit one context, packing dominates; a fat tail means chunking
+    * dominates. Scan-local bucket assignment + one partial+final
+    * aggregate; output is |sources × buckets| rows at any corpus size.
+    * Integral div, integer counts — nothing to drift. */
+  def seqLenHistogram(docs: DataFrame, bucketTokens: Int = 16,
+                      maxBucket: Int = 8): DataFrame =
+    docs
+      .select(col("source"),
+        // `div`, not `/`: Spark's Divide is always fractional
+        expr(s"least(size(split(text, ' ')) div $bucketTokens, " +
+          s"$maxBucket)").cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "bucket")
   def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
     docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))

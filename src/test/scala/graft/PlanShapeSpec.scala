@@ -298,6 +298,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q75 seqlen histogram: scan-local buckets, one partial+final aggregate") {
+    val p = plan("q75_seqlen_histogram")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count"))
+  }
+
   test("q67 minhash audit: broadcast-only joins — corpus pruned before signatures") {
     val p = plan("q67_minhash_audit")
     assert(!p.contains("SortMergeJoin"))
