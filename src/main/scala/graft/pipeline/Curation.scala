@@ -70,16 +70,35 @@ object Curation {
     * which eval items are compromised and how badly). Same one-hash-
     * pass dataflow as decontaminationSummary; the distinct (eval doc,
     * train doc) pair set is O(true contamination), and only hashes
-    * cross the join. */
+    * cross the join.
+    *
+    * Skew guard: a corpus-universal shingle (boilerplate present in
+    * every doc) would join ~all eval rows against ~all train rows on
+    * ONE hash key — the quadratic blowup the pair tiers cap with
+    * boundedPairs. `maxShingleDf` drops shingles whose global document
+    * frequency exceeds the cap BEFORE the join (a shingle in thousands
+    * of documents is boilerplate, not contamination evidence — the
+    * same reasoning as stopword removal). The default keeps the exact
+    * semantics (no df pass, no filter) for the gate; at 100 TB set the
+    * dial. */
   def contaminatedEvalDocs(docs: DataFrame, evalMod: Long,
-                           k: Int = 3): DataFrame = {
+                           k: Int = 3,
+                           maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val withSh = graft.sources.Corpus.fanOutSmallScan(docs)
-      .select(col("doc_id"), col("source"),
-        shingleHashes(col("text"), k, "dc").as("hs"))
-    val evalSh = withSh.where(col("doc_id") % evalMod === 0)
-      .select(col("doc_id").as("eval_doc"), explode(col("hs")).as("h"))
-    val trainSh = withSh.where(col("doc_id") % evalMod =!= 0)
-      .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), shingleHashes(col("text"), k, "dc").as("hs"))
+    def prune(sh: DataFrame): DataFrame =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        val all = withSh.select(explode(col("hs")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf)
+          .select(col("h"))
+        sh.join(all, Seq("h"), "left_semi")
+      }
+    val evalSh = prune(withSh.where(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc"), explode(col("hs")).as("h")))
+    val trainSh = prune(withSh.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h")))
     evalSh.join(trainSh, Seq("h"))
       .select(col("eval_doc"), col("train_doc")).distinct()
       .groupBy(col("eval_doc"))

@@ -326,7 +326,11 @@ object TextStats {
     * aggregate; output is |sources × buckets| rows at any corpus size.
     * Integral div, integer counts — nothing to drift. */
   def seqLenHistogram(docs: DataFrame, bucketTokens: Int = 16,
-                      maxBucket: Int = 8): DataFrame =
+                      maxBucket: Int = 8): DataFrame = {
+    // guard like the sibling parameterized operators: x div 0 would
+    // silently NULL-bucket every row under non-ANSI integral division
+    require(bucketTokens > 0 && maxBucket >= 0,
+      s"bucketTokens $bucketTokens must be > 0, maxBucket $maxBucket >= 0")
     docs
       .select(col("source"),
         // `div`, not `/`: Spark's Divide is always fractional
@@ -335,6 +339,9 @@ object TextStats {
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "bucket")
+  }
+
+  /** Rolling-hash content fingerprints (polynomial mod 1e9+7). */
   def fingerprints(docs: DataFrame, maxId: Long): DataFrame =
     docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))

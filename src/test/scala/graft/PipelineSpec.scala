@@ -603,6 +603,14 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(0) % 10 == 0) // eval side of the split
       assert(r.getLong(1) >= 1L)
     }
+    // the hot-shingle dial prunes: a df cap of 1 removes every SHARED
+    // shingle by definition, so no contamination evidence survives
+    assert(Curation.contaminatedEvalDocs(docs, 10L, maxShingleDf = 1L)
+      .count() == 0L)
+    // and a cap above the max df is a no-op (exact semantics preserved)
+    val capped = Curation.contaminatedEvalDocs(docs, 10L,
+      maxShingleDf = 1000000L).collect().map(_.toSeq).toSeq
+    assert(capped == rows.map(_.toSeq).toSeq)
   }
 
   test("minhash estimate audit: one row per verified pair, estimates in [0,1]") {
