@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL source/sink — the interchange format raw training corpora
+  * actually arrive in (one JSON object per line; crawls, API exports,
+  * and annotation tools all speak it).
+  *
+  * The read contract is EXPLICIT SCHEMA, never inference: at 100 TB
+  * `inferSchema` is a full extra pass over the data before the real
+  * one, and a schema "discovered" from dirty data drifts batch-to-batch
+  * (one line with a stringified number retypes the column). Schema is
+  * config, not data. Malformed lines follow Spark's PERMISSIVE mode
+  * with an explicit corrupt-record column, so dirty input is COUNTABLE
+  * (the ingest health metric) instead of silently dropped or fatally
+  * throwing mid-job — pass the column name and keep it, or filter it
+  * out after auditing.
+  *
+  * Scale shape: JSONL is line-splittable, so the scan parallelizes like
+  * any text source (uncompressed or with a splittable codec; gzip'd
+  * JSONL scans one task per FILE — re-chunk upstream). Writing goes
+  * through the same partitioned layout as every other sink here. */
+object JsonLines {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read JSONL with the given schema; malformed lines land in
+    * `_corrupt_record` (added to the schema) instead of killing the
+    * job or vanishing. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Ingest-health summary: rows parsed clean vs corrupt — the metric a
+    * pipeline alerts on before any downstream stage runs. The aggregate
+    * also references one DATA column: Spark refuses JSON scans whose
+    * referenced columns are ONLY the internal corrupt-record column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
+    * can't know a line is corrupt without parsing something); touching
+    * a real column keeps the single-pass count legal without caching
+    * the frame (Spark's documented alternative — a non-starter at
+    * corpus scale). */
+  def healthSummary(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val dataCol = df.columns.find(_ != CorruptCol).getOrElse(
+      throw new IllegalArgumentException("frame has only the corrupt column"))
+    val r = df.agg(
+      count(lit(1)),
+      count(col(CorruptCol)),
+      count(col(dataCol))).head()
+    (r.getLong(0) - r.getLong(1), r.getLong(1))
+  }
+
+  /** Write a frame as JSONL (drops a corrupt-record column if present —
+    * quarantine it separately, don't re-emit it as data). */
+  def write(df: DataFrame, path: String): Unit = {
+    val clean =
+      if (df.columns.contains(CorruptCol)) df.drop(CorruptCol) else df
+    clean.write.mode("overwrite").json(path)
+  }
+}
