@@ -37,11 +37,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionCache {
   private val perSession = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[Any, AnyRef]]()
+  // per-(session, key) build locks, purged with their session below;
+  // monitors are reentrant, so a build that re-enters under a DIFFERENT
+  // key (fileStat from inside an index build) never self-deadlocks
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[Any, AnyRef]]()
 
   private def mapFor(spark: SparkSession) = {
     // reclaim sessions whose context is gone — see lifecycle note above
     val it = perSession.keySet().iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.sparkContext.isStopped) { it.remove(); buildLocks.remove(s) }
+    }
     var m = perSession.get(spark)
     if (m == null) {
       m = perSession.computeIfAbsent(spark,
@@ -51,19 +59,31 @@ object SessionCache {
   }
 
   /** Memoize `build` under `key` for this session. The value is built
-    * OUTSIDE the map and published with putIfAbsent — builds run
-    * multi-second Spark jobs and may re-enter this cache (fileStat from
-    * inside an index build), which computeIfAbsent's recursive-update
-    * contract forbids. A lost race means one redundant build of an
-    * idempotent artifact; the winner's value is what every caller
-    * returns. */
+    * OUTSIDE the map under a per-key lock — builds run multi-second
+    * Spark jobs and may re-enter this cache (fileStat from inside an
+    * index build), which computeIfAbsent's recursive-update contract
+    * forbids; the external lock restores computeIfAbsent's at-most-one
+    * guarantee without the hazard. This matters beyond wasted work: a
+    * lost-race build of an eagerly localCheckpoint'd DataFrame would
+    * orphan its checkpoint's pinned block-manager memory for the
+    * session lifetime (ADVICE r7) — with the lock, the loser blocks,
+    * re-reads the published value, and never builds at all. */
   def getOrBuild[T <: AnyRef](spark: SparkSession, key: Any)(build: => T): T = {
     val m = mapFor(spark)
     val hit = m.get(key)
     if (hit != null) return hit.asInstanceOf[T]
-    val built = build
-    val prev = m.putIfAbsent(key, built)
-    (if (prev != null) prev else built).asInstanceOf[T]
+    val locks = buildLocks.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]())
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = m.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val built = build
+        m.put(key, built)
+        built
+      }
+    }
   }
 
   private def statNow(spark: SparkSession, path: String): Option[(Long, Long)] =

@@ -176,7 +176,16 @@ object Dedup {
     val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
     val bandStructs = array((0 until Bands).map(b =>
       struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
-    sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+    // Docs with fewer than ShingleK tokens have NO shingles and thus a
+    // null signature; concat_ws skips nulls, so every such doc would
+    // share the identical hash64("") key in every band — one hot bucket
+    // that makes candidate generation quadratic in the shingle-less
+    // population. They can never verify anyway (Jaccard over an empty
+    // shingle set is null, which fails every >= threshold), so dropping
+    // them here changes no verified pair while keeping the bucket-size
+    // bound honest.
+    sig.where(col("mh0").isNotNull)
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
   }
 
@@ -393,8 +402,10 @@ object Dedup {
     // EXPENSIVE part (candidate generation + verification), solve the
     // small residual graph locally. maxIter semantics are preserved by
     // routing explicit-round-bounded calls to the iterative loop.
-    val nEdges = edges.count()
-    if (nEdges <= MaxLocalEdges && maxIter == Int.MaxValue) {
+    // maxIter first: explicit-round-bounded callers always take the
+    // distributed loop, so they must not pay the eligibility count's
+    // extra Spark action (ADVICE r7)
+    if (maxIter == Int.MaxValue && edges.count() <= MaxLocalEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()

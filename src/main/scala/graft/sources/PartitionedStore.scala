@@ -39,9 +39,31 @@ object PartitionedStore {
     * "0101" becomes the integer 101 — leading zeros GONE, and two
     * distinct cells can collide). The cell is an index key, not data:
     * it reads back exactly as written; cast at the call site when the
-    * cell is genuinely numeric. */
-  def readAll(spark: SparkSession, dir: String, cellCol: String): DataFrame = {
-    val discovered = spark.read.parquet(dir).schema
+    * cell is genuinely numeric.
+    *
+    * Schema handling: a caller that already knows the data schema
+    * (e.g. captured at index-build time) passes it and the read plans
+    * with ZERO discovery work; otherwise discovery — a full partition-
+    * directory listing + footer read — runs ONCE per (session, dir)
+    * and is memoized, so a serving path probing a store with thousands
+    * of cell directories doesn't pay a throwaway listing per query
+    * (ADVICE r7). The memo key carries the store ROOT's mtime — one
+    * getFileStatus per probe, not a listing — so an in-place rewrite
+    * (overwrite recreates the cell directories, touching the root)
+    * re-discovers instead of serving the old schema. */
+  def readAll(spark: SparkSession, dir: String, cellCol: String,
+              schema: Option[StructType] = None): DataFrame = {
+    def rootMtime: Long =
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case _: java.io.IOException => -1L }
+    val discovered = schema.getOrElse(
+      graft.SessionCache.getOrBuild(spark,
+          ("PartitionedStore.schema", dir, rootMtime)) {
+        spark.read.parquet(dir).schema
+      })
     val pinned = StructType(discovered.map(f =>
       if (f.name == cellCol) f.copy(dataType = StringType) else f))
     spark.read.schema(pinned).parquet(dir)
@@ -52,7 +74,8 @@ object PartitionedStore {
     * the scan lists only the matching subdirectories — partition
     * pruning, not a full-table scan with a post-filter. */
   def probeCells(spark: SparkSession, dir: String, cellCol: String,
-                 cells: Seq[String]): DataFrame =
-    readAll(spark, dir, cellCol)
+                 cells: Seq[String],
+                 schema: Option[StructType] = None): DataFrame =
+    readAll(spark, dir, cellCol, schema)
       .where(col(cellCol).isin(cells: _*))
 }
