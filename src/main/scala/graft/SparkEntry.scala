@@ -193,6 +193,11 @@ object SparkEntry {
     // q75: sequence-length histogram (context-budget planning input)
     "q75_seqlen_histogram" -> ((s, dir) => TextStats.seqLenHistogram(
       Corpus.table(s, dir, "documents"))),
+    // q76: REAL image codec round-trip — synthetic PNGs encoded and
+    // decoded with javax.imageio; the oracle recomputes the decoded
+    // dimensions and pixel sums in closed form from doc_id
+    "q76_image_decode" -> ((s, dir) => Multimodal.decodedImageMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -662,5 +667,17 @@ object SparkEntry {
         |FROM bc JOIN uc ca ON term_a = ca.term
         |        JOIN uc cb ON term_b = cb.term CROSS JOIN n
         |ORDER BY lift DESC, term_a, term_b LIMIT 25""".stripMargin.replace("\n", " "),
+    // closed-form recomputation of the PNG round-trip: the Spark side
+    // ENCODES pixel (x,y) = (x·31 + y·17 + doc_id) mod 256 and DECODES
+    // with a real codec; PNG is lossless, so decoded sums must equal
+    // this direct recomputation from doc_id
+    "q76_image_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7 + 8) AS w, (doc_id % 5 + 4) AS h
+        |  FROM documents WHERE doc_id < 20),
+        |px AS (SELECT doc_id, w, h, ((x.i * 31 + y.i * 17 + doc_id) % 256) AS v
+        |  FROM d, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i))
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " "),
   )
 }

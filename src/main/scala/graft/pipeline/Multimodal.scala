@@ -21,6 +21,17 @@ final case class MediaFeature(
     feature: Array[Float])
 
 /** A transformed payload (resize output): new bytes + both dimensions. */
+/** Decoded-image metadata: dimensions, channel count, and a content
+  * checksum (red-channel pixel sum) — values that only exist AFTER a
+  * real pixel decode, not header sniffing. Long-typed for oracle
+  * parity (DuckDB integer arithmetic is BIGINT). */
+final case class MediaImageMeta(
+    media_id: Long,
+    width: Long,
+    height: Long,
+    n_channels: Long,
+    red_sum: Long)
+
 final case class MediaResized(
     media_id: Long,
     media_type: String,
@@ -48,9 +59,11 @@ final case class MediaFrame(
   */
 object Multimodal {
 
-  /** Production seam: replace with a real codec (JPEG decode, resize,
-    * mel-spectrogram, frame sampling…). The stub derives a deterministic
-    * 8-dim feature from payload bytes so tests pin the plumbing. */
+  /** Non-image fallback seam: payloads no JDK image reader recognizes
+    * (audio, video, plain text — codecs not in this container) get a
+    * deterministic 8-dim byte-fold feature so tests pin the plumbing.
+    * Image payloads take the REAL decode path (imageOrStubDecoder /
+    * decodeImageMeta below). */
   val stubDecoder: Array[Byte] => Array[Float] = { bytes =>
     val f = new Array[Float](8)
     var i = 0
@@ -59,6 +72,39 @@ object Multimodal {
       i += 1
     }
     f
+  }
+
+  /** Decode payload bytes with the JDK's built-in image readers
+    * (javax.imageio: PNG, BMP, GIF, JPEG — no external dependency).
+    * None when no registered reader recognizes the bytes. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Default production decoder: REAL image decode when the payload is
+    * a recognized image — feature = [width, height, bands, mean R,
+    * mean G, mean B, mean luma, 0] over decoded pixels — and the
+    * deterministic stub only as the non-image fallback. */
+  val imageOrStubDecoder: Array[Byte] => Array[Float] = { bytes =>
+    decodeImage(bytes) match {
+      case None => stubDecoder(bytes)
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+          sr / n, sg / n, sb / n, (sr + sg + sb) / (3f * n), 0f)
+    }
   }
 
   /** Opaque-binary view of the documents table (payload = utf-8 bytes). */
@@ -73,9 +119,11 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Partition-parallel feature extraction through the injected codec. */
+  /** Partition-parallel feature extraction through the injected codec.
+    * The default decodes real images (JDK readers) and stubs only
+    * non-image payloads. */
   def extractFeatures(media: Dataset[MediaRecord],
-                      decoder: Array[Byte] => Array[Float] = stubDecoder)
+                      decoder: Array[Byte] => Array[Float] = imageOrStubDecoder)
       : Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -145,6 +193,79 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic synthetic PNG payloads keyed off the documents
+    * table (the corpus ships no binary tables): doc_id < maxId becomes
+    * an RGB image of width doc_id%7+8, height doc_id%5+4 whose pixel
+    * (x, y) holds gray value (x·31 + y·17 + doc_id) mod 256, encoded
+    * with javax.imageio per PARTITION (encoder instantiated per task,
+    * same batch shape as every codec here). PNG is lossless, so a
+    * decode must reproduce these exact pixels — which is what makes
+    * the decoded-metadata gate oracle-checkable: the oracle recomputes
+    * the same closed-form pixel sums from doc_id alone. */
+  def syntheticPngs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 7 + 8).toInt
+          val h = (id % 5 + 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((x * 31 + y * 17 + id) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** Real-codec image decode: per-partition javax.imageio decode of
+    * the payload column into dimensions, channel count, and the
+    * red-channel pixel sum — a value that only exists after actual
+    * pixel decoding (header sniffing cannot produce it). Payloads no
+    * reader recognizes are SKIPPED (flatMap), mirroring how a training
+    * pipeline quarantines undecodable media rather than failing the
+    * job. Scale shape: embarrassingly parallel map over the scan, no
+    * shuffle; one decoder per task, never per row, never driver-side. */
+  def decodeImageMeta(media: Dataset[MediaRecord]): Dataset[MediaImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.payload).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var redSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { redSum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          MediaImageMeta(r.media_id, w.toLong, h.toLong,
+            img.getRaster.getNumBands.toLong, redSum)
+        }
+      }
+    }
+  }
+
+  /** Gate composition (q76): synthesize PNGs from doc ids, round-trip
+    * them through the real encoder+decoder, and report decoded
+    * metadata per image — hash-checked against the oracle's closed-form
+    * recomputation of the same dimensions and pixel sums. */
+  def decodedImageMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeImageMeta(syntheticPngs(docs, maxId)).toDF()
+      .orderBy("media_id")
 
   /** Byte-level metadata summary — pure column expressions, and the
     * correctness-observable face of the binary plumbing: payload length

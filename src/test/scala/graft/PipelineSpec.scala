@@ -285,6 +285,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(f0.n_bytes == doc0len.toLong)
   }
 
+  test("multimodal real codec: PNG round-trip decodes exact pixels, stub only for non-images") {
+    // encode→decode must reproduce the closed-form pixel sums (PNG is
+    // lossless) — the q76 gate contract, pinned here at unit scale
+    val metas = Multimodal.decodeImageMeta(
+      Multimodal.syntheticPngs(docs, 10L)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.width == m.media_id % 7 + 8)
+      assert(m.height == m.media_id % 5 + 4)
+      assert(m.n_channels == 3L)
+      val expected = (for {
+        x <- 0L until m.width; y <- 0L until m.height
+      } yield (x * 31 + y * 17 + m.media_id) % 256).sum
+      assert(m.red_sum == expected)
+    }
+    // dispatch: an image payload takes the real decode path (feature
+    // leads with decoded dims), a text payload falls back to the stub
+    val png = Multimodal.syntheticPngs(docs, 1L).collect().head.payload
+    val imgFeat = Multimodal.imageOrStubDecoder(png)
+    assert(imgFeat(0) == 8f && imgFeat(1) == 4f && imgFeat(2) == 3f)
+    val textBytes = "not an image".getBytes("UTF-8")
+    assert(Multimodal.imageOrStubDecoder(textBytes).toSeq ==
+      Multimodal.stubDecoder(textBytes).toSeq)
+    // undecodable payloads are quarantined (skipped), not failed
+    val s = spark
+    import s.implicits._
+    val junk = Seq(MediaRecord(99L, "application/octet-stream",
+      textBytes, "junk")).toDS()
+    assert(Multimodal.decodeImageMeta(junk).collect().isEmpty)
+  }
+
   test("multimodal resize and frame-sample: shapes, determinism, bounds") {
     val media = Multimodal.fromDocuments(docs.limit(50))
     val resized = Multimodal.resize(media, 64).collect()
