@@ -198,6 +198,14 @@ object SparkEntry {
     // dimensions and pixel sums in closed form from doc_id
     "q76_image_decode" -> ((s, dir) => Multimodal.decodedImageMetaReport(
       Corpus.table(s, dir, "documents"), 20L)),
+    // q77: JSONL ingest-health contract end-to-end — write a fixture
+    // with planted corrupt lines, read through the explicit-schema
+    // PERMISSIVE path, count clean vs corrupt; the oracle recomputes
+    // the planted split straight from the documents table
+    "q77_jsonl_health" -> ((s, dir) => graft.sources.JsonLines.healthReport(
+      Corpus.table(s, dir, "documents"),
+      s"/root/repo/target/graft-fixtures/q77_${new java.io.File(dir).getName}",
+      200L, 7L)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -679,5 +687,12 @@ object SparkEntry {
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the planted corruption split, recomputed from the source table:
+    // the Spark side must report exactly these counts after its real
+    // write → read → PERMISSIVE-parse round trip
+    "q77_jsonl_health" ->
+      """SELECT sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+        |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt
+        |FROM documents WHERE doc_id < 200""".stripMargin.replace("\n", " "),
   )
 }

@@ -55,6 +55,48 @@ object JsonLines {
     (r.getLong(0) - r.getLong(1), r.getLong(1))
   }
 
+  /** healthSummary as a one-row DataFrame — the gate/report shape.
+    * Same single-pass contract, but the data-column reference that
+    * keeps the scan legal must live INSIDE a surviving output
+    * expression: a hidden helper aggregate would be pruned by the
+    * optimizer (its output is unused), resurrecting the corrupt-
+    * column-only error. So n_clean counts rows where the corrupt
+    * column is null, via a coalesce over the data column — never-null
+    * when the branch fires (a clean line with a null data field still
+    * counts), and un-prunable because the result depends on it. */
+  def healthSummaryDf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCol = df.columns.find(_ != CorruptCol).getOrElse(
+      throw new IllegalArgumentException("frame has only the corrupt column"))
+    df.agg(
+      count(when(col(CorruptCol).isNull,
+        coalesce(col(dataCol).cast("string"), lit("")))).as("n_clean"),
+      count(col(CorruptCol)).as("n_corrupt"))
+  }
+
+  /** Gate composition (q77): serialize documents with doc_id < maxId
+    * as JSONL — lines where doc_id % corruptMod == 0 deliberately
+    * truncated mid-object — write to `dir`, read back through the
+    * explicit-schema PERMISSIVE contract, and report clean/corrupt
+    * counts. End-to-end through a real write+read+parse, so the oracle
+    * (which recomputes the planted split from the source table) checks
+    * that dirty input is COUNTED, neither dropped nor fatal. */
+  def healthReport(docs: DataFrame, dir: String,
+                   maxId: Long, corruptMod: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    docs.where(col("doc_id") < maxId)
+      .select(when(col("doc_id") % corruptMod === 0,
+          // unterminated string + object: unambiguously malformed JSON
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"source\": \"trunca")))
+        .otherwise(to_json(struct(col("doc_id"), col("source"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = new StructType()
+      .add("doc_id", "long").add("source", "string")
+    healthSummaryDf(read(spark, dir, schema))
+  }
+
   /** Write a frame as JSONL (drops a corrupt-record column if present —
     * quarantine it separately, don't re-emit it as data). */
   def write(df: DataFrame, path: String): Unit = {

@@ -49,5 +49,20 @@ class JsonLinesSpec extends AnyFunSuite {
     val raw = back.where(col(JsonLines.CorruptCol).isNotNull)
       .select(col("doc_id"), col(JsonLines.CorruptCol)).head().getString(1)
     assert(raw.contains("BROKEN"))
+    // DataFrame shape agrees with the tuple shape
+    val row = JsonLines.healthSummaryDf(back).head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L)
+  }
+
+  test("healthReport: planted corruption is counted exactly (q77 contract)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl3").toString + "/fixture"
+    val docs = Corpus.table(spark, "/root/testdata/sf0.001", "documents")
+    val row = JsonLines.healthReport(docs, dir, 100L, 7L).head()
+    val expectedCorrupt = docs.where(col("doc_id") < 100 &&
+      col("doc_id") % 7 === 0).count()
+    val expectedClean = docs.where(col("doc_id") < 100).count() - expectedCorrupt
+    assert(row.getLong(0) == expectedClean)
+    assert(row.getLong(1) == expectedCorrupt)
   }
 }
