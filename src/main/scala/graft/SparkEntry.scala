@@ -206,6 +206,14 @@ object SparkEntry {
       Corpus.table(s, dir, "documents"),
       s"/root/repo/target/graft-fixtures/q77_${new java.io.File(dir).getName}",
       200L, 7L)),
+    // q78: the PERSISTED IVF serving path under the all-probes hard
+    // gate — write the cell-partitioned store, probe through it with
+    // every cell; must hash-match the q22 exact oracle (q38b's twin,
+    // through the store instead of the in-memory frame)
+    "q78_ivf_store_probe" -> ((s, dir) => Similarity.ivfStoreExactTopK(
+      Corpus.table(s, dir, "embeddings"),
+      s"/root/repo/target/graft-fixtures/q78_${new java.io.File(dir).getName}",
+      0L, 10, 8)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -283,6 +291,8 @@ object SparkEntry {
     "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
     // all-probes IVF == brute force: the q22 exact-top-k oracle verbatim
     "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
+    // all-probes through the PERSISTED store == brute force too
+    "q78_ivf_store_probe" -> PO.cosineTopK(0L, 10),
     // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
     "q39b_dedup_approx_guard" ->
       "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",

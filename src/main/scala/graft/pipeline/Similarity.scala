@@ -385,6 +385,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Gate composition (q78): the persisted-store serving path under
+    * the all-probes hard gate. Builds the cell-partitioned store once
+    * per (corpus, dir, nClusters, seed) per session — the index-build
+    * job, sharing the session-cached k-means model with the in-memory
+    * tier — then probes THROUGH the written store with nProbe ==
+    * nClusters. All-probes is exactly brute force regardless of what
+    * k-means learned, so the result must hash-match the q22 exact
+    * oracle while exercising the real partition-pruned read path a
+    * production deployment serves from (q38b proved the in-memory
+    * tier; this proves the store). */
+  def ivfStoreExactTopK(embeddings: DataFrame, dir: String, queryId: Long,
+                        k: Int, nClusters: Int, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = graft.SessionCache.getOrBuild(spark,
+      ("Similarity.ivfStore", dir, embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings), nClusters, seed)) {
+      buildIvfStore(embeddings, dir, nClusters, seed)
+    }
+    embeddings.where(col("vec_id") === queryId)
+      .select(col("embedding")).take(1).headOption match {
+      case None => // missing queryId → empty result, same as the other tiers
+        embeddings.where(lit(false))
+          .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+      case Some(r) =>
+        probeIvfStore(spark, dir, centroids, r.getSeq[Float](0).toArray,
+          queryId, k, nProbe = nClusters)
+    }
+  }
+
   /** Recall@k audit of the sign-bucket ANN tier: for a SAMPLED query
     * set (vec_id % queryMod == 0), how many of the true (brute-force)
     * top-k cosine neighbors the bucket-local search returns. This is
