@@ -214,6 +214,10 @@ object SparkEntry {
       Corpus.table(s, dir, "embeddings"),
       s"/root/repo/target/graft-fixtures/q78_${new java.io.File(dir).getName}",
       0L, 10, 8)),
+    // q79: the q32 revenue join routed through the skew-salting
+    // operator — same oracle as q32, pinning salted == plain
+    "q79_salted_join" -> ((s, dir) =>
+      RelationalOps.saltedRevenueByPriority(s, dir)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -293,6 +297,13 @@ object SparkEntry {
     "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
     // all-probes through the PERSISTED store == brute force too
     "q78_ivf_store_probe" -> PO.cosineTopK(0L, 10),
+    // salted join must be row-identical to the plain join — q32's
+    // oracle verbatim
+    "q79_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
     // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
     "q39b_dedup_approx_guard" ->
       "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",

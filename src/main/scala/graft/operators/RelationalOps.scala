@@ -330,4 +330,25 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Gate composition (q79): the q32 revenue join routed THROUGH the
+    * skew-salting operator — same oracle, so the hash gate pins that
+    * salting returns exactly the plain equi-join's rows while each
+    * order key is spread over `factor` shuffle partitions. The salt
+    * derives from (order key, line number), a per-ROW value: salting
+    * on the join key alone would give a hot key one fixed salt and
+    * spread nothing. */
+  def saltedRevenueByPriority(spark: SparkSession, sfDir: String,
+                              factor: Int = 8): DataFrame = {
+    val o = Corpus.table(spark, sfDir, "orders")
+    val l = Corpus.table(spark, sfDir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    SkewOps.saltedJoin(l, o, "o_orderkey",
+        struct(col("o_orderkey"), col("l_linenumber")), factor)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
 }
