@@ -218,6 +218,13 @@ object SparkEntry {
     // operator — same oracle as q32, pinning salted == plain
     "q79_salted_join" -> ((s, dir) =>
       RelationalOps.saltedRevenueByPriority(s, dir)),
+    // q80: the STREAMING sessionizer replayed over the batch events
+    // table (MemoryStream → flatMapGroupsWithState → memory sink) —
+    // Append output must equal batch sessionization, so it shares
+    // q41's oracle: first oracle-checked streaming data-plane coverage
+    "q80_streaming_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.sessionizeReplay(
+        Corpus.table(s, dir, "events"), 30)),
   )
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
@@ -304,6 +311,19 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    // streaming Append output == batch sessionization — q41's oracle
+    // verbatim
+    "q80_streaming_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
     // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
     "q39b_dedup_approx_guard" ->
       "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",

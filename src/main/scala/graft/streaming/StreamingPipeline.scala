@@ -73,20 +73,32 @@ object StreamingPipeline {
                  lateness: String = "10 minutes"): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes.toLong * 60000L
+    // State timestamps are MICROSECONDS — Spark's own timestamp
+    // precision. Timestamp.getTime (millis) would silently truncate
+    // sub-millisecond event times, making streaming session bounds
+    // drift from the batch sessionization of the same data (caught by
+    // the q80 gate: the corpus carries microsecond stamps).
+    val gapUs = gapMinutes.toLong * 60000000L
+
+    def toMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def toSession(user: Long, s: SessionState): UserSession =
-      UserSession(user, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.end), s.n, s.total)
+      UserSession(user, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
 
     // sorted interval merge with gap tolerance: any two sessions (or a
-    // session and an event) within `gapMs` coalesce; n/total are sums,
+    // session and an event) within `gapUs` coalesce; n/total are sums,
     // so merging already-merged sessions stays exact
     def mergeAll(ss: Seq[SessionState]): Seq[SessionState] =
       ss.sortBy(s => (s.start, s.end))
         .foldLeft(List.empty[SessionState]) { (acc, s) =>
           acc match {
-            case h :: t if s.start <= h.end + gapMs =>
+            case h :: t if s.start <= h.end + gapUs =>
               SessionState(math.min(h.start, s.start), math.max(h.end, s.end),
                 h.n + s.n, h.total + s.total) :: t
             case _ => s :: acc
@@ -97,19 +109,24 @@ object StreamingPipeline {
     // timeout): merge, emit ripe sessions, hold + re-arm the rest
     def update(user: Long, incoming: Iterator[SessionEvent],
                state: GroupState[SessionBuf]): Iterator[UserSession] = {
-      val wm = state.getCurrentWatermarkMs()
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
-      val merged = mergeAll(held ++ incoming.map(e =>
-        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+      val merged = mergeAll(held ++ incoming.map { e =>
+        val us = toMicros(e.ts)
+        SessionState(us, us, 1, e.value)
+      })
       // strict <: an event with t == watermark may still be admitted,
       // and t == end + gap == watermark would belong to this session
-      val (ripe, open) = merged.partition(_.end + gapMs < wm)
+      val (ripe, open) = merged.partition(_.end + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {
         state.update(SessionBuf(open))
-        // earliest possible finalization; must stay ahead of the watermark
+        // earliest possible finalization (millis, rounded UP so the
+        // micro-precise ripeness test has passed when it fires); must
+        // stay ahead of the watermark
+        val fireMs = math.floorDiv(open.map(_.end).min + gapUs, 1000L) + 1L
         state.setTimeoutTimestamp(
-          math.max(open.map(_.end).min + gapMs, wm + 1))
+          math.max(fireMs, state.getCurrentWatermarkMs() + 1))
       }
       ripe.iterator.map(toSession(user, _))
     }
@@ -119,6 +136,63 @@ object StreamingPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Gate composition (q80): replay the BATCH events table through the
+    * streaming sessionizer — MemoryStream source, memory sink — and
+    * return every finalized session. Two far-future sentinel batches
+    * (user −1) push the watermark past the whole corpus so every real
+    * session ripens and emits; the sentinel's own never-finalized
+    * session is excluded from the result. Because the corpus arrives
+    * as one batch, the first-batch watermark is the epoch and nothing
+    * is late-dropped, so Append output must equal the batch
+    * sessionization of the same table — the q41 oracle verbatim. This
+    * is the first ORACLE-checked coverage of the streaming data plane:
+    * same state logic, same timeout path, same interval-merge that
+    * serves continuous ingest, driven over gate-checkable data. */
+  def sessionizeReplay(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the replay SOURCE is driver-fed by MemoryStream's design (test/
+    // replay harness, not the production path — that is readStream);
+    // chunked addData keeps any single batch bounded. Feeding in ts
+    // order makes late-dropping impossible: after chunk k the
+    // watermark is max(ts_k) − lateness, and every later chunk's
+    // events are ≥ max(ts_k) by the sort.
+    val rows = events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(_._2.getTime)
+    val maxTs = rows.iterator.map(_._2.getTime).max
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = sessionize(stream.toDF().toDF("user_id", "ts", "value"),
+      gapMinutes)
+    val qname = "q80_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_q80").toString)
+      .start()
+    try {
+      rows.grouped(200000).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      // two sentinel batches: the first advances max event time, the
+      // second runs with the advanced watermark so timeouts fire
+      val day = 86400000L
+      stream.addData((-1L, new java.sql.Timestamp(maxTs + day), 0.0))
+      query.processAllAvailable()
+      stream.addData((-1L, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(qname)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Streaming exact dedup by content hash within the watermark
