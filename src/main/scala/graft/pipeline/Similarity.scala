@@ -29,18 +29,40 @@ import TextFunctions._
 object Similarity {
 
   /** Sizing rule for the sign-bucket quantizer: enough bits that the
-    * EXPECTED bucket population stays at or below `targetPerBucket`
-    * (default 10⁴ vectors ≈ 5 MB of 64-float embeddings — comfortably
-    * one task). nBits is a REQUIRED parameter on every bucketed
-    * operator precisely because a constant cannot survive a 100×
-    * corpus: 4 bits = 16 global buckets means one task holds 1/16th of
-    * all vectors at any scale. Callers size it from a corpus count
-    * (exact or estimated — at 100 TB the row-group stats estimate is
-    * free): ceil(log2(n / target)). */
+    * EXPECTED bucket population stays at or below `targetPerBucket`.
+    * nBits is a REQUIRED parameter on every bucketed operator precisely
+    * because a constant cannot survive a 100× corpus: 4 bits = 16
+    * global buckets means one task holds 1/16th of all vectors at any
+    * scale. Callers size it from a corpus count (exact or estimated —
+    * at 100 TB the row-group stats estimate is free):
+    * ceil(log2(n / target)).
+    *
+    * BUFFER FORMULA — what bounds targetPerBucket: the bucket-collect
+    * tiers aggregate one row of roughly `dim × bucketPop × 8 B`
+    * (pre-cast double embeddings) per bucket. The 10⁴ default is sized
+    * for the 64-dim corpus (≈5 MB per collected row); at 768 dims the
+    * same target is a ~60 MB aggregation row — legal but heavy. For
+    * wide vectors use `sizedNBitsForDim`, which derives the target
+    * from a per-bucket byte budget instead of assuming the dimension. */
   def sizedNBits(corpusVectors: Long, targetPerBucket: Long = 10000L): Int = {
     require(corpusVectors > 0 && targetPerBucket > 0)
     val buckets = math.max(1.0, corpusVectors.toDouble / targetPerBucket)
     math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
+  /** Dimension-aware sizing: targetPerBucket = budget / (dim × 8 B),
+    * clamped to [256, 10⁴]. With the default 16 MiB per-bucket budget
+    * a 64-dim corpus keeps the 10⁴ target (cap) while 768-dim lands at
+    * ~2.7k vectors per bucket — the wide-vector default the constant
+    * target could not express. The floor keeps pathological dims from
+    * exploding the bucket count (recall cost) faster than the buffer
+    * saves memory. */
+  def sizedNBitsForDim(corpusVectors: Long, dim: Int,
+                       bucketBudgetBytes: Long = 16L << 20): Int = {
+    require(dim > 0 && bucketBudgetBytes > 0)
+    val target = math.min(10000L,
+      math.max(256L, bucketBudgetBytes / (dim.toLong * 8L)))
+    sizedNBits(corpusVectors, target)
   }
 
   /** vec as doubles + its norm (+ sign bucket when nBits > 0). Fans an

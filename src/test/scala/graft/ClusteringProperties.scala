@@ -55,4 +55,20 @@ object ClusteringProperties extends Properties("clustering") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == bfsLabels(edges)
     }
+
+  property("distributed propagation loop == BFS min-reachable reference") =
+    forAll(genEdges) { edges =>
+      val s = spark
+      import s.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      // an explicit round bound routes PAST the size-gated union-find
+      // fast path into the distributed propagation loop (the path a
+      // >10⁶-edge graph takes at scale); 64 rounds dwarfs any 16-node
+      // graph's diameter, so the loop reaches its fixpoint and must
+      // agree with the same reference as the fast path
+      val got = Dedup.minLabelComponents(pairs, "doc_a", "doc_b",
+          maxIter = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == bfsLabels(edges)
+    }
 }

@@ -219,6 +219,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(bits == bits.sorted)
   }
 
+  test("sizedNBitsForDim: per-bucket collected-row bytes stay within budget") {
+    val budget = 16L << 20
+    for (dim <- Seq(8, 64, 384, 768, 1536, 4096); n <- Seq(1e5, 1e7, 1e9)) {
+      val bits = Similarity.sizedNBitsForDim(n.toLong, dim, budget)
+      val expectedPop = n / math.pow(2, bits)
+      val rowBytes = expectedPop * dim * 8
+      // the 256-vector floor deliberately trades buffer for recall on
+      // pathological dims; above it the budget must hold
+      val floorBytes = 256.0 * dim * 8
+      assert(rowBytes <= math.max(budget.toDouble, floorBytes),
+        s"dim=$dim n=$n bits=$bits rowBytes=$rowBytes")
+    }
+    // 64-dim keeps the classic 10⁴ target; 768-dim tightens to ~2.7k
+    assert(Similarity.sizedNBitsForDim(10000000L, 64) ==
+      Similarity.sizedNBits(10000000L))
+    assert(Similarity.sizedNBitsForDim(10000000L, 768) ==
+      Similarity.sizedNBits(10000000L, (16L << 20) / (768L * 8L)))
+  }
+
   test("PROPERTY: sizedNBits bounds expected bucket population ≤ target from 10^3 to 10^12 vectors") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     // the scale dial itself, not just its documentation: for ANY corpus
