@@ -313,4 +313,32 @@ class PlanShapeSpec extends AnyFunSuite {
     // the signature recomputation reads only pair members (semi-join prune)
     assert(p.contains("LeftSemi"))
   }
+
+  test("q76 image decode: embarrassingly parallel map over the scan — no joins, no data shuffle") {
+    val p = plan("q76_image_decode")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("MapPartitions")) // per-task codec, never driver-side
+  }
+
+  test("q77 jsonl health: one aggregate over the json scan — no join, single pass") {
+    val p = plan("q77_jsonl_health")
+    assert(!p.contains("Join"))
+    assert(p.contains("FileScan json"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q78 store probe: the scan prunes on the cell partition column") {
+    val p = plan("q78_ivf_store_probe")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q79 salted join: the join key carries the salt; no cartesian anywhere") {
+    val p = plan("q79_salted_join")
+    assert(p.contains("_salt"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
