@@ -225,7 +225,24 @@ object SparkEntry {
     "q80_streaming_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.sessionizeReplay(
         Corpus.table(s, dir, "events"), 30)),
+    // q81: pattern-scan audit (the PII-scrub sizing report) — one scan
+    // for all patterns; gate patterns match the corpus (the PII presets
+    // are unit-tested on planted strings — the synthetic corpus
+    // deliberately contains none)
+    "q81_pattern_scan" -> ((s, dir) => graft.pipeline.TextScrub
+      .patternScanSummary(Corpus.table(s, dir, "documents"), ScanPatterns)),
+    // q82: keep-BEST cluster dedup — longest-doc representative (the
+    // production keep policy), same pair index + shared CC as q37
+    "q82_cluster_keep_best" -> ((s, dir) => Dedup.dedupByClustersKeepBest(
+      Corpus.table(s, dir, "documents"), 0.8)),
   )
+
+  /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
+    * corpus (see TextScrub.PiiPresets for the real PII classes). */
+  private val ScanPatterns: Seq[(String, String)] = Seq(
+    "agg_prefix" -> "agg\\w*",
+    "table_word" -> "\\btable\\b",
+    "the_word" -> "\\bthe\\b")
 
   /** The fixed source enum of the driver corpus (src0..src19 at every
     * SF) — pivot columns are config-known, not discovered (see
@@ -311,6 +328,22 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    // one UNION ALL branch per gate pattern — same RE2-subset regexes,
+    // so Java regex and DuckDB RE2 count identical matches
+    "q81_pattern_scan" ->
+      """WITH m AS (
+        | SELECT source, 'agg_prefix' AS pattern,
+        |   len(regexp_extract_all(text, 'agg\w*')) AS m FROM documents
+        | UNION ALL SELECT source, 'table_word',
+        |   len(regexp_extract_all(text, '\btable\b')) FROM documents
+        | UNION ALL SELECT source, 'the_word',
+        |   len(regexp_extract_all(text, '\bthe\b')) FROM documents)
+        |SELECT source, pattern,
+        |  sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit,
+        |  sum(m)::BIGINT AS n_matches
+        |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
+    // keep-best representative over the same recursive clusters
+    "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
     // streaming Append output == batch sessionization — q41's oracle
     // verbatim
     "q80_streaming_sessionize" ->

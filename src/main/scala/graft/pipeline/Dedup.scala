@@ -474,6 +474,28 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Cluster dedup keeping the BEST member per cluster instead of the
+    * min-id one: representative = the longest document (n_chars),
+    * ties broken on smallest doc_id — the policy production pipelines
+    * actually want (keep the most complete copy of boilerplate-
+    * trimmed near-dups, not an arbitrary id). Same pair index, same
+    * shared CC solve; the ranking is one window over the CLUSTERED
+    * docs only (cluster-membership-sized, never corpus-sized), and
+    * the removed set anti-joins back exactly as dedupByClusters. */
+  def dedupByClustersKeepBest(docs: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val removed = nearDupClusters(docs, threshold)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") =!= 1)
+      .select(col("doc_id"))
+    docs.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Near-dup cluster-size histogram: how many clusters have exactly k
     * members — the one-page dedup report a pipeline owner reads before
     * approving a drop (a fat tail of large clusters means boilerplate

@@ -103,6 +103,18 @@ object PipelineOracles {
        |WHERE doc_id NOT IN (SELECT node FROM removed)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Keep-BEST cluster dedup: representative = longest doc (n_chars),
+    * tie → smallest id — same recursive clusters, ranked. */
+  def clusterDedupKeepBest(threshold: Double): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold)},
+       |r AS (SELECT c.node, row_number() OVER (PARTITION BY c.cluster
+       |  ORDER BY d.n_chars DESC, c.node) AS rn
+       |  FROM clusters c JOIN documents d ON c.node = d.doc_id),
+       |removed AS (SELECT node FROM r WHERE rn <> 1)
+       |SELECT source, count(*) AS n_kept FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM removed)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val simhash: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |h AS (SELECT doc_id, list_transform(t, tok -> ${h64("tok", "sim")}) AS th FROM tk)

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pattern scanning and redaction — the PII-scrub stage every
+  * training-data pipeline runs before release: count occurrences of
+  * configured regex classes per source (the audit that sizes the
+  * problem), then rewrite the text with the matches redacted.
+  *
+  * Patterns are CONFIG, not hardcoded: the preset list below covers
+  * the classic PII classes, but a deployment adds its own (internal
+  * hostnames, ticket ids, customer names). Pattern syntax must stay
+  * inside the RE2-compatible subset (character classes, bounded
+  * repetition, alternation, `\b`, `\w`, `\d`) so the same pattern
+  * means the same thing in Spark (Java regex), the DuckDB oracle, and
+  * any RE2-based scanner a deployment might pair this with — no
+  * backreferences, no lookaround.
+  *
+  * Scale shape: ONE corpus scan for all patterns — per-row match
+  * counts are computed into an array of (pattern, count) structs and
+  * exploded, so adding a pattern adds per-row CPU, never another
+  * scan; the only shuffle carries (source, pattern, two longs).
+  * Redaction is scan-local (`regexp_replace` chain, codegen'd), no
+  * shuffle at all. */
+object TextScrub {
+
+  /** Classic PII presets (RE2-compatible). Unit-tested against
+    * planted strings in PipelineSpec; the corpus gate (q81) uses
+    * corpus-matching patterns instead because the synthetic corpus
+    * deliberately contains no PII. */
+  val PiiPresets: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d -]{7,}\\d")
+
+  /** Per-(source, pattern) audit: documents hit and total matches.
+    * One scan regardless of pattern count. */
+  def patternScanSummary(docs: DataFrame,
+                         patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern")
+    val entries = patterns.map { case (name, re) =>
+      struct(lit(name).as("pattern"),
+        coalesce(size(regexp_extract_all(col("text"), lit(re), lit(0))),
+          lit(0)).as("m"))
+    }
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("source"), explode(array(entries: _*)).as("e"))
+      .groupBy(col("source"), col("e.pattern").as("pattern"))
+      .agg(sum(when(col("e.m") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("e.m")).cast("long").as("n_matches"))
+      .orderBy("source", "pattern")
+  }
+
+  /** Redact every match of every pattern with `replacement` —
+    * scan-local, no shuffle; the patterns apply in list order, so an
+    * earlier pattern's replacement text is visible to later ones
+    * (deliberate: a redacted email can't then leak as a hostname). */
+  def scrub(docs: DataFrame, patterns: Seq[(String, String)],
+            replacement: String = "[REDACTED]"): DataFrame = {
+    val scrubbed = patterns.foldLeft(col("text")) { case (c, (_, re)) =>
+      regexp_replace(c, re, replacement)
+    }
+    docs.withColumn("text", scrubbed)
+  }
+
+  /** Scrub-then-audit invariant check used by the spec: after a scrub,
+    * the same patterns must match nothing. */
+  def residualMatches(docs: DataFrame,
+                      patterns: Seq[(String, String)]): Long = {
+    val counts: Column = patterns.map { case (_, re) =>
+      coalesce(size(regexp_extract_all(col("text"), lit(re), lit(0))),
+        lit(0)).cast("long")
+    }.reduce(_ + _)
+    scrub(docs, patterns)
+      .agg(sum(counts)).head().getLong(0)
+  }
+}

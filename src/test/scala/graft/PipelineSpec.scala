@@ -304,6 +304,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(f0.n_bytes == doc0len.toLong)
   }
 
+  test("TextScrub: PII presets find planted strings; scrub leaves zero residual matches") {
+    val s = spark
+    import s.implicits._
+    val planted = Seq(
+      (0L, "contact alice@example.com or bob.smith@corp.co.uk today", "s0"),
+      (1L, "server at 10.0.42.7 answered, backup at 192.168.1.255", "s0"),
+      (2L, "call +1 555 123 4567 or 020-7946-0958 now", "s1"),
+      (3L, "perfectly clean text with no identifiers at all", "s1"))
+      .toDF("doc_id", "text", "source")
+    val audit = TextScrub.patternScanSummary(planted, TextScrub.PiiPresets)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(audit(("s0", "email")) == (1L, 2L))
+    assert(audit(("s0", "ipv4")) == (1L, 2L))
+    assert(audit(("s1", "phone")) == (1L, 2L))
+    assert(audit(("s1", "email")) == (0L, 0L))
+    // scrub removes every match the audit counted
+    assert(TextScrub.residualMatches(planted, TextScrub.PiiPresets) == 0L)
+    // untouched text survives scrubbing byte-identical
+    val clean = TextScrub.scrub(planted, TextScrub.PiiPresets)
+      .where(col("doc_id") === 3L).select("text").head().getString(0)
+    assert(clean == "perfectly clean text with no identifiers at all")
+  }
+
+  test("keep-best cluster dedup keeps the longest member, same survivor count as keep-min") {
+    // both policies drop (clusterSize - 1) docs per cluster, so the
+    // per-source totals can differ but the corpus total cannot
+    val keepMin = Dedup.dedupByClusters(docs, 0.8)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    val keepBest = Dedup.dedupByClustersKeepBest(docs, 0.8)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    assert(keepMin == keepBest)
+    // the representative is the longest member of every cluster
+    val clusters = Dedup.nearDupClusters(docs, 0.8)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val best = clusters.groupBy(_._2).map { case (_, ms) =>
+      ms.minBy(m => (-m._3, m._1))._1
+    }.toSet
+    val removedIds = clusters.map(_._1).toSet -- best
+    val kept = Dedup.dedupByClustersKeepBest(docs, 0.8)
+    val keptTotal = docs.count() - removedIds.size
+    assert(kept.agg(sum(col("n_kept"))).head().getLong(0) == keptTotal)
+  }
+
   test("multimodal real codec: PNG round-trip decodes exact pixels, stub only for non-images") {
     // encode→decode must reproduce the closed-form pixel sums (PNG is
     // lossless) — the q76 gate contract, pinned here at unit scale

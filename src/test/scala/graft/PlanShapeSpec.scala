@@ -341,4 +341,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q81 pattern scan: ONE corpus scan for all patterns — no joins, explode not re-scan") {
+    val p = plan("q81_pattern_scan")
+    assert(!p.contains("Join"))
+    assert(p.contains("Generate explode")) // patterns fan out per row
+    assert(p.split("FileScan parquet").length == 2) // exactly one scan
+  }
+
+  test("q82 keep-best dedup: window over CLUSTERED docs only; anti-join sized by true dups") {
+    val p = plan("q82_cluster_keep_best")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+    assert(p.contains("LeftAnti"))
+  }
 }
