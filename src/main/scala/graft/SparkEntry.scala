@@ -235,6 +235,10 @@ object SparkEntry {
     // production keep policy), same pair index + shared CC as q37
     "q82_cluster_keep_best" -> ((s, dir) => Dedup.dedupByClustersKeepBest(
       Corpus.table(s, dir, "documents"), 0.8)),
+    // q83: quality filter funnel — cumulative survivor counts per
+    // source under integer-exact length + repetition rules
+    "q83_filter_funnel" -> ((s, dir) => TextStats.filterFunnel(
+      Corpus.table(s, dir, "documents"), 30, 40)),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -344,6 +348,18 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
     // keep-best representative over the same recursive clusters
     "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
+    // integer-exact funnel rules (cross-multiplied thresholds), same
+    // whitespace tokenization as q48
+    "q83_filter_funnel" ->
+      """WITH d AS (SELECT source, len(string_split(text, ' '))::BIGINT AS n,
+        |  (len(string_split(text, ' ')) -
+        |   len(list_distinct(string_split(text, ' '))))::BIGINT AS dups
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN n >= 30 THEN 1 ELSE 0 END)::BIGINT AS n_pass_len,
+        |  sum(CASE WHEN n >= 30 AND dups * 100 <= n * 40 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass_all
+        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // streaming Append output == batch sessionization — q41's oracle
     // verbatim
     "q80_streaming_sessionize" ->

@@ -272,6 +272,33 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Filter-funnel report (q83): the C4/Gopher-style quality-gate
+    * summary a curation pipeline reads before dropping anything — per
+    * source, how many documents survive each SUCCESSIVE filter. Rules
+    * are integer-exact so the gate hash needs no float to cross
+    * engines: length (n_toks ≥ minTokens) and repetition
+    * (n_dup · 100 ≤ n_toks · maxDupPct — the fraction threshold
+    * cross-multiplied into integers). The funnel is cumulative: a doc
+    * counts toward pass_rep only if it also passed length, matching
+    * how filters actually compose in a pipeline. Scan-local signals,
+    * one partial+final aggregate — the same shuffle shape as q48. */
+  def filterFunnel(docs: DataFrame, minTokens: Int,
+                   maxDupPct: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val base = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("source"),
+        size(t).cast("long").as("n_toks"),
+        (size(t) - size(array_distinct(t))).cast("long").as("n_dup"))
+    val passLen = col("n_toks") >= minTokens
+    val passRep = passLen &&
+      col("n_dup") * 100L <= col("n_toks") * maxDupPct
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passLen, 1L).otherwise(0L)).as("n_pass_len"),
+        sum(when(passRep, 1L).otherwise(0L)).as("n_pass_all"))
+      .orderBy("source")
+  }
+
   /** Collocation head: the k adjacent token pairs most over-represented
     * vs independence — lift(x,y) = c_xy·N / (c_x·c_y), the exp of PMI —
     * with a min-support floor. This is the statistic a tokenizer-merge

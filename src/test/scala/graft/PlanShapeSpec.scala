@@ -355,4 +355,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(p.contains("LeftAnti"))
   }
+
+  test("q83 filter funnel: scan-local signals, one partial+final aggregate — no joins") {
+    val p = plan("q83_filter_funnel")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count"))
+  }
 }
