@@ -239,6 +239,15 @@ object SparkEntry {
     // source under integer-exact length + repetition rules
     "q83_filter_funnel" -> ((s, dir) => TextStats.filterFunnel(
       Corpus.table(s, dir, "documents"), 30, 40)),
+    // q84: the q40 attribution join under a 1-hour match-age bound —
+    // a stale click no longer claims the purchase
+    "q84_asof_tolerance" -> ((s, dir) =>
+      RelationalOps.purchaseAsofClickTolerance(s, dir, 3600L)),
+    // q85: approx-quantile guard — percentile_approx (the 100 TB
+    // quantile path) pinned inside its rank-error contract against
+    // exact ranks; oracle expects TRUE (the q39b pattern)
+    "q85_quantile_guard" -> ((s, dir) => TextStats.quantileGuard(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -348,6 +357,27 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
     // keep-best representative over the same recursive clusters
     "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
+    // DuckDB native ASOF + the same integer-microsecond age filter;
+    // q40's pre-dedup of right-side ties carries over unchanged
+    "q84_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, click_ts, click_id, click_value FROM c0 WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+        |  c.click_ts, c.click_id, c.click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |WHERE epoch_us(p.ts) - epoch_us(c.click_ts) <= 3600000000::BIGINT
+        |ORDER BY p.event_id""".stripMargin.replace("\n", " "),
+    // exact columns + the in-contract invariant (TRUE expected) — the
+    // sketch itself never crosses engines
+    "q85_quantile_guard" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+        |  true AS within_bounds
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     // integer-exact funnel rules (cross-multiplied thresholds), same
     // whitespace tokenization as q48
     "q83_filter_funnel" ->

@@ -27,8 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** As-of join with a match-age bound: the latest right row with
+    * `leftTime − tolerance ≤ rightTime ≤ leftTime` — the form every
+    * real attribution/feature-lookup pipeline needs (an hours-old
+    * click should not claim a purchase; a stale feature row should
+    * not serve). Implemented as a post-filter on the matched row's
+    * carried time: the window already finds the LATEST prior right
+    * row, so "latest but too old" is exactly "no match" — inner
+    * semantics drop the row, mirroring DuckDB ASOF + interval WHERE.
+    * The age test compares integer microseconds (unix_micros), so no
+    * float crosses engines. Same one-shuffle cost as asofJoin. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTime: String, rightTime: String,
+                        toleranceSeconds: Long): DataFrame = {
+    val matched = asofJoinCarryingTime(left, right, key, leftTime, rightTime)
+    matched
+      .where(unix_micros(col(leftTime)) - unix_micros(col("_matched_t")) <=
+        toleranceSeconds * 1000000L)
+      .drop("_matched_t")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String): DataFrame =
+    asofJoinCarryingTime(left, right, key, leftTime, rightTime)
+      .drop("_matched_t")
+
+  /** Core: asofJoin that also surfaces the matched right row's time as
+    * `_matched_t` (the tolerance variant filters on it). */
+  private def asofJoinCarryingTime(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
     val lCols = left.columns.toSeq.filterNot(_ == key)
     val rCols = right.columns.toSeq.filterNot(_ == key)
     require(lCols.intersect(rCols).isEmpty,
@@ -52,7 +80,7 @@ object AsOfJoin {
     // struct is non-null exactly on right rows, so ignoreNulls skips
     // left rows, never a null FIELD.
     val rStruct = when(col("_side") === 0,
-      struct(rCols.map(col): _*)).as("_r")
+      struct(rCols.map(col) :+ col("_t").as("_mt"): _*)).as("_r")
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tagged.select(col("*"), rStruct)
@@ -60,6 +88,7 @@ object AsOfJoin {
     carried.where(col("_side") === 1)
       .where(col("_asof").isNotNull) // inner: no prior right row → drop
       .select(Seq(col(key)) ++ lCols.map(col) ++
-        rCols.map(c => col("_asof").getField(c).as(c)): _*)
+        rCols.map(c => col("_asof").getField(c).as(c)) :+
+        col("_asof").getField("_mt").as("_matched_t"): _*)
   }
 }

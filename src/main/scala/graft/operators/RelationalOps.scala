@@ -110,6 +110,28 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Gate composition (q84): the q40 attribution join under a match-age
+    * bound — a click older than `toleranceSeconds` no longer claims the
+    * purchase (the row drops, inner semantics). Oracle = DuckDB ASOF
+    * plus the same interval filter. */
+  def purchaseAsofClickTolerance(spark: SparkSession, sfDir: String,
+                                 toleranceSeconds: Long): DataFrame = {
+    val ev = Corpus.table(spark, sfDir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clickRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val clicks = ev.where(col("event_type") === "click")
+      .withColumn("_rn", row_number().over(clickRank))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    AsOfJoin.asofJoinTolerance(purchases, clicks, "user_id", "ts",
+        "click_ts", toleranceSeconds)
+      .orderBy("event_id")
+  }
+
   /** Q41 — batch gap sessionization over events: a session ends
     * `gapMinutes` after its last event. The classic two-window shape:
     * lag() flags session starts, a running sum numbers them, one

@@ -272,6 +272,40 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Approx-quantile tier + guard (q85): `percentile_approx` is THE
+    * quantile path at 100 TB — a fixed-size mergeable one-pass sketch —
+    * while exact percentile (q42) sorts per group and is its
+    * correctness baseline. Sketch values are engine-specific, so (the
+    * q39b HLL pattern applied to quantiles) the gate pins per-lang
+    * counts and the EXACT median plus a boolean asserting the sketch's
+    * rank-error contract: Greenwald–Khanna relative rank error
+    * ε = 1/accuracy means the returned element's rank r obeys
+    * |r − q·n| ≤ ε·n; verified against exact ranks from a second
+    * aggregate (±1 discreteness slack). The oracle expects TRUE, so a
+    * drifting sketch hash-mismatches. */
+  def quantileGuard(docs: DataFrame, accuracy: Int = 100): DataFrame = {
+    val eps = 1.0 / accuracy
+    val agg = graft.sources.Corpus.fanOutSmallScan(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.5)).as("p50x"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(accuracy)).as("p50a"))
+    // exact ranks of the sketch's answer — the lang frame is tiny, so
+    // Catalyst broadcasts it back over the corpus
+    val ranks = docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(agg.select(col("lang"), col("p50a"))), "lang")
+      .groupBy(col("lang"))
+      .agg(sum(when(col("n_chars") < col("p50a"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("n_chars") <= col("p50a"), 1L).otherwise(0L)).as("r_le"))
+    agg.join(ranks, "lang")
+      .select(col("lang"), col("n_docs"),
+        round(col("p50x"), 6).as("p50_exact"),
+        (col("r_lt") <= (lit(0.5) + eps) * col("n_docs") + 1 &&
+         col("r_le") >= (lit(0.5) - eps) * col("n_docs") - 1)
+          .as("within_bounds"))
+      .orderBy("lang")
+  }
+
   /** Filter-funnel report (q83): the C4/Gopher-style quality-gate
     * summary a curation pipeline reads before dropping anything — per
     * source, how many documents survive each SUCCESSIVE filter. Rules

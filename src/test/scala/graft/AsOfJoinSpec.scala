@@ -58,6 +58,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("r_payload")))
   }
 
+  test("asofJoinTolerance drops matches older than the bound, keeps in-bound ones") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),  // r at 09:30 → 30 min old
+      (1L, ts("2024-01-01 18:00:00"), "stale")   // latest r 09:30 → 8.5 h old
+    ).toDF("k", "lt", "l_tag")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), "r1")).toDF("k", "rt", "r_tag")
+
+    val out = AsOfJoin.asofJoinTolerance(left, right, "k", "lt", "rt", 3600L)
+      .collect().map(r => r.getString(r.fieldIndex("l_tag")))
+    assert(out.toSeq == Seq("fresh")) // the stale match drops (inner)
+    // boundary is inclusive: exactly tolerance-old still matches
+    val boundary = AsOfJoin.asofJoinTolerance(
+      Seq((1L, ts("2024-01-01 10:30:00"), "edge")).toDF("k", "lt", "l_tag"),
+      right, "k", "lt", "rt", 3600L).count()
+    assert(boundary == 1L)
+    // and the internal match-time column does not leak into the output
+    assert(!AsOfJoin.asofJoinTolerance(left, right, "k", "lt", "rt", 3600L)
+      .columns.contains("_matched_t"))
+  }
+
   test("asofJoin plan is one window, no join node") {
     val s = spark
     import s.implicits._

@@ -362,4 +362,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
     assert(p.contains("partial_count"))
   }
+
+  test("q84 tolerance as-of: still one window, no join node — the age bound is a filter") {
+    val p = plan("q84_asof_tolerance")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q85 quantile guard: the rank check broadcasts the lang frame back, never shuffles the corpus twice") {
+    val p = plan("q85_quantile_guard")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"))
+  }
 }
