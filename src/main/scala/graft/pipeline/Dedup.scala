@@ -172,20 +172,24 @@ object Dedup {
     * keys. The shared candidate-generation input of the symmetric
     * (corpus-vs-itself) and asymmetric (delta-vs-base) near-dup tiers. */
   private def bandedKeys(docs: DataFrame): DataFrame = {
-    val sig = minhashCols(docs)
-    val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
-    val bandStructs = array((0 until Bands).map(b =>
-      struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
     // Docs with fewer than ShingleK tokens have NO shingles and thus a
     // null signature; concat_ws skips nulls, so every such doc would
     // share the identical hash64("") key in every band — one hot bucket
     // that makes candidate generation quadratic in the shingle-less
     // population. They can never verify anyway (Jaccard over an empty
     // shingle set is null, which fails every >= threshold), so dropping
-    // them here changes no verified pair while keeping the bucket-size
-    // bound honest.
-    sig.where(col("mh0").isNotNull)
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
+    // them changes no verified pair. The filter runs BEFORE the
+    // signature projection on the cheap token-count predicate:
+    // filtering on the signature column itself would be pushed below
+    // the projection with the alias substituted
+    // (PushPredicateThroughNonJoin), computing the whole shingle-hash +
+    // minhash chain twice per row.
+    val eligible = docs.where(size(tokens(col("text"))) >= ShingleK)
+    val sig = minhashCols(eligible)
+    val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
+    val bandStructs = array((0 until Bands).map(b =>
+      struct(lit(b).as("band"), bandKey(mhCols, b, RowsPerBand).as("bkey"))): _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
   }
 
