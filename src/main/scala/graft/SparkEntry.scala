@@ -248,6 +248,10 @@ object SparkEntry {
     // exact ranks; oracle expects TRUE (the q39b pattern)
     "q85_quantile_guard" -> ((s, dir) => TextStats.quantileGuard(
       Corpus.table(s, dir, "documents"))),
+    // q86: document novelty — fraction of shingles first seen in each
+    // doc (ingest order), the contribution signal beyond binary dedup
+    "q86_novelty" -> ((s, dir) => Dedup.noveltyProfile(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -357,6 +361,20 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
     // keep-best representative over the same recursive clusters
     "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
+    // same '#nv' 60-bit shingle hash both sides (q64's construction);
+    // first occurrence = min(doc_id) per hash; int counts, one divide
+    "q86_novelty" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, len(t)-1), i -> ('0x'||substr(sha256(
+        |    array_to_string(t[i:i+2], ' ')||'#nv'),1,15))::BIGINT))) AS g FROM tk),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+        |pd AS (SELECT sh.source, sh.doc_id, count(*) AS n_sh,
+        |  sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sh JOIN f USING (g) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(n_novel)::DOUBLE / sum(n_sh), 6) AS novel_shingle_frac
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // DuckDB native ASOF + the same integer-microsecond age filter;
     // q40's pre-dedup of right-side ties carries over unchanged
     "q84_asof_tolerance" ->

@@ -648,6 +648,35 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Document novelty profile (q86): per source, the fraction of each
+    * document's distinct shingles that FIRST appear in that document
+    * (ingest order = doc_id). Boilerplate-heavy or near-duplicate
+    * content scores low; genuinely new text scores high — the
+    * contribution signal a curation pipeline uses to rank sources
+    * beyond binary dedup. First occurrence = min(doc_id) per shingle
+    * hash: one shuffle keyed by the 8-byte hash (the same vocabulary
+    * shuffle as q49/q64), then integer counts with ONE divide, so the
+    * gate hash is exact. At 100 TB the shingle→min(doc_id) table is
+    * the corpus vocabulary — partial+final aggregation handles it; no
+    * text crosses the shuffle. */
+  def noveltyProfile(docs: DataFrame): DataFrame = {
+    val sh = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        explode(shinglesOf(col("text"), ShingleK)).as("s"))
+      .select(col("doc_id"), col("source"), hash64(col("s"), "nv").as("g"))
+    val firstSeen = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firstSeen, "g")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_novel")).cast("double") / sum(col("n_sh")), 6)
+          .as("novel_shingle_frac"))
+      .orderBy("source")
+  }
+
   /** Char-n-gram Jaccard pairs within a bounded id window — the
     * verification metric used to audit the LSH tier (all-pairs is
     * restricted to the window; the scale path IS lshNearDupPairs). */

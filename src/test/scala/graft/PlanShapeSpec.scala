@@ -376,4 +376,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
     assert(p.contains("approx_percentile") || p.contains("percentile_approx"))
   }
+
+  test("q86 novelty: one vocabulary shuffle on 8-byte hashes — no text through a join") {
+    val p = plan("q86_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the first-seen join keys on the hash; no string column crosses it
+    assert(p.contains("hash_tokens") || p.contains("sha256_prefix60"))
+  }
 }
