@@ -252,6 +252,15 @@ object SparkEntry {
     // doc (ingest order), the contribution signal beyond binary dedup
     "q86_novelty" -> ((s, dir) => Dedup.noveltyProfile(
       Corpus.table(s, dir, "documents"))),
+    // q87: four-table star join — revenue by (nation, order year);
+    // dims broadcast, one fact-spine shuffle join (plan-pinned)
+    "q87_nation_year_revenue" -> ((s, dir) =>
+      RelationalOps.nationYearRevenue(s, dir)),
+    // q88: streaming windowed agg replayed over the batch events table
+    // — the watermark+window pipeline's own parity gate next to q80
+    "q88_streaming_windowed_agg" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.windowedAggReplay(
+        Corpus.table(s, dir, "events"))),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -361,6 +370,25 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
     // keep-best representative over the same recursive clusters
     "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
+    // four-table star: same revenue arithmetic as q32, one year()
+    // bucketing — both engines' year() cast to BIGINT
+    "q87_nation_year_revenue" ->
+      """SELECT n.n_name, year(o.o_orderdate)::BIGINT AS order_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY n.n_name, order_year
+        |ORDER BY n.n_name, order_year""".stripMargin.replace("\n", " "),
+    // streaming tumbling windows align to the epoch → batch equivalent
+    // is an hour-truncated GROUP BY
+    "q88_streaming_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin.replace("\n", " "),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

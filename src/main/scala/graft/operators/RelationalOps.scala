@@ -353,6 +353,28 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q87 — four-table star join: revenue by (nation, order year) over
+    * customer ⋈ orders ⋈ lineitem ⋈ nation. The depth-test of the
+    * relational closure: Catalyst must broadcast the two dims (nation
+    * 25 rows, customer SF-bounded vs the fact side) and leave one
+    * shuffle join on the orders⋈lineitem fact spine — the classic
+    * star-schema plan a warehouse query compiles to. */
+  def nationYearRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Corpus.table(spark, sfDir, "customer")
+    val o = Corpus.table(spark, sfDir, "orders")
+    val l = Corpus.table(spark, sfDir, "lineitem")
+    val n = Corpus.table(spark, sfDir, "nation")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(o, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("order_year"))
+  }
+
   /** Gate composition (q79): the q32 revenue join routed THROUGH the
     * skew-salting operator — same oracle, so the hash gate pins that
     * salting returns exactly the plain equi-join's rows while each

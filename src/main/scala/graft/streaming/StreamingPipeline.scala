@@ -195,6 +195,52 @@ object StreamingPipeline {
       .orderBy("user_id", "session_start")
   }
 
+  /** Gate composition (q88): the streaming windowed aggregation
+    * replayed over the batch events table, same harness as
+    * sessionizeReplay (ts-ordered chunked MemoryStream feed, two
+    * far-future sentinels so every real window finalizes under Append
+    * mode). Tumbling 1-hour windows align to the epoch, so the batch
+    * equivalent is a date_trunc('hour') GROUP BY — the q14/q34-family
+    * oracle — giving the watermark+window operator pipeline its own
+    * hash gate next to the custom-state sessionizer's (q80). */
+  def windowedAggReplay(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect()
+      .sortBy(_._1.getTime)
+    val maxTs = rows.iterator.map(_._1.getTime).max
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = eventsWindowedAgg(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      window = "1 hour", lateness = "10 minutes")
+    val qname = "q88_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_q88").toString)
+      .start()
+    try {
+      rows.grouped(200000).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val day = 86400000L
+      stream.addData((new java.sql.Timestamp(maxTs + day), "_sentinel", 0.0))
+      query.processAllAvailable()
+      stream.addData((new java.sql.Timestamp(maxTs + 2 * day), "_sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(qname)
+      .where(col("event_type") =!= "_sentinel")
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("total"), 6).as("total"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Streaming exact dedup by content hash within the watermark
     * horizon: first arrival of a hash wins; later copies are dropped.
     * dropDuplicatesWithinWatermark keys state on the hash alone and

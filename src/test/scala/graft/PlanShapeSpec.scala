@@ -384,4 +384,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // the first-seen join keys on the hash; no string column crosses it
     assert(p.contains("hash_tokens") || p.contains("sha256_prefix60"))
   }
+
+  test("q87 star join: dims broadcast, no cartesian — the classic star-schema plan") {
+    val p = plan("q87_nation_year_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
