@@ -61,6 +61,9 @@ object Bench {
     // file artifact so cross-round comparison can separate index-build
     // cost from probe cost for the warm_index_queries.
     val runsByQuery = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // queries whose FIRST attempt failed: their earliest surviving run
+    // is not a cold number (the failed attempt partially seeded caches)
+    val coldInvalid = scala.collection.mutable.Set[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1)).map { case (name, fn) =>
       // isolate queries from each other's heap debt (lingering broadcast
@@ -77,7 +80,8 @@ object Bench {
             None
         }
       }
-      var times = (1 to timedRuns).flatMap(_ => once())
+      val firstRun = once()
+      var times = firstRun.toSeq ++ (2 to timedRuns).flatMap(_ => once())
       // a >2× spread between the two runs means a JVM-state artifact
       // (the intermittent whole-process stall, see SCALE.md) polluted
       // one — take a tie-breaker so min-of-N reflects the plan's cost
@@ -87,6 +91,10 @@ object Bench {
         times ++= once()
       }
       if (times.isEmpty) failed += name
+      // cold semantics: only an actually-successful FIRST attempt is a
+      // cold number — if run 1 failed, the caches it partially seeded
+      // make run 2 neither cold nor comparable, so cold records -1
+      if (firstRun.isEmpty) coldInvalid += name
       runsByQuery(name) = times
       val dt = if (times.nonEmpty) times.min else -1.0
       System.err.println(f"[bench] $name%-28s ${dt}%8.2f s  (runs: ${times.mkString(", ")})")
@@ -128,10 +136,15 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // cold = first timed run at sfDir (indexes/caches unbuilt), warm =
     // min of the later runs; recorded for EVERY query so the judge can
-    // read index-build vs probe cost without rerunning
+    // read index-build vs probe cost without rerunning. -1 when the
+    // first attempt failed (a retry after a failure is not cold).
+    // Caveat for queries SHARING a session index (warm_index_queries):
+    // the alphabetically-first sharer pays the build, so later sharers'
+    // "cold" excludes index-build by construction.
     val cold = results.map { case (k, _) =>
-      "\"" + k + "\":" + runsByQuery.get(k).flatMap(_.headOption)
-        .fold("-1")(ms)
+      val v = if (coldInvalid.contains(k)) None
+        else runsByQuery.get(k).flatMap(_.headOption)
+      "\"" + k + "\":" + v.fold("-1")(ms)
     }.mkString("{", ",", "}")
     val warm = results.map { case (k, _) =>
       val rest = runsByQuery.getOrElse(k, Seq.empty).drop(1)

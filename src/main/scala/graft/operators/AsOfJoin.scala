@@ -62,6 +62,13 @@ object AsOfJoin {
     require(lCols.intersect(rCols).isEmpty,
       s"left/right column names must be disjoint apart from '$key', " +
         s"clash: ${lCols.intersect(rCols).mkString(", ")}")
+    // internal plumbing names: a user column colliding with one would
+    // be silently dropped (Spark's drop removes ALL same-named
+    // columns) or make the struct getField ambiguous — reject loudly
+    val reserved = Set("_t", "_side", "_r", "_asof", "_mt", "_matched_t")
+    val clash = (lCols ++ rCols).filter(reserved)
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by asofJoin — rename them")
 
     val tagged = left.select(
         Seq(col(key), col(leftTime).cast("timestamp").as("_t"), lit(1).as("_side")) ++

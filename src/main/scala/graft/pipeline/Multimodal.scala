@@ -74,12 +74,26 @@ object Multimodal {
     f
   }
 
+  /** The payload is already in memory: the default file-backed stream
+    * cache would write every image to an executor-local temp file on
+    * both encode and decode — pure disk overhead on a CPU-bound path.
+    * Process-wide setting, applied once on first codec use. */
+  private lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode payload bytes with the JDK's built-in image readers
     * (javax.imageio: PNG, BMP, GIF, JPEG — no external dependency).
-    * None when no registered reader recognizes the bytes. */
-  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    * None when no registered reader recognizes the bytes — or when a
+    * recognized-but-corrupt payload makes a reader THROW: ImageIO
+    * readers raise unwrapped RuntimeExceptions (IllegalArgument,
+    * ArrayIndexOutOfBounds…) on malformed bodies, and a quarantine
+    * contract that only caught IOException would crash the job on the
+    * first hostile image. NonFatal keeps OOM/VM errors fatal. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoMemoryCache
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Default production decoder: REAL image decode when the payload is
     * a recognized image — feature = [width, height, bands, mean R,
@@ -223,6 +237,7 @@ object Multimodal {
             }
             y += 1
           }
+          imageIoMemoryCache // encode in memory, not via temp files
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           MediaRecord(id, "image/png", bos.toByteArray, "synthetic")

@@ -285,11 +285,16 @@ object TextStats {
     * drifting sketch hash-mismatches. */
   def quantileGuard(docs: DataFrame, accuracy: Int = 100): DataFrame = {
     val eps = 1.0 / accuracy
+    // materialized once: the agg subtree feeds BOTH the rank check and
+    // the final join — left lazy, Spark would evaluate it as two
+    // separate subplans, scanning the corpus and building both
+    // percentile sketches twice. The frame is lang-count-sized.
     val agg = graft.sources.Corpus.fanOutSmallScan(docs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         percentile(col("n_chars"), lit(0.5)).as("p50x"),
         percentile_approx(col("n_chars"), lit(0.5), lit(accuracy)).as("p50a"))
+      .localCheckpoint(true)
     // exact ranks of the sketch's answer — the lang frame is tiny, so
     // Catalyst broadcasts it back over the corpus
     val ranks = docs.select(col("lang"), col("n_chars"))

@@ -50,7 +50,12 @@ object PartitionedStore {
     * (ADVICE r7). The memo key carries the store ROOT's mtime — one
     * getFileStatus per probe, not a listing — so an in-place rewrite
     * (overwrite recreates the cell directories, touching the root)
-    * re-discovers instead of serving the old schema. */
+    * re-discovers instead of serving the old schema. LIMIT: appending
+    * files with an EVOLVED schema into an existing cell directory does
+    * not touch the root — a writer doing schema evolution via
+    * in-cell appends must pass the new schema explicitly (same-schema
+    * appends, the normal index-maintenance path, are unaffected: the
+    * memoized schema stays correct). */
   def readAll(spark: SparkSession, dir: String, cellCol: String,
               schema: Option[StructType] = None): DataFrame = {
     def rootMtime: Long =

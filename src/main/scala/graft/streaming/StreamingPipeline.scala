@@ -138,6 +138,26 @@ object StreamingPipeline {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Detach a replay result from its memory-sink table: the sink holds
+    * the full output in driver memory for the SESSION lifetime, so a
+    * bench rerunning replays would otherwise accumulate one pinned
+    * result set + one /tmp checkpoint dir per invocation. The result
+    * is gate-sized (thousands of rows), so it materializes to a local
+    * relation, the sink view drops, and the checkpoint dir is removed
+    * best-effort. */
+  private def materializeAndDropSink(qname: String,
+      ckpt: java.nio.file.Path, result: DataFrame): DataFrame = {
+    val spark = result.sparkSession
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(result.collect(): _*), result.schema)
+    spark.catalog.dropTempView(qname)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(ckpt.toFile)
+    out
+  }
+
   /** Gate composition (q80): replay the BATCH events table through the
     * streaming sessionizer — MemoryStream source, memory sink — and
     * return every finalized session. Two far-future sentinel batches
@@ -170,10 +190,10 @@ object StreamingPipeline {
       gapMinutes)
     val qname = "q80_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q80")
     val query = out.writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Append)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_q80").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       rows.grouped(200000).foreach { chunk =>
@@ -188,11 +208,11 @@ object StreamingPipeline {
       stream.addData((-1L, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(qname)
+    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .where(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("total_value"), 6).as("total_value"))
-      .orderBy("user_id", "session_start")
+      .orderBy("user_id", "session_start"))
   }
 
   /** Gate composition (q88): the streaming windowed aggregation
@@ -218,10 +238,10 @@ object StreamingPipeline {
       window = "1 hour", lateness = "10 minutes")
     val qname = "q88_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q88")
     val query = out.writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Append)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_q88").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       rows.grouped(200000).foreach { chunk =>
@@ -234,11 +254,11 @@ object StreamingPipeline {
       stream.addData((new java.sql.Timestamp(maxTs + 2 * day), "_sentinel", 0.0))
       query.processAllAvailable()
     } finally query.stop()
-    spark.table(qname)
+    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .where(col("event_type") =!= "_sentinel")
       .select(col("window_start"), col("event_type"), col("n"),
         round(col("total"), 6).as("total"))
-      .orderBy("window_start", "event_type")
+      .orderBy("window_start", "event_type"))
   }
 
   /** Streaming exact dedup by content hash within the watermark

@@ -372,11 +372,14 @@ class PipelineSpec extends AnyFunSuite {
     val textBytes = "not an image".getBytes("UTF-8")
     assert(Multimodal.imageOrStubDecoder(textBytes).toSeq ==
       Multimodal.stubDecoder(textBytes).toSeq)
-    // undecodable payloads are quarantined (skipped), not failed
+    // undecodable payloads are quarantined (skipped), not failed —
+    // including a TRUNCATED image (valid PNG magic, corrupt body),
+    // which makes ImageIO readers throw rather than return null
     val s = spark
     import s.implicits._
-    val junk = Seq(MediaRecord(99L, "application/octet-stream",
-      textBytes, "junk")).toDS()
+    val junk = Seq(
+      MediaRecord(99L, "application/octet-stream", textBytes, "junk"),
+      MediaRecord(98L, "image/png", png.take(24), "junk")).toDS()
     assert(Multimodal.decodeImageMeta(junk).collect().isEmpty)
   }
 

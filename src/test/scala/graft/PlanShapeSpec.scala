@@ -370,11 +370,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q85 quantile guard: the rank check broadcasts the lang frame back, never shuffles the corpus twice") {
+  test("q85 quantile guard: agg materialized ONCE (checkpoint scan), rank check broadcasts it back") {
     val p = plan("q85_quantile_guard")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("approx_percentile") || p.contains("percentile_approx"))
+    // the percentile agg is localCheckpoint'd — the probe plan reads
+    // the materialized frame instead of re-evaluating the sketch
+    // subtree per consumer (two corpus scans otherwise)
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("percentile_approx(") || p.split("FileScan parquet").length <= 2)
   }
 
   test("q86 novelty: one vocabulary shuffle on 8-byte hashes — no text through a join") {
