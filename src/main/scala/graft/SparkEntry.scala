@@ -261,6 +261,11 @@ object SparkEntry {
     "q88_streaming_windowed_agg" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.windowedAggReplay(
         Corpus.table(s, dir, "events"))),
+    // q89: the CONTROL-plane streaming parity gate — playbook user
+    // specs streamed through ContinuousReconcile emit the same golden
+    // statements as the q15 batch replay's user steps
+    "q89_streaming_reconcile" -> ((s, _) =>
+      graft.streaming.ContinuousReconcile.replayTranscript(s)),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -382,6 +387,19 @@ object SparkEntry {
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY n.n_name, order_year
         |ORDER BY n.n_name, order_year""".stripMargin.replace("\n", " "),
+    // the q15 user-step golden strings, reordered to the streaming
+    // writer's userName-order determinism rule
+    "q89_streaming_reconcile" ->
+      ("""SELECT * FROM (VALUES
+        | ('app_user', true, 'CREATE USER ''app_user'' IDENTIFIED WITH sha256_hash BY ''' || sha256('appUserPass') || ''''),
+        | ('app_user', true, 'CREATE ROLE IF NOT EXISTS reader_role'),
+        | ('app_user', true, 'CREATE ROLE IF NOT EXISTS writer_role'),
+        | ('app_user', true, 'GRANT reader_role, writer_role to ''app_user'''),
+        | ('db_admin', true, 'CREATE USER ''db_admin'' IDENTIFIED WITH sha256_hash BY ''a2015a1f1eb6a39f615b47de969376b367534b465a41dd7c98e5b1e00a3bdac1'''),
+        | ('db_admin', true, 'CREATE ROLE IF NOT EXISTS db_admin_role'),
+        | ('db_admin', true, 'GRANT db_admin_role to ''db_admin''')
+        |) AS t(grantee, changed, statement)
+        |ORDER BY grantee, statement""".stripMargin.replace("\n", " ")),
     // streaming tumbling windows align to the epoch → batch equivalent
     // is an hour-truncated GROUP BY
     "q88_streaming_windowed_agg" ->

@@ -42,4 +42,45 @@ object ContinuousReconcile {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Gate composition (q89): the playbook's user specs streamed
+    * through the continuous reconcile onto an EMPTY catalog — the
+    * control plane's parity gate, mirroring what q80/q88 are for the
+    * data plane. The emitted statements must be the SAME golden
+    * strings as the q15 batch replay's user steps; only the order
+    * differs (within a batch, specs apply in userName order — the
+    * writer's documented determinism rule — vs the playbook's file
+    * order), so the gate sorts by (grantee, statement). onResult runs
+    * driver-side inside foreachBatch, so the local buffer is safe. */
+  def replayTranscript(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engine = new ReconcileEngine(
+      graft.catalog.SecurityCatalog.inMemory(spark))
+    val (userSpecs, _) = graft.sources.PlaybookYaml.specs(
+      graft.sources.PlaybookYaml.resourceText())
+    val results =
+      scala.collection.mutable.ListBuffer[(String, Boolean, String)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserSpec]
+    stream.addData(userSpecs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q89")
+    val q = startAvailableNow(stream.toDS(), engine, ckpt.toString) {
+      (spec, res) =>
+        if (res.runQueries.isEmpty)
+          results += ((spec.userName, res.changed, ""))
+        else res.runQueries.foreach(stmt =>
+          results += ((spec.userName, res.changed, stmt)))
+    }
+    try q.awaitTermination()
+    finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
+    results.toSeq.toDF("grantee", "changed", "statement")
+      .orderBy("grantee", "statement")
+  }
 }
