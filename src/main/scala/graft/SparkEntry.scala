@@ -266,6 +266,14 @@ object SparkEntry {
     // statements as the q15 batch replay's user steps
     "q89_streaming_reconcile" -> ((s, _) =>
       graft.streaming.ContinuousReconcile.replayTranscript(s)),
+    // q90: the streaming ingest-admission front door (admitStream:
+    // stream-static anti join vs the base's hash projection, then
+    // bounded-state within-stream dedup) replayed over the documents
+    // table — output is the admitted content-hash SET, whose oracle is
+    // the batch admission semantics (q68's construction) verbatim
+    "q90_streaming_admission" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.admitStreamReplay(
+        Corpus.table(s, dir, "documents"), 10L)),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -871,6 +879,16 @@ object SparkEntry {
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // streaming admission == batch admission: distinct stream hashes
+    // anti-joined against the base (doc_id % 10 == 0) hash projection;
+    // one row per admitted hash, ordered — exactly what admitStream's
+    // Append output must produce regardless of micro-batch boundaries
+    "q90_streaming_admission" ->
+      """WITH bh AS (SELECT DISTINCT sha256(text) AS h FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+        |SELECT h FROM sh ANTI JOIN bh USING (h)
+        |ORDER BY h""".stripMargin.replace("\n", " "),
     // the planted corruption split, recomputed from the source table:
     // the Spark side must report exactly these counts after its real
     // write → read → PERMISSIVE-parse round trip

@@ -158,12 +158,18 @@ object StreamingPipeline {
     out
   }
 
+  /** Replay sentinel user id: Long.MinValue, a value the replay REJECTS
+    * in its input (require below) rather than silently dropping — the
+    * old `user_id >= 0` output filter would have swallowed genuine
+    * negative ids (ADVICE r8/r9). */
+  private val SentinelUser = Long.MinValue
+
   /** Gate composition (q80): replay the BATCH events table through the
     * streaming sessionizer — MemoryStream source, memory sink — and
     * return every finalized session. Two far-future sentinel batches
-    * (user −1) push the watermark past the whole corpus so every real
-    * session ripens and emits; the sentinel's own never-finalized
-    * session is excluded from the result. Because the corpus arrives
+    * (user SentinelUser) push the watermark past the whole corpus so
+    * every real session ripens and emits; the sentinel's own
+    * never-finalized session is excluded from the result. Because the corpus arrives
     * as one batch, the first-batch watermark is the epoch and nothing
     * is late-dropped, so Append output must equal the batch
     * sessionization of the same table — the q41 oracle verbatim. This
@@ -183,6 +189,11 @@ object StreamingPipeline {
     val rows = events.select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)].collect()
       .sortBy(_._2.getTime)
+    // collision-PROOF, not collision-improbable: a corpus row carrying
+    // the reserved sentinel id fails loudly instead of being silently
+    // filtered out of the parity result
+    require(rows.forall(_._1 != SentinelUser),
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
     val maxTs = rows.iterator.map(_._2.getTime).max
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, Double)]
@@ -203,13 +214,13 @@ object StreamingPipeline {
       // two sentinel batches: the first advances max event time, the
       // second runs with the advanced watermark so timeouts fire
       val day = 86400000L
-      stream.addData((-1L, new java.sql.Timestamp(maxTs + day), 0.0))
+      stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + day), 0.0))
       query.processAllAvailable()
-      stream.addData((-1L, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
+      stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
       query.processAllAvailable()
     } finally query.stop()
     materializeAndDropSink(qname, ckpt, spark.table(qname)
-      .where(col("user_id") >= 0)
+      .where(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("total_value"), 6).as("total_value"))
       .orderBy("user_id", "session_start"))
@@ -230,6 +241,13 @@ object StreamingPipeline {
     val rows = events.select(col("ts"), col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)].collect()
       .sortBy(_._1.getTime)
+    // per-replay random sentinel type: a fixed literal could collide
+    // with a genuine event_type and silently drop its rows (the q80
+    // sentinel concern in string form); a UUID suffix cannot occur in
+    // the corpus, and the require makes the contract loud anyway
+    val sentinel = "_sentinel_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    require(rows.forall(_._2 != sentinel), "sentinel collision")
     val maxTs = rows.iterator.map(_._1.getTime).max
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -249,13 +267,13 @@ object StreamingPipeline {
         query.processAllAvailable()
       }
       val day = 86400000L
-      stream.addData((new java.sql.Timestamp(maxTs + day), "_sentinel", 0.0))
+      stream.addData((new java.sql.Timestamp(maxTs + day), sentinel, 0.0))
       query.processAllAvailable()
-      stream.addData((new java.sql.Timestamp(maxTs + 2 * day), "_sentinel", 0.0))
+      stream.addData((new java.sql.Timestamp(maxTs + 2 * day), sentinel, 0.0))
       query.processAllAvailable()
     } finally query.stop()
     materializeAndDropSink(qname, ckpt, spark.table(qname)
-      .where(col("event_type") =!= "_sentinel")
+      .where(col("event_type") =!= sentinel)
       .select(col("window_start"), col("event_type"), col("n"),
         round(col("total"), 6).as("total"))
       .orderBy("window_start", "event_type"))
@@ -298,5 +316,66 @@ object StreamingPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("h")
       .drop("h")
+  }
+
+  /** Gate composition (q90): replay the BATCH documents table through
+    * the streaming ingest-admission front door (admitStream) — the
+    * q80/q88 MemoryStream harness applied to the last streaming
+    * surface with no oracle row. Base corpus = docs with
+    * doc_id % baseMod == 0 (the q68 incremental-dedup construction);
+    * every other document streams in with a synthetic event time
+    * (epoch + doc_id seconds — documents carry no timestamp), in
+    * doc_id order, chunked.
+    *
+    * The gate result is the set of admitted CONTENT HASHES, one row
+    * per hash, ordered — deliberately NOT (doc_id, source): when two
+    * copies of the same text land in one micro-batch,
+    * dropDuplicatesWithinWatermark keeps whichever partition's row is
+    * processed first, so the winning doc_id is nondeterministic while
+    * the admitted hash SET is exact. The oracle is the batch
+    * admission semantics verbatim: distinct stream hashes anti-joined
+    * against the base's hashes.
+    *
+    * The replay lateness spans the whole synthetic time range so
+    * within-stream state never evicts mid-replay — the gate checks
+    * admission logic, not eviction (eviction-horizon behavior is
+    * pinned in StreamingPipelineSpec). Production dials lateness to
+    * its real out-of-order budget. */
+  def admitStreamReplay(docs: DataFrame, baseMod: Long = 10L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = docs.where(col("doc_id") % baseMod === 0)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    require(rows.nonEmpty, "empty documents corpus")
+    // fixed replay epoch (2023-11-14T22:13:20Z) — determinism across runs
+    val epochMs = 1700000000000L
+    val spanSec = rows.last._1 - rows.head._1 + 10L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = admitStream(stream.toDF().toDF("doc_id", "ts", "text"),
+      base, lateness = s"$spanSec seconds")
+    val qname = "q90_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q90")
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      // no sentinel batches needed: dropDuplicatesWithinWatermark is a
+      // stateful FILTER — first arrivals emit in their own micro-batch,
+      // nothing is held back for watermark finalization
+      rows.grouped(200000).foreach { chunk =>
+        stream.addData(chunk.iterator.map { case (id, text) =>
+          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
+        }.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    materializeAndDropSink(qname, ckpt, spark.table(qname)
+      .select(sha2(col("text"), 256).as("h"))
+      .orderBy("h"))
   }
 }

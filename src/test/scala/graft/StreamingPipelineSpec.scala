@@ -206,4 +206,20 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(admitted == Seq(2L, 4L))
     } finally query.stop()
   }
+
+  test("q90 replay: streamed admission hash set equals batch admission") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val streamed = StreamingPipeline.admitStreamReplay(docs, 10L)
+      .collect().map(_.getString(0)).toSeq
+    val batch = docs.select(sha2(col("text"), 256).as("h")).distinct()
+      .join(docs.where(col("doc_id") % 10 === 0)
+          .select(sha2(col("text"), 256).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      .orderBy("h").collect().map(_.getString(0)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
