@@ -167,6 +167,46 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-space resize: decode with the JDK image readers,
+    * resample to (tw × th) with nearest-neighbor, re-encode as PNG.
+    * The sampling rule is pinned to integer arithmetic — source pixel
+    * for output (x', y') is (x'·w / tw, y'·h / th), floor division —
+    * so the resized pixels are closed-form recomputable by the q91
+    * oracle (an interpolating resampler's rounding would be
+    * implementation-defined and ungateable). Works both directions
+    * (up- and down-sampling). Non-image payloads fall through to the
+    * stride stub — the same quarantine seam as extractFeatures: audio/
+    * video codecs are not in this container, images are real. */
+  def imageResizer(tw: Int, th: Int): Array[Byte] => Array[Byte] = { bytes =>
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    decodeImage(bytes) match {
+      case None => stubResizer(tw * th)(bytes) // non-image fallback seam
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+            x += 1
+          }
+          y += 1
+        }
+        imageIoMemoryCache
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+    }
+  }
+
+  /** Pixel-space image resize over a media set — `resize` with the
+    * real image codec injected (decode → resample → PNG re-encode). */
+  def resizeImages(media: Dataset[MediaRecord], tw: Int, th: Int)
+      : Dataset[MediaResized] =
+    resize(media, tw * th, (_: Int) => imageResizer(tw, th))
+
   /** Partition-parallel payload resize through the injected codec —
     * same batch shape as extractFeatures (codec instantiated once per
     * task). Output carries both sizes so downstream can audit the
@@ -281,6 +321,22 @@ object Multimodal {
   def decodedImageMetaReport(docs: DataFrame, maxId: Long): DataFrame =
     decodeImageMeta(syntheticPngs(docs, maxId)).toDF()
       .orderBy("media_id")
+
+  /** Gate composition (q91): the q76 round trip EXTENDED through the
+    * real resizer — synthesize PNGs, pixel-resize them to (tw × th),
+    * then decode the RESIZED payloads and report their metadata. The
+    * oracle recomputes the nearest-neighbor-sampled pixel sums in
+    * closed form from doc_id, so a resizer that didn't actually
+    * decode, resample by the pinned rule, and losslessly re-encode
+    * hash-mismatches. */
+  def resizedImageMetaReport(docs: DataFrame, maxId: Long,
+                             tw: Int, th: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val resized = resizeImages(syntheticPngs(docs, maxId), tw, th)
+      .map(r => MediaRecord(r.media_id, r.media_type, r.payload, "resized"))
+    decodeImageMeta(resized).toDF().orderBy("media_id")
+  }
 
   /** Byte-level metadata summary — pure column expressions, and the
     * correctness-observable face of the binary plumbing: payload length

@@ -383,6 +383,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageMeta(junk).collect().isEmpty)
   }
 
+  test("pixel resize: nearest-neighbor rule is exact both directions, stub only for non-images") {
+    // decode → resample → re-encode → decode must land exactly on the
+    // pinned integer sampling rule (the q91 gate contract): resized
+    // pixel (x', y') = source pixel (x'·w / tw, y'·h / th)
+    val (tw, th) = (9, 6) // up-samples w∈[8,14] rows, down-samples h∈[4,8]
+    val metas = Multimodal.decodeImageMeta(
+      Multimodal.resizeImages(Multimodal.syntheticPngs(docs, 10L), tw, th)
+        .map(r => MediaRecord(r.media_id, r.media_type, r.payload, "t"))(
+          org.apache.spark.sql.Encoders.product[MediaRecord])).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.width == tw && m.height == th && m.n_channels == 3L)
+      val (w, h) = (m.media_id % 7 + 8, m.media_id % 5 + 4)
+      val expected = (for { x <- 0 until tw; y <- 0 until th } yield
+        ((x * w / tw) * 31 + (y * h / th) * 17 + m.media_id) % 256).sum
+      assert(m.red_sum == expected)
+    }
+    // non-image payloads fall through to the stride stub seam
+    val textBytes = "definitely not a png".getBytes("UTF-8")
+    assert(Multimodal.imageResizer(4, 4)(textBytes).toSeq ==
+      Multimodal.stubResizer(16)(textBytes).toSeq)
+  }
+
   test("multimodal resize and frame-sample: shapes, determinism, bounds") {
     val media = Multimodal.fromDocuments(docs.limit(50))
     val resized = Multimodal.resize(media, 64).collect()
