@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
-import graft.engine.{ModuleResult, ReconcileEngine, UserSpec}
+import graft.engine.{GrantSpec, ModuleResult, ReconcileEngine, UserSpec}
 
 /** Continuous reconciliation: the batch engine lifted onto Structured
   * Streaming exactly as SURVEY §7 frames it — "a foreachBatch loop over
@@ -43,6 +43,33 @@ object ContinuousReconcile {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The GRANTS-path writer — the streaming spelling of
+    * ReconcileEngine.grantsModule (EP3), completing the control-plane
+    * streaming surface next to the users-path writer above. Same
+    * contract: at-least-once delivery composes with the engine's
+    * probe-before-write idempotence; within a batch, specs apply in
+    * granteeName order for determinism. */
+  def grantsWriter(specs: Dataset[GrantSpec], engine: ReconcileEngine)
+                  (onResult: (GrantSpec, ModuleResult) => Unit = (_, _) => ())
+      : DataStreamWriter[GrantSpec] =
+    specs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[GrantSpec], _: Long) =>
+        batch.orderBy("granteeName").collect()
+          .foreach(spec => onResult(spec, engine.grantsModule(spec)))
+      }
+
+  /** Grants-path drain-and-stop starter (q92 and ops tooling). */
+  def startGrantsAvailableNow(specs: Dataset[GrantSpec],
+                              engine: ReconcileEngine, checkpointDir: String)
+                             (onResult: (GrantSpec, ModuleResult) => Unit =
+                                (_, _) => ())
+      : StreamingQuery =
+    grantsWriter(specs, engine)(onResult)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Gate composition (q89): the playbook's user specs streamed
     * through the continuous reconcile onto an EMPTY catalog — the
     * control plane's parity gate, mirroring what q80/q88 are for the
@@ -72,6 +99,46 @@ object ContinuousReconcile {
           results += ((spec.userName, res.changed, ""))
         else res.runQueries.foreach(stmt =>
           results += ((spec.userName, res.changed, stmt)))
+    }
+    try q.awaitTermination()
+    finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
+    results.toSeq.toDF("grantee", "changed", "statement")
+      .orderBy("grantee", "statement")
+  }
+
+  /** Gate composition (q92): the playbook's GRANT specs streamed
+    * through the grants-path writer — q89's twin for EP3. The batch
+    * user pass seeds the catalog first (grants require their grantee
+    * roles to exist, the playbook's own ordering), then the grant
+    * specs stream in; the emitted statements must be the SAME golden
+    * D6/D8 strings as the q15 batch replay's grant steps, sorted by
+    * (grantee, statement) per the writer's determinism rule. */
+  def replayGrantsTranscript(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engine = new ReconcileEngine(
+      graft.catalog.SecurityCatalog.inMemory(spark))
+    val (userSpecs, grantSpecs) = graft.sources.PlaybookYaml.specs(
+      graft.sources.PlaybookYaml.resourceText())
+    userSpecs.foreach(engine.usersModule(_)) // seed users + roles (EP1)
+    val results =
+      scala.collection.mutable.ListBuffer[(String, Boolean, String)]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GrantSpec]
+    stream.addData(grantSpecs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q92")
+    val q = startGrantsAvailableNow(stream.toDS(), engine, ckpt.toString) {
+      (spec, res) =>
+        if (res.runQueries.isEmpty)
+          results += ((spec.granteeName, res.changed, ""))
+        else res.runQueries.foreach(stmt =>
+          results += ((spec.granteeName, res.changed, stmt)))
     }
     try q.awaitTermination()
     finally {

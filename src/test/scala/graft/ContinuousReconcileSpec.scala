@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.catalog.SecurityCatalog
-import graft.engine.{ModuleResult, ReconcileEngine, UserSpec}
+import graft.engine.{GrantSpec, ModuleResult, ReconcileEngine, UserSpec}
 import graft.streaming.ContinuousReconcile
 
 /** Streaming reconcile: micro-batches of specs converge the catalog,
@@ -45,6 +45,38 @@ class ContinuousReconcileSpec extends AnyFunSuite {
         UserSpec("s_user2", userPassword = "pw2"))
       query.processAllAvailable()
       assert(results.toList == List("s_user1" -> false, "s_user2" -> false))
+    } finally query.stop()
+  }
+
+  test("grant stream applies privilege grants to seeded grantees via the grants-path writer") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val catalog = SecurityCatalog.inMemory(spark)
+    val engine = new ReconcileEngine(catalog)
+    // grants need their grantee to exist — seed one user with a role
+    assert(engine.usersModule(UserSpec("g_user", userPassword = "pw",
+      userRoles = Seq("g_role"), initRoles = true)).changed)
+    val results = mutable.Buffer[(String, Boolean, Seq[String])]()
+    val sink = (s: GrantSpec, r: ModuleResult) =>
+      results.synchronized {
+        results += ((s.granteeName, r.changed, r.runQueries)); ()
+      }
+
+    val stream = MemoryStream[GrantSpec]
+    val query = ContinuousReconcile.grantsWriter(stream.toDS(), engine)(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_gckpt").toString)
+      .start()
+    try {
+      stream.addData(GrantSpec("g_role", grants = Seq("SELECT"),
+        databases = Seq("main"), replaceGrants = true))
+      query.processAllAvailable()
+      assert(results.toList.map(r => (r._1, r._2)) == List("g_role" -> true))
+      assert(results.head._3.exists(_.contains("GRANT SELECT on main.*")))
+      assert(catalog.state.grants.exists(g =>
+        g.grantee == "g_role" && g.privilege == "SELECT"))
     } finally query.stop()
   }
 }
