@@ -274,6 +274,23 @@ object SparkEntry {
     "q90_streaming_admission" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.admitStreamReplay(
         Corpus.table(s, dir, "documents"), 10L)),
+    // q91: REAL pixel resize behind the codec seam — synthesize PNGs,
+    // decode → nearest-neighbor resample to 9×6 (pinned integer
+    // sampling rule) → PNG re-encode → decode the RESIZED bytes; the
+    // oracle recomputes the resampled pixel sums in closed form
+    "q91_image_resize" -> ((s, dir) => Multimodal.resizedImageMetaReport(
+      Corpus.table(s, dir, "documents"), 20L, 9, 6)),
+    // q92: the control-plane streaming gate's GRANTS path (q89's twin
+    // for EP3) — playbook grant specs streamed through the grants-path
+    // writer must emit the q15 batch replay's golden grant statements
+    "q92_streaming_grants" -> ((s, _) =>
+      graft.streaming.ContinuousReconcile.replayGrantsTranscript(s)),
+    // q93: the PII presets (TextScrub.PiiPresets) exercised end-to-end
+    // on planted emails/ips/phones derived in closed form from doc_id;
+    // the oracle recomputes hit counts arithmetically (independent
+    // derivation) and the post-scrub residual column must be all-zero
+    "q93_pii_presets" -> ((s, dir) => graft.pipeline.TextScrub
+      .piiPresetReport(Corpus.table(s, dir, "documents"))),
   )
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
@@ -406,6 +423,16 @@ object SparkEntry {
         | ('db_admin', true, 'CREATE USER ''db_admin'' IDENTIFIED WITH sha256_hash BY ''a2015a1f1eb6a39f615b47de969376b367534b465a41dd7c98e5b1e00a3bdac1'''),
         | ('db_admin', true, 'CREATE ROLE IF NOT EXISTS db_admin_role'),
         | ('db_admin', true, 'GRANT db_admin_role to ''db_admin''')
+        |) AS t(grantee, changed, statement)
+        |ORDER BY grantee, statement""".stripMargin.replace("\n", " ")),
+    // the q15 grant-step golden strings (steps 2–4: D6 role grant +
+    // two D8 REPLACE-OPTION privilege grants), reordered to the
+    // grants writer's granteeName-order determinism rule
+    "q92_streaming_grants" ->
+      ("""SELECT * FROM (VALUES
+        | ('db_admin_role', true, 'GRANT ALL on default.* to ''db_admin_role'''),
+        | ('reader_role', true, 'GRANT SELECT, SHOW on main.* to ''reader_role'' WITH REPLACE OPTION'),
+        | ('writer_role', true, 'GRANT INSERT, UPDATE, OPTIMIZE on main.* to ''writer_role'' WITH REPLACE OPTION')
         |) AS t(grantee, changed, statement)
         |ORDER BY grantee, statement""".stripMargin.replace("\n", " ")),
     // streaming tumbling windows align to the epoch → batch equivalent
@@ -879,6 +906,37 @@ object SparkEntry {
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // arithmetic recomputation of the planted-PII audit: exactly one
+    // match per planted class per doc (residue classes 2/3/5), zero
+    // residual after scrub — an independent derivation that catches a
+    // preset regex drifting on EITHER engine
+    "q93_pii_presets" ->
+      """WITH c AS (
+        | SELECT source, 'email' AS pattern,
+        |   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+        | FROM documents GROUP BY source
+        | UNION ALL SELECT source, 'ipv4',
+        |   sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+        | FROM documents GROUP BY source
+        | UNION ALL SELECT source, 'phone',
+        |   sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+        | FROM documents GROUP BY source)
+        |SELECT source, pattern, hits AS n_docs_hit, hits AS n_matches,
+        |  0::BIGINT AS n_residual
+        |FROM c ORDER BY source, pattern""".stripMargin.replace("\n", " "),
+    // closed-form recomputation of the resize round trip: resized
+    // pixel (x', y') = source pixel (x'·w // 9, y'·h // 6) of the q76
+    // synthetic image, whose value is (sx·31 + sy·17 + doc_id) mod 256;
+    // PNG is lossless on both hops, so decoded sums must equal this
+    "q91_image_resize" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7 + 8) AS w, (doc_id % 5 + 4) AS h
+        |  FROM documents WHERE doc_id < 20),
+        |px AS (SELECT doc_id,
+        |    ((((x.i * w) // 9) * 31 + ((y.i * h) // 6) * 17 + doc_id) % 256) AS v
+        |  FROM d, unnest(range(0, 9)) AS x(i), unnest(range(0, 6)) AS y(i))
+        |SELECT doc_id AS media_id, 9::BIGINT AS width, 6::BIGINT AS height,
+        |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin.replace("\n", " "),
     // streaming admission == batch admission: distinct stream hashes
     // anti-joined against the base (doc_id % 10 == 0) hash projection;
     // one row per admitted hash, ordered — exactly what admitStream's

@@ -64,6 +64,37 @@ object TextScrub {
     docs.withColumn("text", scrubbed)
   }
 
+  /** Gate composition (q93): the PII presets exercised END-TO-END on
+    * PLANTED data — the corpus deliberately contains no PII, so the
+    * gate derives a planted frame from the documents table in closed
+    * form (doc_id % 2 → one email, % 3 → one IPv4, % 5 → one phone;
+    * exactly one match per planted class per doc, and the classes are
+    * built so none cross-matches another's pattern), audits it with
+    * patternScanSummary, scrubs it, and re-audits: per (source,
+    * pattern) the oracle recomputes hit counts ARITHMETICALLY from the
+    * residue classes — an independent derivation, not the same regex
+    * run on another engine — and the post-scrub residual must be 0.
+    *
+    * Scale shape: two corpus scans (audit + scrubbed re-audit), both
+    * scan-local regex work, shuffling only (source, pattern, longs). */
+  def piiPresetReport(docs: DataFrame): DataFrame = {
+    val planted = docs.select(col("doc_id"), col("source"),
+      concat_ws(" ",
+        when(col("doc_id") % 2 === 0, concat(lit("contact u"),
+          col("doc_id"), lit("@ex"), col("doc_id") % 10, lit(".com"))),
+        when(col("doc_id") % 3 === 0, concat(lit("ip 10.0."),
+          col("doc_id") % 256, lit(".7"))),
+        when(col("doc_id") % 5 === 0, concat(lit("call +1 555 010 "),
+          col("doc_id") % 90 + 10)),
+        lit("plain filler line")).as("text"))
+    val audit = patternScanSummary(planted, PiiPresets)
+    val residual = patternScanSummary(scrub(planted, PiiPresets), PiiPresets)
+      .select(col("source"), col("pattern"),
+        col("n_matches").as("n_residual"))
+    audit.join(residual, Seq("source", "pattern"))
+      .orderBy("source", "pattern")
+  }
+
   /** Scrub-then-audit invariant check used by the spec: after a scrub,
     * the same patterns must match nothing. */
   def residualMatches(docs: DataFrame,
