@@ -64,6 +64,25 @@ object Bench {
     // queries whose FIRST attempt failed: their earliest surviving run
     // is not a cold number (the failed attempt partially seeded caches)
     val coldInvalid = scala.collection.mutable.Set[String]()
+    // short physical-plan fingerprint per query: lets a cross-round
+    // time delta split MECHANICALLY into plan-change (fingerprint
+    // differs) vs box noise (same fingerprint) — the question that ate
+    // two rounds of regression triage. Pre-AQE sparkPlan, normalized:
+    // expression/plan ids, object addresses, and per-run temp paths
+    // are run-local and must not perturb the hash.
+    val planFpByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        val norm = df.queryExecution.sparkPlan.toString
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("@[0-9a-fA-F]+", "@")
+          .replaceAll("[0-9a-f]{8}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{12}", "uuid")
+          .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(norm.getBytes("UTF-8")).take(6)
+          .map(b => "%02x".format(b & 0xff)).mkString
+      } catch { case _: Throwable => "err" }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1)).map { case (name, fn) =>
       // isolate queries from each other's heap debt (lingering broadcast
@@ -72,7 +91,13 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          // fingerprint the frame the timed run executed (planning
+          // only — no extra fn() call, which for the index-building
+          // and streaming-replay entries would redo real work)
+          if (!planFpByQuery.contains(name))
+            planFpByQuery(name) = planFingerprint(df)
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
@@ -90,6 +115,11 @@ object Bench {
         rerunsByQuery(name) = rerunsByQuery.getOrElse(name, 0) + 1
         times ++= once()
       }
+      // when the FIRST attempt failed, the sole surviving run is
+      // neither cold (caches partially seeded by the failure) nor a
+      // clean warm — take one extra run so the warm split below gets a
+      // genuinely warm number instead of that hybrid (ADVICE r8)
+      if (firstRun.isEmpty && times.size == 1) times ++= once()
       if (times.isEmpty) failed += name
       // cold semantics: only an actually-successful FIRST attempt is a
       // cold number — if run 1 failed, the caches it partially seeded
@@ -154,7 +184,9 @@ object Bench {
       "\"" + k + "\":" + runsByQuery.getOrElse(k, Seq.empty).map(ms)
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"warm_index_queries":$cached,"sf":"$sfDir"}"""
+    val fp = planFpByQuery.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"warm_index_queries":$cached,"plan_fp":$fp,"sf":"$sfDir"}"""
     println(line)
     // The stdout line above is what the driver tail-captures — and a
     // tail is TRUNCATABLE (round-7's artifact lost the first ~20 query

@@ -67,7 +67,18 @@ object SessionCache {
     * lost-race build of an eagerly localCheckpoint'd DataFrame would
     * orphan its checkpoint's pinned block-manager memory for the
     * session lifetime (ADVICE r7) — with the lock, the loser blocks,
-    * re-reads the published value, and never builds at all. */
+    * re-reads the published value, and never builds at all.
+    *
+    * LOCK-ORDERING INVARIANT (holds for every current caller; keep it
+    * when adding builds): a build that re-enters getOrBuild acquires
+    * the inner key's lock while holding its own, so the build-time
+    * dependency graph between keys must be ACYCLIC — two keys whose
+    * builds each enter the other can deadlock under concurrency.
+    * Today's nesting is strictly layered (index builds → fileStat
+    * leaves; leaves build nothing), which trivially satisfies this.
+    * Re-entering with the SAME key is also forbidden: the intrinsic
+    * lock is reentrant, so instead of deadlocking it would recurse
+    * into a second build of the key it is already building. */
   def getOrBuild[T <: AnyRef](spark: SparkSession, key: Any)(build: => T): T = {
     val m = mapFor(spark)
     val hit = m.get(key)

@@ -204,16 +204,14 @@ object SparkEntry {
     // the planted split straight from the documents table
     "q77_jsonl_health" -> ((s, dir) => graft.sources.JsonLines.healthReport(
       Corpus.table(s, dir, "documents"),
-      s"/root/repo/target/graft-fixtures/q77_${new java.io.File(dir).getName}",
-      200L, 7L)),
+      fixtureDir("q77", dir), 200L, 7L)),
     // q78: the PERSISTED IVF serving path under the all-probes hard
     // gate — write the cell-partitioned store, probe through it with
     // every cell; must hash-match the q22 exact oracle (q38b's twin,
     // through the store instead of the in-memory frame)
     "q78_ivf_store_probe" -> ((s, dir) => Similarity.ivfStoreExactTopK(
       Corpus.table(s, dir, "embeddings"),
-      s"/root/repo/target/graft-fixtures/q78_${new java.io.File(dir).getName}",
-      0L, 10, 8)),
+      fixtureDir("q78", dir), 0L, 10, 8)),
     // q79: the q32 revenue join routed through the skew-salting
     // operator — same oracle as q32, pinning salted == plain
     "q79_salted_join" -> ((s, dir) =>
@@ -292,6 +290,30 @@ object SparkEntry {
     "q93_pii_presets" -> ((s, dir) => graft.pipeline.TextScrub
       .piiPresetReport(Corpus.table(s, dir, "documents"))),
   )
+
+  /** Per-PROCESS fixture directory for the gate entries that write to
+    * disk (q77 JSONL round trip, q78 IVF store): the old sf-keyed path
+    * was shared across concurrent gate runs — a Verify and a Bench
+    * overlapping on the same SF would overwrite each other's fixtures
+    * mid-read (ADVICE r8). The pid suffix isolates processes while
+    * keeping within-process reuse (the q78 store is built once per
+    * session and probed thereafter); a shutdown hook removes this
+    * process's fixtures so repeated runs don't accumulate stores. */
+  private lazy val fixturePid: Long = {
+    val pid = ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      val root = new java.io.File("/root/repo/target/graft-fixtures")
+      val mine = root.listFiles()
+      if (mine != null) mine.filter(_.getName.endsWith(s"_p$pid")).foreach(rm)
+    }))
+    pid
+  }
+
+  private def fixtureDir(tag: String, dir: String): String =
+    s"/root/repo/target/graft-fixtures/${tag}_${new java.io.File(dir).getName}_p$fixturePid"
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
     * corpus (see TextScrub.PiiPresets for the real PII classes). */

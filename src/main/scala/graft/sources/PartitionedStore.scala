@@ -27,11 +27,31 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object PartitionedStore {
 
+  /** Root-level version marker: written with a fresh UUID after every
+    * writeByCell, read (36 bytes) by readAll as its schema-memo key.
+    * A root MTIME key would go stale when an overwrite lands within
+    * the filesystem's timestamp granularity (1 s on many mounts) of
+    * the previous write — the marker is content-addressed, so every
+    * rewrite invalidates regardless of clock resolution (ADVICE r8). */
+  private val VersionMarker = "_graft_store_version"
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Write `df` partitioned by `cellCol` (one directory per cell value).
     * Overwrites; at scale the same call with `Append` mode is the
-    * per-batch index maintenance job. */
-  def writeByCell(df: DataFrame, dir: String, cellCol: String): Unit =
+    * per-batch index maintenance job. Stamps the version marker LAST,
+    * so a concurrent reader memoizes either the old or the new version
+    * key — never the new key with the old schema. */
+  def writeByCell(df: DataFrame, dir: String, cellCol: String): Unit = {
     df.write.mode("overwrite").partitionBy(cellCol).parquet(dir)
+    val (hfs, p) = fs(df.sparkSession, dir)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(p, VersionMarker), true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Read the store with the cell column pinned to STRING — the raw
     * directory token. Spark's partition-value type inference would
@@ -47,26 +67,34 @@ object PartitionedStore {
     * directory listing + footer read — runs ONCE per (session, dir)
     * and is memoized, so a serving path probing a store with thousands
     * of cell directories doesn't pay a throwaway listing per query
-    * (ADVICE r7). The memo key carries the store ROOT's mtime — one
-    * getFileStatus per probe, not a listing — so an in-place rewrite
-    * (overwrite recreates the cell directories, touching the root)
-    * re-discovers instead of serving the old schema. LIMIT: appending
-    * files with an EVOLVED schema into an existing cell directory does
-    * not touch the root — a writer doing schema evolution via
-    * in-cell appends must pass the new schema explicitly (same-schema
-    * appends, the normal index-maintenance path, are unaffected: the
-    * memoized schema stays correct). */
+    * (ADVICE r7). The memo key carries the store's VERSION MARKER
+    * content (one 36-byte read per probe, not a listing; falls back
+    * to root mtime for stores written outside writeByCell), so an
+    * in-place rewrite re-discovers even within the filesystem's
+    * timestamp granularity. LIMIT: appending files with an EVOLVED
+    * schema into an existing cell directory does not rewrite the
+    * marker — a writer doing schema evolution via in-cell appends
+    * must pass the new schema explicitly (same-schema appends, the
+    * normal index-maintenance path, are unaffected: the memoized
+    * schema stays correct). */
   def readAll(spark: SparkSession, dir: String, cellCol: String,
               schema: Option[StructType] = None): DataFrame = {
-    def rootMtime: Long =
+    def version: String =
       try {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getModificationTime
-      } catch { case _: java.io.IOException => -1L }
+        val (hfs, p) = fs(spark, dir)
+        val mp = new org.apache.hadoop.fs.Path(p, VersionMarker)
+        if (hfs.exists(mp)) {
+          val in = hfs.open(mp)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+        } else "mtime:" + hfs.getFileStatus(p).getModificationTime
+      } catch { case _: java.io.IOException => "unversioned" }
     val discovered = schema.getOrElse(
       graft.SessionCache.getOrBuild(spark,
-          ("PartitionedStore.schema", dir, rootMtime)) {
+          ("PartitionedStore.schema", dir, version)) {
         spark.read.parquet(dir).schema
       })
     val pinned = StructType(discovered.map(f =>

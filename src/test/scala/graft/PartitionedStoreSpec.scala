@@ -82,4 +82,21 @@ class PartitionedStoreSpec extends AnyFunSuite {
     val sums = docs.agg(sum(col("doc_id"))).head.getLong(0)
     assert(back.agg(sum(col("doc_id"))).head.getLong(0) == sums)
   }
+
+  test("immediate same-second rewrite with a new schema is re-discovered, not served stale") {
+    // the version marker (not root mtime) keys the schema memo: two
+    // writes landing within the filesystem timestamp granularity must
+    // still invalidate — the exact failure mode of an mtime key
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pstore3").toString + "/evolving"
+    val v1 = Corpus.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).cast("string").as("cell"))
+    PartitionedStore.writeByCell(v1, dir, "cell")
+    assert(PartitionedStore.readAll(spark, dir, "cell")
+      .schema.fieldNames.sorted.toSeq == Seq("cell", "doc_id"))
+    val v2 = v1.withColumn("extra", lit(1L)) // schema evolves, rewrite NOW
+    PartitionedStore.writeByCell(v2, dir, "cell")
+    assert(PartitionedStore.readAll(spark, dir, "cell")
+      .schema.fieldNames.sorted.toSeq == Seq("cell", "doc_id", "extra"))
+  }
 }
