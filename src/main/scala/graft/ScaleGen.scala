@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1 scaling checkpoint (SCALE.md): the
+  * driver ships sf{0.001,0.01,0.1}; this replicates sf0.1 `factor`
+  * times (default 10 → "sf1": lineitem 6M, documents 50k) into a
+  * repo-local directory, preserving each table's JOIN STRUCTURE and —
+  * critically — its SIMILARITY STRUCTURE:
+  *
+  *  - fact/dim keys are offset per replica by (max key + 1) so join
+  *    fan-outs and group cardinalities scale linearly, never ×factor²
+  *    (orders↔lineitem, customer↔orders, events.user_id cohorts);
+  *  - nation/region stay single-copy (the broadcast dims a bigger
+  *    corpus still joins against), so q13/q87 group counts hold;
+  *  - documents TEXT is bijectively token-renamed per replica (every
+  *    token gets a replica suffix), which keeps every within-replica
+  *    shingle/minhash/simhash relationship EXACTLY intact while
+  *    making cross-replica Jaccard 0 — without this, each doc and its
+  *    9 twins form near-dup cliques and the pair graph explodes
+  *    quadratically instead of scaling like a real 10× corpus;
+  *  - embeddings are dimension-ROTATED per replica (an orthogonal
+  *    transform: within-replica cosines are bit-preserved, cross-
+  *    replica cosines decorrelate), for the same reason in ANN space.
+  *
+  * This is benchmark/scaling tooling, not a gate input — the
+  * correctness oracle keeps running on the driver's own corpora. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts round-trips as the raw nanos LONG — Corpus.table does
+      // the timestamp conversion at read time either way
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[scalegen] $t done")
+    }
+    def off(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    // single-copy dims: nation/region bound group cardinalities;
+    // part/supplier are unreferenced by the query surface but copied
+    // for corpus completeness
+    Seq("region", "nation", "part", "supplier").foreach(t => write(t, read(t)))
+
+    def replicated(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(base, i)).reduce(_ unionAll _)
+
+    val cust = read("customer")
+    val custOff = off(cust, "c_custkey")
+    write("customer", replicated(cust) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custOff))
+    })
+
+    val ords = read("orders")
+    val ordOff = off(ords, "o_orderkey")
+    write("orders", replicated(ords) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custOff))
+    })
+
+    val li = read("lineitem")
+    write("lineitem", replicated(li) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOff))
+    })
+
+    val ev = read("events")
+    val evOff = off(ev, "event_id")
+    val userOff = off(ev, "user_id")
+    write("events", replicated(ev) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * evOff))
+        .withColumn("user_id", col("user_id") + lit(i * userOff))
+    })
+
+    val docs = read("documents")
+    val docOff = off(docs, "doc_id")
+    write("documents", replicated(docs) { (d, i) =>
+      val t = if (i == 0) col("text")
+        // bijective token rename: suffix every token (whitespace-
+        // preceded ones via one linear regex pass, plus the first)
+        else concat(lit(s"r$i"),
+          regexp_replace(col("text"), "\\s+", s"_r$i "), lit(s"_r$i"))
+      d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+        .withColumn("text", t)
+    })
+
+    val emb = read("embeddings")
+    val vecOff = off(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    write("embeddings", replicated(emb) { (d, i) =>
+      val rot = i % dim
+      val e = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+        .withColumn("embedding", e)
+    })
+
+    spark.stop()
+  }
+}
