@@ -289,6 +289,15 @@ object SparkEntry {
     // derivation) and the post-scrub residual column must be all-zero
     "q93_pii_presets" -> ((s, dir) => graft.pipeline.TextScrub
       .piiPresetReport(Corpus.table(s, dir, "documents"))),
+    // q94: the MULTI-PROBE sign-bucket serving path (finer buckets for
+    // linear pair work + hamming-ball probes to buy recall back — the
+    // sf1 checkpoint's scaling recipe) under the full-ball hard gate:
+    // radius == nBits probes every bucket == brute force, so it must
+    // hash-match the q22 exact oracle through the persisted store
+    "q94_multiprobe_exact" -> ((s, dir) =>
+      Similarity.multiProbeStoreExactTopK(
+        Corpus.table(s, dir, "embeddings"),
+        fixtureDir("q94", dir), 0L, 10, 4)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -399,6 +408,8 @@ object SparkEntry {
     "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
     // all-probes through the PERSISTED store == brute force too
     "q78_ivf_store_probe" -> PO.cosineTopK(0L, 10),
+    // full hamming ball through the sign-bucket store == brute force
+    "q94_multiprobe_exact" -> PO.cosineTopK(0L, 10),
     // salted join must be row-identical to the plain join — q32's
     // oracle verbatim
     "q79_salted_join" ->

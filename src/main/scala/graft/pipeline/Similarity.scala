@@ -50,6 +50,25 @@ object Similarity {
     math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
   }
 
+  /** Pair-WORK sizing for the kNN-join tiers: bucket count such that
+    * the expected population keeps per-bucket pair generation
+    * (≈ pop²/2) at `targetPairsPerBucket`. This is the dial that keeps
+    * the bucketed join LINEAR under corpus growth — measured at the
+    * sf1 checkpoint (SCALE.md): 10× vectors at a FIXED 16 buckets ran
+    * the q71 shape 27× slower (population ×10 → pairs ×100), while
+    * re-sizing to hold population constant restored ~linear time.
+    * `sizedNBits` bounds per-bucket MEMORY (its documented contract);
+    * it is necessary but not sufficient for the join tiers — use this
+    * for pair work and recover the recall cost of finer buckets with
+    * multi-probe (hammingBall below). */
+  def pairSizedNBits(corpusVectors: Long,
+                     targetPairsPerBucket: Long = 1L << 21): Int = {
+    require(targetPairsPerBucket > 0)
+    val targetPop = math.max(1L,
+      math.round(math.sqrt(targetPairsPerBucket.toDouble * 2.0)))
+    sizedNBits(corpusVectors, targetPop)
+  }
+
   /** Dimension-aware sizing: targetPerBucket = budget / (dim × 8 B),
     * clamped to [256, 10⁴]. With the default 16 MiB per-bucket budget
     * a 64-dim corpus keeps the 10⁴ target (cap) while 768-dim lands at
@@ -433,6 +452,99 @@ object Similarity {
       case Some(r) =>
         probeIvfStore(spark, dir, centroids, r.getSeq[Float](0).toArray,
           queryId, k, nProbe = nClusters)
+    }
+  }
+
+  /** Driver-side mirror of TextFunctions.signBucket (the column
+    * expression): the bit string of the first nBits dimension signs.
+    * Bit parity with the column spelling is pinned in PipelineSpec —
+    * the router computing probe lists MUST agree with the writer that
+    * partitioned the store. */
+  def signBucketOf(vec: Array[Float], nBits: Int): String =
+    (0 until nBits).map(i => if (vec(i) >= 0) '1' else '0').mkString
+
+  /** All bucket bitstrings within hamming distance `radius` of
+    * `bucket` — the multi-probe set: Σ_{i≤r} C(nBits, i) strings,
+    * enumerated driver-side (config-sized: 4 bits/r=1 → 5, 7 bits/
+    * r=2 → 29). Multi-probe is how finer bucketing (pairSizedNBits —
+    * linear pair work) buys its recall back: a near neighbor that
+    * fell one sign-flip across the boundary is in the radius-1 ball. */
+  def hammingBall(bucket: String, radius: Int): Seq[String] = {
+    val n = bucket.length
+    def flips(start: Int, left: Int, cur: String): Seq[String] =
+      if (left == 0) Seq(cur)
+      else (start to n - left).flatMap { i =>
+        flips(i + 1, left - 1,
+          cur.updated(i, if (cur(i) == '1') '0' else '1'))
+      }
+    (0 to math.min(radius, n)).flatMap(r => flips(0, r, bucket))
+  }
+
+  /** Persist the sign-bucket index: bucket every vector and write the
+    * table bucket-partitioned. The sign-bucket analogue of
+    * buildIvfStore — no training step, so the index-build job is a
+    * single scan + partitioned write; raw embeddings are stored (the
+    * probe recomputes ed/norm over the few cells it reads) to keep
+    * the store at input size. */
+  def buildSignBucketStore(embeddings: DataFrame, dir: String,
+                           nBits: Int): Unit =
+    graft.sources.PartitionedStore.writeByCell(
+      graft.sources.Corpus.fanOutSmallScan(embeddings)
+        .withColumn("bucket",
+          TextFunctions.signBucket(col("embedding"), nBits)),
+      dir, "bucket")
+
+  /** Probe a persisted sign-bucket store with MULTI-PROBE: enumerate
+    * the hamming ball of the query's bucket driver-side, read ONLY
+    * those cells (partition pruning — the bitstring cell column reads
+    * back as the raw directory token, leading zeros intact), exact
+    * cosine re-rank inside. radius is the recall dial: radius = nBits
+    * probes every bucket and IS brute force (the q94 hard gate);
+    * radius 1–2 at production bucket counts reads a vanishing
+    * fraction of the corpus. */
+  def multiProbeStoreTopK(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, queryVec: Array[Float], queryId: Long,
+                          k: Int, nBits: Int, radius: Int): DataFrame = {
+    val probes = hammingBall(signBucketOf(queryVec, nBits), radius)
+    val cells = graft.sources.PartitionedStore
+      .probeCells(spark, dir, "bucket", probes)
+    val v = withVectorCols(cells, 0)
+    val qv = queryVec.map(_.toDouble)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val qLit = array(qv.toIndexedSeq.map(lit): _*)
+    v.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.ArrayDot.column(col("ed"), qLit) /
+          (col("norm") * lit(qn)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Gate composition (q94): the multi-probe serving path under the
+    * full-ball hard gate — build (once per session per corpus/dir/
+    * nBits) the bucket-partitioned store, then probe THROUGH it with
+    * radius = nBits. The full hamming ball is every bucket, so the
+    * result must hash-match the q22 exact oracle regardless of how
+    * vectors bucketed — while exercising the real router → ball
+    * enumeration → pruned read → re-rank path (q78 proved this for
+    * IVF; this proves the sign-bucket/multi-probe tier). */
+  def multiProbeStoreExactTopK(embeddings: DataFrame, dir: String,
+                               queryId: Long, k: Int, nBits: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.SessionCache.getOrBuild(spark,
+      ("Similarity.signBucketStore", dir, embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings), nBits)) {
+      buildSignBucketStore(embeddings, dir, nBits)
+      java.lang.Boolean.TRUE
+    }
+    embeddings.where(col("vec_id") === queryId)
+      .select(col("embedding")).take(1).headOption match {
+      case None =>
+        embeddings.where(lit(false))
+          .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+      case Some(r) =>
+        multiProbeStoreTopK(spark, dir, r.getSeq[Float](0).toArray,
+          queryId, k, nBits, radius = nBits)
     }
   }
 

@@ -83,6 +83,31 @@ class PartitionedStoreSpec extends AnyFunSuite {
     assert(back.agg(sum(col("doc_id"))).head.getLong(0) == sums)
   }
 
+  test("multi-probe store: full ball == exact top-k; recall monotone in radius") {
+    val embs = Corpus.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pstore4").toString + "/mp"
+    val nBits = 4
+    pipeline.Similarity.buildSignBucketStore(embs, dir, nBits)
+    val qv = embs.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = pipeline.Similarity.cosineTopK(embs, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    def hits(radius: Int): Int =
+      pipeline.Similarity.multiProbeStoreTopK(spark, dir, qv, 0L,
+        10, nBits, radius).collect().map(_.getLong(0)).count(exact)
+    // full ball probes every bucket — brute force through the store
+    assert(pipeline.Similarity.multiProbeStoreTopK(spark, dir, qv, 0L,
+        10, nBits, nBits).collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .toSeq ==
+      pipeline.Similarity.cosineTopK(embs, 0L, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // widening the ball never loses true neighbors (superset probes)
+    val rs = (0 to nBits).map(hits)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b }, rs.toString)
+    assert(rs.last == 10)
+  }
+
   test("immediate same-second rewrite with a new schema is re-discovered, not served stale") {
     // the version marker (not root mtime) keys the schema memo: two
     // writes landing within the filesystem timestamp granularity must

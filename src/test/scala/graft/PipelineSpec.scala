@@ -278,6 +278,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(probed.forall(_.getDouble(2) <= exact.head._2))
   }
 
+  test("multi-probe kernels: driver bucket == column bucket; hamming ball exact; pair sizing bounds") {
+    // router/writer agreement: the driver-side bucket of every vector
+    // equals the column expression that partitioned the store
+    val rows = embs.select(col("vec_id"),
+        TextFunctions.signBucket(col("embedding"), 5).as("b"),
+        col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      assert(Similarity.signBucketOf(r.getSeq[Float](2).toArray, 5)
+        == r.getString(1))
+    }
+    // ball sizes are the binomial sums; all members within radius
+    def dist(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val b0 = "0101"
+    assert(Similarity.hammingBall(b0, 0) == Seq(b0))
+    assert(Similarity.hammingBall(b0, 1).size == 5)  // 1 + C(4,1)
+    assert(Similarity.hammingBall(b0, 2).size == 11) // + C(4,2)
+    assert(Similarity.hammingBall(b0, 4).size == 16) // full space
+    assert(Similarity.hammingBall(b0, 4).distinct.size == 16)
+    Similarity.hammingBall(b0, 2).foreach(b => assert(dist(b0, b) <= 2))
+    // pair sizing: expected per-bucket pair work stays ≤ target from
+    // 10^3 to 10^12 vectors (the dial the sf1 checkpoint measured)
+    for (exp <- 3 to 12; n = math.pow(10, exp).toLong) {
+      val nBits = Similarity.pairSizedNBits(n)
+      val pop = n.toDouble / (1L << nBits)
+      assert(pop * pop / 2 <= (1L << 21).toDouble * 1.01,
+        s"n=$n nBits=$nBits pop=$pop")
+    }
+  }
+
   test("bucketKnnJoin composes with corpus-sized nBits") {
     val bits = Similarity.sizedNBits(embs.count()) // 500 vecs → 1 bit
     val res = Similarity.bucketKnnJoin(embs, 3, bits)
