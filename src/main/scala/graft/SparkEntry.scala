@@ -298,6 +298,20 @@ object SparkEntry {
       Similarity.multiProbeStoreExactTopK(
         Corpus.table(s, dir, "embeddings"),
         fixtureDir("q94", dir), 0L, 10, 4)),
+    // q95: REAL frame sampling behind the codec seam — synthesize
+    // multi-frame ANIMATED GIFs (exact gray palette, lossless LZW),
+    // count frames with the real JDK reader, sample ≤3 under the
+    // pinned rule src = j·n/min(3,n), decode only the sampled frames;
+    // the oracle recomputes frame counts, sampled indices, dims, and
+    // gray sums in closed form from doc_id
+    "q95_frame_sample" -> ((s, dir) => Multimodal.sampledFrameMetaReport(
+      Corpus.table(s, dir, "documents"), 20L, 3)),
+    // q96: REAL audio decode — synthesize 16-bit PCM WAVs (container
+    // written by the JDK codec), parse + reconstruct samples through
+    // javax.sound.sampled; the oracle recomputes the closed-form
+    // sample sums from doc_id
+    "q96_audio_decode" -> ((s, dir) => Multimodal.decodedAudioMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -980,6 +994,36 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT sha256(text) AS h FROM documents)
         |SELECT h FROM sh ANTI JOIN bh USING (h)
         |ORDER BY h""".stripMargin.replace("\n", " "),
+    // closed-form recomputation of the animated-GIF frame sampling:
+    // frame f's pixel (x,y) = (x·31 + y·17 + f·29 + doc_id) mod 256,
+    // n = doc_id%4+2 frames, sampled index j maps to source frame
+    // j·n // min(3,n); GIF over the exact gray palette is lossless,
+    // so decoded sums must equal this direct recomputation
+    "q95_frame_sample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 6) AS w, (doc_id % 3 + 4) AS h,
+        |    (doc_id % 4 + 2) AS n FROM documents WHERE doc_id < 20),
+        |f AS (SELECT doc_id, w, h, n, j.i AS fi, (j.i * n) // least(3, n) AS sf
+        |  FROM d, unnest(range(0, least(3, n))) AS j(i)),
+        |px AS (SELECT doc_id, fi, sf, n, w, h,
+        |    ((x.i * 31 + y.i * 17 + sf * 29 + doc_id) % 256) AS v
+        |  FROM f, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i))
+        |SELECT doc_id AS media_id, fi AS frame_idx, sf AS src_frame,
+        |  n AS n_frames, w AS width, h AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, fi, sf, n, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "),
+    // closed-form recomputation of the WAV round-trip: sample i of
+    // doc_id's clip = (i·37 + doc_id·11) mod 2003 − 1001 over
+    // n = doc_id%50+100 samples; PCM is lossless, so the decoded sums
+    // must equal this direct recomputation
+    "q96_audio_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 50 + 100) AS n
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, n, ((i.i * 37 + doc_id * 11) % 2003 - 1001) AS v
+        |  FROM d, unnest(range(0, n)) AS i(i))
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
+        |  sum(v)::BIGINT AS sample_sum
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
     // the planted corruption split, recomputed from the source table:
     // the Spark side must report exactly these counts after its real
     // write → read → PERMISSIVE-parse round trip

@@ -47,23 +47,48 @@ final case class MediaFrame(
     n_frames: Int,
     frame: Array[Byte])
 
+/** Decoded metadata of one SAMPLED frame of a multi-frame payload:
+  * values (frame count, decoded dims, pixel sum) that only exist after
+  * a real container parse + frame decode. Long-typed for oracle parity. */
+final case class MediaFrameMeta(
+    media_id: Long,
+    frame_idx: Long,
+    src_frame: Long,
+    n_frames: Long,
+    width: Long,
+    height: Long,
+    gray_sum: Long)
+
+/** Decoded audio-container metadata: format fields plus the folded
+  * sample sum — a value that only exists after real PCM decoding. */
+final case class MediaAudioMeta(
+    media_id: Long,
+    sample_rate: Long,
+    n_channels: Long,
+    bits: Long,
+    n_samples: Long,
+    sample_sum: Long)
+
 /** Multimodal-column operators.
   *
   * Decode/feature-extraction runs per PARTITION (one codec instance per
   * task, amortized over its rows — the mapInPandas batch pattern in
-  * Dataset form), never per row, and never on the driver. The actual
-  * codec is injected; the default is `stubDecoder`, a deterministic
-  * fake (image/audio libs are not in this container) clearly marked as
-  * the production seam. Everything around it — encoders, schema,
+  * Dataset form), never per row, and never on the driver. Codecs are
+  * injected seams: images (PNG/BMP/GIF/JPEG via javax.imageio — incl.
+  * multi-frame GIF sampling) and WAV-PCM audio (javax.sound.sampled)
+  * decode for REAL with JDK built-ins; `stubDecoder` remains only for
+  * payloads beyond the JDK's codecs (video, compressed audio — not in
+  * this container). Everything around the seams — encoders, schema,
   * partition mapping, metadata derivation — is real and tested.
   */
 object Multimodal {
 
   /** Non-image fallback seam: payloads no JDK image reader recognizes
-    * (audio, video, plain text — codecs not in this container) get a
-    * deterministic 8-dim byte-fold feature so tests pin the plumbing.
-    * Image payloads take the REAL decode path (imageOrStubDecoder /
-    * decodeImageMeta below). */
+    * (video, compressed audio, plain text — codecs beyond the JDK's)
+    * get a deterministic 8-dim byte-fold feature so tests pin the
+    * plumbing. Image payloads take the REAL decode path
+    * (imageOrStubDecoder / decodeImageMeta below); WAV audio has its
+    * own real path (decodeAudioMeta). */
   val stubDecoder: Array[Byte] => Array[Float] = { bytes =>
     val f = new Array[Float](8)
     var i = 0
@@ -226,11 +251,13 @@ object Multimodal {
     }
   }
 
-  /** Production seam for frame sampling: splits a payload into up to
-    * `maxFrames` equal-stride chunks (a real video codec seeks
-    * keyframes). Output is one row per frame — the exploded shape a
-    * frame-level training pipeline consumes — with frame_idx/n_frames
-    * metadata so frames re-associate without a join. */
+  /** Non-multiframe fallback seam for frame sampling: splits a payload
+    * into up to `maxFrames` equal-stride chunks (a real video codec
+    * seeks keyframes; video codecs are not in this container). Output
+    * is one row per frame — the exploded shape a frame-level training
+    * pipeline consumes — with frame_idx/n_frames metadata so frames
+    * re-associate without a join. The REAL multi-frame path is
+    * `sampleImageFrameMeta` below (JDK GIF reader). */
   def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int,
                    frameBytes: Int): Dataset[MediaFrame] = {
     val spark = media.sparkSession
@@ -247,6 +274,229 @@ object Multimodal {
       }
     }
   }
+
+  /** 256-entry exact grayscale palette: with TYPE_BYTE_INDEXED over
+    * this palette, gray value v IS palette index v, so GIF encoding
+    * (palette indices + lossless LZW) preserves pixels exactly —
+    * which is what makes the q95 frame gate oracle-checkable. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { ramp(i) = i.toByte; i += 1 }
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Deterministic synthetic ANIMATED GIFs keyed off the documents
+    * table: doc_id < maxId becomes a multi-frame GIF of
+    * width doc_id%5+6, height doc_id%3+4, doc_id%4+2 frames, where
+    * frame f's pixel (x, y) holds gray value
+    * (x·31 + y·17 + f·29 + doc_id) mod 256 — closed-form recomputable
+    * from doc_id alone, like `syntheticPngs`. Encoded per PARTITION
+    * with the JDK's GIF sequence writer (one writer per payload; no
+    * external dependency). */
+  def syntheticAnimatedGifs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val palette = grayPalette // per-task palette instance
+        it.map { id =>
+          val w = (id % 5 + 6).toInt
+          val h = (id % 3 + 4).toInt
+          val n = (id % 4 + 2).toInt
+          imageIoMemoryCache
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            val param = writer.getDefaultWriteParam
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < n) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = ((x * 31 + y * 17 + f * 29 + id) % 256).toInt
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              // Pin interlaceFlag=FALSE explicitly: the JDK GIF writer
+              // defaults to interlaced output, whose row passes
+              // mis-roundtrip for heights < 8 (rows land scrambled on
+              // decode) — and row order is exactly what the pixel-sum
+              // gate certifies.
+              val md = writer.getDefaultImageMetadata(
+                new javax.imageio.ImageTypeSpecifier(img), param)
+              val fmt = "javax_imageio_gif_image_1.0"
+              val root = md.getAsTree(fmt)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              root.getElementsByTagName("ImageDescriptor").item(0)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .setAttribute("interlaceFlag", "FALSE")
+              md.setFromTree(fmt, root)
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, md), param)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          MediaRecord(id, "image/gif", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** REAL frame sampling: open the payload with the JDK's multi-frame
+    * image reader (GIF), count frames with the real parser, sample up
+    * to `maxFrames` of them under the pinned integer rule
+    * src = j·n / min(maxFrames, n) (floor — same discipline as the q91
+    * resize rule: implementation-defined rounding would be ungateable),
+    * decode each SAMPLED frame only, and report its dimensions + gray
+    * pixel sum. Payloads no reader recognizes — or that a reader
+    * throws on — are quarantined (flatMap skip), the same stance as
+    * `decodeImageMeta`. Scale shape: embarrassingly parallel map, one
+    * reader per payload, only sampled frames ever decode. */
+  def sampleImageFrameMeta(media: Dataset[MediaRecord], maxFrames: Int)
+      : Dataset[MediaFrameMeta] = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        imageIoMemoryCache
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Nil
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true) // real container frame count
+              val kk = math.min(maxFrames, n)
+              // materialize eagerly: the reader closes before rows emit
+              (0 until kk).toList.map { j =>
+                val src = j * n / kk
+                val img = reader.read(src)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var s = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { s += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                  y += 1
+                }
+                MediaFrameMeta(r.media_id, j.toLong, src.toLong, n.toLong,
+                  w.toLong, h.toLong, s)
+              }
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+            finally reader.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Gate composition (q95): synthesize animated GIFs from doc ids,
+    * sample ≤`maxFrames` frames through the real reader, and report
+    * decoded per-frame metadata — hash-checked against the oracle's
+    * closed-form recomputation of frame counts, sampled indices, and
+    * gray sums. */
+  def sampledFrameMetaReport(docs: DataFrame, maxId: Long,
+                             maxFrames: Int): DataFrame =
+    sampleImageFrameMeta(syntheticAnimatedGifs(docs, maxId), maxFrames).toDF()
+      .orderBy("media_id", "frame_idx")
+
+  /** Deterministic synthetic WAV payloads keyed off the documents
+    * table: doc_id < maxId becomes a mono 16-bit signed PCM clip at
+    * 8 kHz with doc_id%50+100 samples, where sample i holds
+    * (i·37 + doc_id·11) mod 2003 − 1001 — closed-form recomputable
+    * from doc_id. The PCM samples are the DATA; the container is
+    * written by the real JDK codec (AudioSystem.write → RIFF/WAVE),
+    * so the decode side exercises a genuine parser, not a byte echo. */
+  def syntheticWavs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 50 + 100).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((i * 37 + id * 11) % 2003 - 1001).toInt
+            pcm(2 * i) = (v & 0xff).toByte // WAV PCM is little-endian
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio/wav", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** REAL audio decode (javax.sound.sampled — the JDK's WAV/AIFF/AU
+    * parsers, zero new dependencies): parse the container, reconstruct
+    * the 16-bit signed PCM samples honoring the container's declared
+    * endianness, and report format fields + the folded sample sum.
+    * Non-audio payloads, unsupported encodings (only 16-bit signed PCM
+    * is reconstructed here), and corrupt containers are quarantined
+    * (flatMap skip) — the training-pipeline stance shared by every
+    * codec seam in this file. Scale shape: embarrassingly parallel map
+    * over the scan, no shuffle, never driver-side. */
+  def decodeAudioMeta(media: Dataset[MediaRecord]): Dataset[MediaAudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+            else {
+              val bytes = ais.readAllBytes()
+              val total = bytes.length / 2 // per-channel samples, folded
+              var s = 0L
+              var i = 0
+              while (i < total) {
+                val (hi, lo) =
+                  if (fmt.isBigEndian) (bytes(2 * i), bytes(2 * i + 1) & 0xff)
+                  else (bytes(2 * i + 1), bytes(2 * i) & 0xff)
+                s += (hi.toInt << 8) | lo // hi sign-extends: signed 16-bit
+                i += 1
+              }
+              Some(MediaAudioMeta(r.media_id, fmt.getSampleRate.toLong,
+                fmt.getChannels.toLong, fmt.getSampleSizeInBits.toLong,
+                total.toLong / fmt.getChannels, s))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Gate composition (q96): synthesize WAVs from doc ids, round-trip
+    * them through the real JDK audio codec, and report decoded format +
+    * sample sums — hash-checked against the oracle's closed-form
+    * recomputation from doc_id. */
+  def decodedAudioMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeAudioMeta(syntheticWavs(docs, maxId)).toDF().orderBy("media_id")
 
   /** Deterministic synthetic PNG payloads keyed off the documents
     * table (the corpus ships no binary tables): doc_id < maxId becomes

@@ -461,6 +461,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("real frame sampling: animated-GIF round-trip decodes exact frames, quarantines junk") {
+    // encode n frames → real reader counts them → sample ≤3 under the
+    // pinned rule → decoded gray sums must equal the closed form (the
+    // q95 gate contract at unit scale)
+    val metas = Multimodal.sampleImageFrameMeta(
+      Multimodal.syntheticAnimatedGifs(docs, 10L), 3).collect()
+    val byDoc = metas.groupBy(_.media_id)
+    assert(byDoc.keySet == (0L until 10L).toSet)
+    byDoc.foreach { case (id, fs) =>
+      val n = id % 4 + 2
+      val kk = math.min(3L, n)
+      assert(fs.head.n_frames == n && fs.length == kk)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0L until kk))
+      fs.foreach { m =>
+        assert(m.src_frame == m.frame_idx * n / kk)
+        assert(m.width == id % 5 + 6 && m.height == id % 3 + 4)
+        val expected = (for {
+          x <- 0L until m.width; y <- 0L until m.height
+        } yield (x * 31 + y * 17 + m.src_frame * 29 + id) % 256).sum
+        assert(m.gray_sum == expected)
+      }
+    }
+    // quarantine: unrecognized and truncated payloads skip, not fail
+    val s = spark
+    import s.implicits._
+    val gif = Multimodal.syntheticAnimatedGifs(docs, 1L).collect().head.payload
+    val junk = Seq(
+      MediaRecord(99L, "application/octet-stream",
+        "not media".getBytes("UTF-8"), "junk"),
+      MediaRecord(98L, "image/gif", gif.take(16), "junk")).toDS()
+    assert(Multimodal.sampleImageFrameMeta(junk, 3).collect().isEmpty)
+  }
+
+  test("real audio decode: WAV round-trip reconstructs exact samples, quarantines junk") {
+    // PCM data + real JDK container writer → real parser → sample sums
+    // must equal the closed form (the q96 gate contract at unit scale)
+    val metas = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticWavs(docs, 10L)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.sample_rate == 8000L && m.n_channels == 1L && m.bits == 16L)
+      assert(m.n_samples == m.media_id % 50 + 100)
+      val expected = (0L until m.n_samples)
+        .map(i => (i * 37 + m.media_id * 11) % 2003 - 1001).sum
+      assert(m.sample_sum == expected)
+    }
+    // quarantine: non-audio and truncated containers skip, not fail
+    val s = spark
+    import s.implicits._
+    val wav = Multimodal.syntheticWavs(docs, 1L).collect().head.payload
+    val junk = Seq(
+      MediaRecord(99L, "text/plain", "not audio".getBytes("UTF-8"), "junk"),
+      MediaRecord(98L, "audio/wav", wav.take(12), "junk")).toDS()
+    assert(Multimodal.decodeAudioMeta(junk).collect().isEmpty)
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)

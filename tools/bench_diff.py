@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Mechanical bench-delta classifier: plan change vs box noise.
+
+Compares two bench artifacts (the full JSON graft.Bench writes to
+bench_out.json) per query. A time delta only matters if either
+(a) the physical-plan fingerprint changed — a real plan difference —
+or (b) the ratio exceeds the noise band with the SAME fingerprint
+AND survives the absolute floor (sub-0.1 s deltas on this box are
+pure jitter; the measured noise band is ±20–30 %, see SCALE.md).
+Fingerprints are comparable only within one SF (scan paths and
+stats-dependent choices legitimately differ across SFs).
+
+Usage: tools/bench_diff.py <old_bench.json> <new_bench.json>
+       [--band 1.35] [--floor 0.25]
+
+Exit code: 0 always (a report, not a gate) — the CLASSIFICATION is
+the output; feed `plan_changed` rows to plan review and ignore
+`noise` rows instead of re-flagging them round after round.
+"""
+import argparse, json, sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--band", type=float, default=1.35,
+                    help="same-plan ratio above this is flagged (default 1.35)")
+    ap.add_argument("--floor", type=float, default=0.25,
+                    help="absolute delta (s) below this is never flagged")
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    if old.get("sf") != new.get("sf"):
+        print(f"WARNING: different SFs ({old.get('sf')} vs {new.get('sf')}) — "
+              "fingerprints are NOT comparable across SFs; "
+              "time ratios reflect data size, not regressions.")
+    oq, nq = old["queries"], new["queries"]
+    ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
+
+    rows = []
+    for q in sorted(set(oq) & set(nq)):
+        t0, t1 = oq[q], nq[q]
+        ratio = t1 / t0 if t0 > 0 else float("inf")
+        fp_changed = q in ofp and q in nfp and ofp[q] != nfp[q]
+        if fp_changed:
+            cls = "plan_changed"
+        elif abs(t1 - t0) < args.floor:
+            cls = "ok"
+        elif ratio > args.band or ratio < 1 / args.band:
+            cls = "noise?"  # same plan, outside band: rerun before believing
+        else:
+            cls = "ok"
+        rows.append((q, t0, t1, ratio, cls))
+
+    flagged = [r for r in rows if r[4] != "ok"]
+    for q, t0, t1, ratio, cls in flagged:
+        print(f"{cls:13s} {q:32s} {t0:7.3f}s -> {t1:7.3f}s  ({ratio:5.2f}x)")
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    if only_old:
+        print("removed:", ", ".join(only_old))
+    if only_new:
+        print("added:  ", ", ".join(only_new))
+    tot0 = sum(oq[q] for q in set(oq) & set(nq))
+    tot1 = sum(nq[q] for q in set(oq) & set(nq))
+    print(f"comparable subset: {len(set(oq) & set(nq))} queries, "
+          f"{tot0:.1f}s -> {tot1:.1f}s ({tot1 / tot0:.2f}x); "
+          f"{len([r for r in rows if r[4] == 'plan_changed'])} plan-changed, "
+          f"{len([r for r in rows if r[4] == 'noise?'])} same-plan outliers "
+          f"(rerun via graft.TimeTool before acting — SCALE.md noise band)")
+
+
+if __name__ == "__main__":
+    main()
