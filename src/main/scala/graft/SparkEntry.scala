@@ -312,6 +312,13 @@ object SparkEntry {
     // sample sums from doc_id
     "q96_audio_decode" -> ((s, dir) => Multimodal.decodedAudioMetaReport(
       Corpus.table(s, dir, "documents"), 20L)),
+    // q97: Bloom-sketch ingest admission — the base corpus's hash set
+    // broadcast as a Bloom filter drops definitely-new delta rows
+    // scan-locally; only Bloom positives pay the exact join. Output is
+    // IDENTICAL to the plain anti-join at any fpp (positives re-check
+    // exactly), so the oracle is the plain set arithmetic
+    "q97_bloom_admission" -> ((s, dir) => Dedup.bloomAdmissionSummary(
+      Corpus.table(s, dir, "documents"), 10L, 0.01)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1024,6 +1031,21 @@ object SparkEntry {
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
         |  sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // plain set arithmetic for the Bloom-admission gate: a delta doc
+    // (doc_id % 10 != 0) is a dup iff its hash appears among the base
+    // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change
+    // this by construction, at any fpp
+    "q97_bloom_admission" ->
+      """WITH b AS (SELECT DISTINCT sha256(text) AS h FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, source, sha256(text) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT source, count(*)::BIGINT AS n_delta,
+        |  sum(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup,
+        |  sum(CASE WHEN h IN (SELECT h FROM b) THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_admitted
+        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // the planted corruption split, recomputed from the source table:
     // the Spark side must report exactly these counts after its real
     // write → read → PERMISSIVE-parse round trip

@@ -648,6 +648,57 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Bloom-filter ingest admission (q97): the 100 TB spelling of the
+    * q68 exact tier. The standing corpus's content-hash set becomes a
+    * BROADCAST Bloom sketch (public `org.apache.spark.util.sketch`
+    * API; built once per base version, the artifact a nightly
+    * compaction persists next to the data). The delta then splits
+    * scan-locally: Bloom-NEGATIVE rows are definitely new — admitted
+    * with zero shuffle — and only Bloom-POSITIVE rows (true dups +
+    * fpp of the new rows) reach the exact semi/anti join. The output
+    * is therefore IDENTICAL to the plain anti-join at any fpp — false
+    * positives get re-checked exactly — which is what makes this
+    * hard-oracle gateable; fpp only dials how much of the delta pays
+    * the shuffle. At fpp=1% a 99%-new daily batch shuffles ~1% of its
+    * rows instead of all of them; the base side still streams through
+    * the join but only against that sliver.
+    *
+    * The probe is a broadcast-sketch lambda (the sketch API has no
+    * Catalyst surface); it runs scan-side behind the hash projection,
+    * so the per-row cost is one murmur over a 64-char hash — noise
+    * next to the scan itself. Filter sizing: self-sized here with one
+    * count over the base hash projection; production passes the known
+    * base cardinality from metadata instead. */
+  def bloomAdmissionSummary(docs: DataFrame, baseMod: Long,
+                            fpp: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.where(col("doc_id") % baseMod === 0)
+    val delta = docs.where(col("doc_id") % baseMod =!= 0)
+    val baseH = base.select(sha2(col("text"), 256).as("h")).distinct()
+
+    val bf = baseH.stat.bloomFilter("h", math.max(baseH.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bc.value.mightContain(h))
+
+    val dh = delta.select(col("doc_id"), col("source"),
+      sha2(col("text"), 256).as("h"))
+    val neg = dh.where(!mightContain(col("h")))  // definitely new, no shuffle
+    val pos = dh.where(mightContain(col("h")))   // maybe seen: exact re-check
+    val posDup = pos.join(baseH, Seq("h"), "left_semi")
+    val posNew = pos.join(baseH, Seq("h"), "left_anti")
+
+    val admitted = neg.unionByName(posNew)
+      .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+    val dups = posDup.groupBy("source").agg(count(lit(1)).as("n_dup"))
+    dh.groupBy("source").agg(count(lit(1)).as("n_delta"))
+      .join(admitted, Seq("source"), "left")
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_delta"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      .orderBy("source")
+  }
+
   /** Document novelty profile (q86): per source, the fraction of each
     * document's distinct shingles that FIRST appear in that document
     * (ingest order = doc_id). Boilerplate-heavy or near-duplicate

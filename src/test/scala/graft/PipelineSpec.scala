@@ -517,6 +517,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudioMeta(junk).collect().isEmpty)
   }
 
+  test("bloom admission == plain anti-join at any fpp, and the fast path actually fires") {
+    // the q97 contract: Bloom false positives are re-checked exactly,
+    // so the admission result is fpp-independent — pin tight (0.001)
+    // and pathological (0.5, most of the delta forced through the
+    // exact join) against the plain set arithmetic
+    import org.apache.spark.sql.functions.{col, sha2, sum => ssum}
+    val baseH = docs.where(col("doc_id") % 10 === 0)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+    val expected = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("source"), sha2(col("text"), 256).as("h"))
+      .join(baseH.withColumn("_dup", org.apache.spark.sql.functions.lit(1)),
+        Seq("h"), "left")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n_delta"),
+           ssum(org.apache.spark.sql.functions.coalesce(col("_dup"),
+             org.apache.spark.sql.functions.lit(0))).cast("long").as("n_dup"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(0.001, 0.5).foreach { fpp =>
+      val got = Dedup.bloomAdmissionSummary(docs, 10L, fpp).collect()
+      assert(got.map(_.getString(0)).toSet == expected.keySet)
+      got.foreach { r =>
+        val (nDelta, nDup) = expected(r.getString(0))
+        assert(r.getLong(1) == nDelta, s"n_delta fpp=$fpp")
+        assert(r.getLong(2) == nDup, s"n_dup fpp=$fpp")
+        assert(r.getLong(3) == nDelta - nDup, s"n_admitted fpp=$fpp")
+      }
+    }
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)

@@ -395,4 +395,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q95/q96 codec tiers: embarrassingly parallel maps — no joins, no data shuffle") {
+    // same shape contract as q76: the only exchange is the final
+    // gate-determinism sort; codecs run per task, never driver-side
+    Seq("q95_frame_sample", "q96_audio_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), q)
+      assert(!p.contains("Exchange hashpartitioning"), q)
+      assert(p.contains("MapPartitions"), q)
+    }
+  }
+
+  test("q97 bloom admission: negatives bypass every join; positives re-check without cartesian") {
+    val p = plan("q97_bloom_admission")
+    // the scan-local fast path exists: a Union arm with no join above it
+    assert(p.contains("Union"))
+    // the exact re-check is equi-join only, never nested-loop/cartesian
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
