@@ -319,6 +319,23 @@ object SparkEntry {
     // exactly), so the oracle is the plain set arithmetic
     "q97_bloom_admission" -> ((s, dir) => Dedup.bloomAdmissionSummary(
       Corpus.table(s, dir, "documents"), 10L, 0.01)),
+    // q98: compression-ratio quality signal under the invariant guard
+    // (the q85 pattern): deflate isn't recomputable cross-engine, so
+    // the gate pins the LZ back-reference property (doc+doc deflates
+    // to < 2× one copy) and size bounds next to exact count columns
+    "q98_compression_guard" -> ((s, dir) => TextStats.compressionGuard(
+      Corpus.table(s, dir, "documents"))),
+    // q99: the q68 incremental tier THROUGH the persisted bucketed
+    // band store — the nightly-artifact execution path (base bands
+    // precomputed, bucketed on the join key, base side never
+    // shuffles); shares q68's oracle verbatim: store == memory ==
+    // DuckDB
+    "q99_band_store_dedup" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
+      Dedup.incrementalDedupViaBandStore(
+        Corpus.table(s, dir, "documents"), 10L, 0.8,
+        s"graft_band_store_${tag}_p$fixturePid", fixtureDir("q99", dir))
+    }),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -895,6 +912,10 @@ object SparkEntry {
       PO.minhashEstimateAudit(0.8).replace("\n", " "),
     "q68_incremental_dedup" ->
       PO.incrementalDedup(10L, 0.8).replace("\n", " "),
+    // store == memory == DuckDB: the persisted-band-store path must
+    // produce exactly the q68 summary
+    "q99_band_store_dedup" ->
+      PO.incrementalDedup(10L, 0.8).replace("\n", " "),
     "q70_bucket_recall" ->
       PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
     "q71_knn_label_audit" ->
@@ -1031,6 +1052,15 @@ object SparkEntry {
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
         |  sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the compression guard's checkable face: exact per-source counts
+    // plus TRUE-expected invariant columns — Spark must run the real
+    // deflate codec to produce the TRUEs (q85's pattern)
+    "q98_compression_guard" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  TRUE AS double_copy_compresses, TRUE AS bounds_ok
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin.replace("\n", " "),
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change

@@ -606,20 +606,35 @@ object Dedup {
     * CPU scales with candidate volume, not corpus size. */
   def incrementalDedupSummary(docs: DataFrame, deltaMod: Long,
                               threshold: Double): DataFrame = {
-    val isDelta = hash64(col("doc_id").cast("string"), "inc") % deltaMod === 0
-    val base = docs.where(!isDelta)
-    val delta = docs.where(isDelta)
+    val (base, delta) = deltaSplit(docs, deltaMod)
+    // asymmetric LSH: delta bands ⋈ base bands on the bucket key
+    val candRaw = bandedKeys(delta).as("d")
+      .join(bandedKeys(base).as("b"), Seq("band", "bkey"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    incrementalSummaryFromCandidates(docs, base, delta, candRaw, threshold)
+  }
 
+  /** The q68 delta/base split, shared by every incremental tier. */
+  private def deltaSplit(docs: DataFrame, deltaMod: Long)
+      : (DataFrame, DataFrame) = {
+    val isDelta = hash64(col("doc_id").cast("string"), "inc") % deltaMod === 0
+    (docs.where(!isDelta), docs.where(isDelta))
+  }
+
+  /** Exact + verify + summary tail shared by the in-memory (q68) and
+    * persisted-band-store (q99) incremental tiers — the candidate
+    * source is the only difference between them, and the gate pins
+    * that both produce identical output. */
+  private def incrementalSummaryFromCandidates(
+      docs: DataFrame, base: DataFrame, delta: DataFrame,
+      candRaw: DataFrame, threshold: Double): DataFrame = {
     val baseH = base.select(sha2(col("text"), 256).as("h")).distinct()
     val exactHits = delta.select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .join(baseH, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
 
-    // asymmetric LSH: delta bands ⋈ base bands on the bucket key
-    val cand = bandedKeys(delta).as("d")
-      .join(bandedKeys(base).as("b"), Seq("band", "bkey"))
-      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
-      .distinct()
+    val cand = candRaw
       .localCheckpoint(true) // feeds the id set + both verify joins once
     val candIds = cand
       .select(explode(array(col("delta_id"), col("base_id"))).as("doc_id"))
@@ -646,6 +661,54 @@ object Dedup {
         sum(when(col("_ex").isNull && col("_nr").isNull, 1L).otherwise(0L))
           .as("n_admitted"))
       .orderBy("source")
+  }
+
+  /** Build the PERSISTED base band table (q99's store): `bandedKeys`
+    * of the standing corpus written as a BUCKETED table on
+    * (band, bkey) — the artifact a nightly compaction job produces so
+    * each day's ingest batch joins against it WITHOUT re-hashing the
+    * corpus and WITHOUT shuffling the base side (the bucketed scan
+    * already has the join's partitioning; only the day's delta moves).
+    * This executes SCALE.md's "precomputed and persisted
+    * bucketed-by-(band, bkey)" claim rather than asserting it. */
+  def buildBandStore(base: DataFrame, table: String, path: String,
+                     nBuckets: Int = 16): Unit =
+    bandedKeys(base).write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "bkey").sortBy("band", "bkey")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Candidate generation against the persisted band table — exposed
+    * for the plan pin: with broadcast off, the base side must scan
+    * bucketed (no Exchange); only the delta side shuffles. */
+  private[graft] def bandStoreCandidates(delta: DataFrame,
+                                         table: String): DataFrame =
+    delta.sparkSession.table(table).as("b")
+      .join(bandedKeys(delta).as("d"), Seq("band", "bkey"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+
+  /** One store build per (process, table): Verify/Bench run many
+    * queries in one session, and the nightly-artifact semantics are
+    * build-once-probe-thereafter (the q78 IVF store stance). */
+  private val bandStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Incremental dedup THROUGH the persisted band store (q99): same
+    * delta/base split, exact tier, verification, and summary as q68 —
+    * the only difference is that base candidates come from the
+    * bucketed table instead of an in-session `bandedKeys(base)` — and
+    * the gate shares q68's oracle verbatim, pinning store == memory. */
+  def incrementalDedupViaBandStore(docs: DataFrame, deltaMod: Long,
+                                   threshold: Double, table: String,
+                                   path: String): DataFrame = {
+    val (base, delta) = deltaSplit(docs, deltaMod)
+    bandStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
+      buildBandStore(base, table, path)
+      java.lang.Boolean.TRUE
+    })
+    incrementalSummaryFromCandidates(docs, base, delta,
+      bandStoreCandidates(delta, table), threshold)
   }
 
   /** Bloom-filter ingest admission (q97): the 100 TB spelling of the

@@ -311,6 +311,82 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** Per-document DEFLATE size — the model-free redundancy/quality
+    * signal web-scale curation pipelines use (templated or word-salad
+    * text compresses abnormally well or badly relative to prose).
+    * One Deflater per PARTITION, reset between docs (the codec-seam
+    * batch shape shared with Multimodal; JDK 17's Deflater releases
+    * native state via Cleaner). Scan-local: no shuffle at any corpus
+    * size; the signal column feeds whatever summary runs downstream. */
+  def compressionSignal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        def deflatedSize(bytes: Array[Byte]): Long = {
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          n
+        }
+        it.map { case (id, src, text) =>
+          val b = text.getBytes("UTF-8")
+          (id, src, b.length.toLong, deflatedSize(b))
+        }
+      }.toDF("doc_id", "source", "n_bytes", "deflate_bytes")
+  }
+
+  /** Compression-signal guard (q98): deflate output is not
+    * closed-form recomputable in another engine, so — the q85/q39b
+    * audit-the-approximation pattern — the gate pins INVARIANTS the
+    * real codec must satisfy, next to cross-checkable count columns:
+    * (a) a doc concatenated with itself must deflate to LESS than two
+    * separate copies (the LZ back-reference property: the second copy
+    * is a match into the first — fails for any fake "compressor"
+    * that's a linear function of input length), and (b) size bounds —
+    * 0 < deflate_bytes ≤ n_bytes + 64 (deflate's stored-block
+    * worst-case overhead on these doc sizes). Oracle expects TRUE
+    * rows; Spark must run the real codec to produce them. */
+  def compressionGuard(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        def deflatedSize(bytes: Array[Byte]): Long = {
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          n
+        }
+        it.map { case (id, src, nChars, text) =>
+          val b = text.getBytes("UTF-8")
+          (id, src, nChars, b.length.toLong,
+            deflatedSize(b), deflatedSize(b ++ b))
+        }
+      }
+      .toDF("doc_id", "source", "n_chars", "n_bytes", "d1", "d2")
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        bool_and(col("d2") < lit(2L) * col("d1"))
+          .as("double_copy_compresses"),
+        bool_and(col("d1") > 0L && col("d1") <= col("n_bytes") + 64L)
+          .as("bounds_ok"))
+      .orderBy("source")
+  }
+
   /** Filter-funnel report (q83): the C4/Gopher-style quality-gate
     * summary a curation pipeline reads before dropping anything — per
     * source, how many documents survive each SUCCESSIVE filter. Rules

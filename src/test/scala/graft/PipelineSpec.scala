@@ -547,6 +547,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("compression signal: real deflate, LZ invariants hold, repetition compresses harder") {
+    import org.apache.spark.sql.functions.col
+    val sig = TextStats.compressionSignal(docs.limit(100)).collect()
+    assert(sig.length == 100)
+    sig.foreach { r =>
+      val (nBytes, dBytes) = (r.getLong(2), r.getLong(3))
+      assert(dBytes > 0 && dBytes <= nBytes + 64)
+    }
+    // determinism: same doc → same deflate size
+    val again = TextStats.compressionSignal(docs.limit(100)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    sig.foreach(r => assert(again(r.getLong(0)) == r.getLong(3)))
+    // the guard's invariant columns are all TRUE on the corpus
+    val guard = TextStats.compressionGuard(docs).collect()
+    assert(guard.nonEmpty)
+    guard.foreach { r =>
+      assert(r.getBoolean(3), s"double_copy_compresses ${r.getString(0)}")
+      assert(r.getBoolean(4), s"bounds_ok ${r.getString(0)}")
+    }
+    // the signal discriminates: a highly repetitive text compresses to
+    // a smaller fraction than heterogeneous text of the same length
+    val s = spark
+    import s.implicits._
+    val rep = ("abc " * 250).trim
+    val het = (0 until 250).map(i => (i * 2654435761L).toHexString).mkString(" ").take(rep.length)
+    val planted = Seq((1L, "x", rep), (2L, "x", het))
+      .toDF("doc_id", "source", "text")
+    val ratios = TextStats.compressionSignal(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(3).toDouble / r.getLong(2)).toMap
+    assert(ratios(1L) < ratios(2L))
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)

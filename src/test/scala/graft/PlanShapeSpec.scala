@@ -407,6 +407,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 compression guard: scan-local codec, one partial+final aggregate — no joins") {
+    val p = plan("q98_compression_guard")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q99 band store: the persisted base side joins from its buckets — no base-side shuffle") {
+    // force the shuffle join (broadcast would hide the property being
+    // pinned), then assert the store side scans Bucketed with no
+    // Exchange anywhere in the candidate join — only the delta side
+    // may shuffle; restore the conf either way
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bandstore_pin").toString
+    val docs = graft.sources.Corpus.table(s, sf, "documents")
+    graft.pipeline.Dedup.buildBandStore(
+      docs.where(col("doc_id") % 2 === 0), "band_store_pin_tbl", dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val p = graft.pipeline.Dedup.bandStoreCandidates(
+          docs.where(col("doc_id") % 2 =!= 0), "band_store_pin_tbl")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"))
+      // exactly ONE band-keyed exchange: the delta side aligning to
+      // the store's bucketing; a second would mean the base side
+      // re-shuffled despite its buckets (the post-join distinct's
+      // pair-keyed exchange is legitimate and not counted)
+      assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size == 1, p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS band_store_pin_tbl")
+    }
+  }
+
   test("q97 bloom admission: negatives bypass every join; positives re-check without cartesian") {
     val p = plan("q97_bloom_admission")
     // the scan-local fast path exists: a Union arm with no join above it

@@ -207,6 +207,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ingest admission state survives a stop/restart from checkpoint") {
+    // the production property q90's single-run parity can't see: the
+    // within-stream dedup state must come back from the checkpoint, so
+    // a duplicate of a doc admitted BEFORE the restart is still
+    // dropped AFTER it. The memory sink refuses checkpoint recovery,
+    // so the sink is foreachBatch into a local buffer (the recoverable
+    // sink shape); foreachBatch is at-least-once, so the post-restart
+    // assertions are membership, not exact-sequence.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Seq((100L, "already ingested")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sadmit_restart").toString
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = StreamingPipeline.admitStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), base,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0))
+        admitted.synchronized { admitted ++= ids }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "first doc"),        // admitted
+        (ts("2024-01-01 10:01:00"), 2L, "already ingested")) // base dup
+      q1.processAllAvailable()
+      assert(admitted.synchronized(admitted.sorted.toSeq) == Seq(1L))
+    } finally q1.stop()
+
+    admitted.synchronized(admitted.clear())
+    stream.addData(
+      (ts("2024-01-01 10:02:00"), 3L, "first doc"),   // dup of PRE-restart 1
+      (ts("2024-01-01 10:03:00"), 4L, "brand new"))   // admitted
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val post = admitted.synchronized(admitted.toSet)
+      assert(post.contains(4L))  // genuinely new content admitted
+      assert(!post.contains(3L)) // state recovered: pre-restart dup dropped
+    } finally q2.stop()
+  }
+
   test("q90 replay: streamed admission hash set equals batch admission") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
