@@ -336,6 +336,23 @@ object SparkEntry {
         Corpus.table(s, dir, "documents"), 10L, 0.8,
         s"graft_band_store_${tag}_p$fixturePid", fixtureDir("q99", dir))
     }),
+    // q100: heavy-hitters sketch audit — stat.freqItems (one-pass,
+    // constant-memory, the 100 TB frequent-items path) under its
+    // superset guarantee: every EXACT heavy hitter above support·N
+    // must be in the sketch result (the q85 audit pattern)
+    "q100_heavy_hitters" -> ((s, dir) => TextStats.heavyHitterAudit(
+      Corpus.table(s, dir, "documents"), 0.02)),
+    // q101: CSV ingest health — q77's twin for the second interchange
+    // format: planted non-numeric doc_id fields must be COUNTED by
+    // the explicit-schema PERMISSIVE read, neither dropped nor fatal
+    "q101_csv_health" -> ((s, dir) => graft.sources.CsvLines.healthReport(
+      Corpus.table(s, dir, "documents"), fixtureDir("q101", dir), 200L, 5L)),
+    // q102: Unicode NFC normalization — planted decomposed/precomposed
+    // suffixes; the gate hashes the NORMALIZED strings (portable
+    // 60-bit), so parity is a hard content check: java.text.Normalizer
+    // NFC == DuckDB nfc_normalize byte for byte
+    "q102_nfc_normalize" -> ((s, dir) => graft.pipeline.TextScrub
+      .nfcNormalizationReport(Corpus.table(s, dir, "documents"))),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1052,6 +1069,38 @@ object SparkEntry {
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
         |  sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the planted CSV corruption split, recomputed from the source
+    // table (q77's pattern, mod 5)
+    "q101_csv_health" ->
+      """SELECT sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+        |  sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt
+        |FROM documents WHERE doc_id < 200""".stripMargin.replace("\n", " "),
+    // DuckDB applies the SAME canonical composition (nfc_normalize),
+    // and the gate hashes the normalized strings — byte-level parity
+    "q102_nfc_normalize" ->
+      """WITH p AS (SELECT source,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' Cafe' || chr(769)
+        |               ELSE ' Caf' || chr(233) END AS planted
+        |  FROM documents),
+        |n AS (SELECT source, planted, nfc_normalize(planted) AS norm FROM p)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN norm <> planted THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(('0x'||substr(sha256(norm||'#nfc'),1,15))::BIGINT % 1000000000)::BIGINT
+        |    AS norm_hash_sum
+        |FROM n GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+    // exact recomputation of the heavy-hitter set the sketch must
+    // cover: token total and the count of terms above support·N are
+    // cross-engine-exact; the membership column must be TRUE
+    "q100_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS n_tokens FROM t),
+        |h AS (SELECT term, count(*) AS c FROM t GROUP BY term)
+        |SELECT n.n_tokens,
+        |  (SELECT count(*) FROM h WHERE c * 50 > n.n_tokens)::BIGINT
+        |    AS n_true_heavy,
+        |  TRUE AS all_heavy_in_sketch
+        |FROM n""".stripMargin.replace("\n", " "),
     // the compression guard's checkable face: exact per-source counts
     // plus TRUE-expected invariant columns — Spark must run the real
     // deflate codec to produce the TRUEs (q85's pattern)

@@ -71,10 +71,18 @@ object GraftFunctions {
       HammingBits(exprs(0), exprs(1))
     })
 
+  val nfcNormalizeFunction: FunctionDescriptor = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "nfc_normalize(str) takes one argument")
+      NfcNormalize(exprs(0))
+    })
+
   val all: Seq[FunctionDescriptor] = Seq(
     hasFunction, sha256Prefix60Function,
     simhash64Function, hashTokensFunction, arrayDotFunction,
-    hammingBitsFunction)
+    hammingBitsFunction, nfcNormalizeFunction)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, _, builder) =>

@@ -23,6 +23,18 @@ object TokenKernel {
   /** Exactly Spark's split(text, " ") (limit -1: trailing empties kept). */
   def tokens(s: UTF8String): Array[String] = s.toString.split(" ", -1)
 
+  /** Unicode NFC normalization (java.text.Normalizer — the same
+    * canonical composition DuckDB's nfc_normalize applies, which is
+    * what makes the q102 gate cross-engine exact). Fast path: already-
+    * normalized input (all-ASCII corpora in particular) returns the
+    * input UTF8String with no String allocation beyond the check. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Per-token 60-bit seeded hashes (TextFunctions.baseHashes∘tokens). */
   def tokenHashes(s: UTF8String, seedSuffix: Array[Byte]): ArrayData = {
     val toks = tokens(s)
@@ -168,6 +180,30 @@ case class HashTokens(child: Expression, k: Int, seed: String)
 object HashTokens {
   def column(c: Column, k: Int, seed: String): Column =
     graftshim.column(HashTokens(graftshim.expression(c), k, seed))
+}
+
+/** Unicode NFC normalization as a codegen'd kernel — the first text
+  * op in any cleaning pipeline (composed vs decomposed accents hash
+  * and dedup differently; normalize BEFORE any fingerprint). Parity:
+  * java.text.Normalizer NFC == DuckDB nfc_normalize (q102-gated). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with StringInputExpr {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernel.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernel.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def column(c: Column): Column =
+    graftshim.column(NfcNormalize(graftshim.expression(c)))
 }
 
 /** Distinct k-shingle strings (the LSH verification path's input). */

@@ -34,6 +34,33 @@ object TextScrub {
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
     "phone" -> "\\+?\\d[\\d -]{7,}\\d")
 
+  /** Unicode NFC normalization report (q102): the cleaning primitive
+    * that must run BEFORE any hash/fingerprint stage — composed é and
+    * decomposed e+◌́ are different bytes, so un-normalized corpora
+    * under-dedup and double-count vocabulary. The kernel is the
+    * codegen'd `functions.NfcNormalize` (java.text.Normalizer);
+    * DuckDB's nfc_normalize applies the same canonical composition,
+    * which makes the gate a HARD cross-engine content check: every
+    * doc gets a planted suffix — decomposed on doc_id % 3 == 0,
+    * precomposed otherwise — and the gate hashes the NORMALIZED
+    * strings (60-bit portable hash, summed mod 1e9 per source), so a
+    * normalizer that missed composition or touched other bytes
+    * mismatches. Scan-local; the shuffle carries (source, longs). */
+  def nfcNormalizationReport(docs: DataFrame): DataFrame = {
+    import TextFunctions.hash64
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" Cafe\u0301")) // e + U+0301
+        .otherwise(lit(" Caf\u00e9")))  // precomposed
+    val norm = graft.functions.NfcNormalize.column(planted)
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("source"), planted.as("p"), norm.as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") =!= col("p"), 1L).otherwise(0L)).as("n_changed"),
+        sum(hash64(col("n"), "nfc") % 1000000000L).as("norm_hash_sum"))
+      .orderBy("source")
+  }
+
   /** Per-(source, pattern) audit: documents hit and total matches.
     * One scan regardless of pattern count. */
   def patternScanSummary(docs: DataFrame,

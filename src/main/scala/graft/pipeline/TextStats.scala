@@ -387,6 +387,40 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Heavy-hitters sketch audit (q100): `stat.freqItems` is the
+    * one-pass constant-memory frequent-items path at 100 TB (exact
+    * q43-style top-k needs a vocabulary shuffle; the sketch needs
+    * none and its driver-side result is ≤ 1/support items). Its
+    * contract is a SUPERSET guarantee — every item more frequent than
+    * support·N is returned, possibly with false positives — so the
+    * audit (the q85/q39b pattern) pins exactly that: compute the TRUE
+    * heavy hitters exactly, assert every one is in the sketch result,
+    * and surface the exact counts for the cross-engine hash. Driver
+    * work is bounded by construction: one count, one ≤1/support item
+    * set, one missing-count. */
+  def heavyHitterAudit(docs: DataFrame, support: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(explode(tokens(col("text"))).as("term"))
+    val nTokens = terms.count()
+    val sketch: Seq[String] = terms.stat.freqItems(Seq("term"), support)
+      .head().getSeq[String](0)
+    // integer-exact threshold: c > support·N spelled c·round(1/s) > N
+    // (support is 1/k by convention here) — a float product would put
+    // decimal-vs-double boundary behavior into the cross-engine gate
+    val invSupport = math.round(1.0 / support)
+    val trueHeavy = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") * lit(invSupport) > lit(nTokens))
+    val nHeavy = trueHeavy.count()
+    val nMissing =
+      if (sketch.isEmpty) nHeavy
+      else trueHeavy.where(!col("term").isin(sketch: _*)).count()
+    Seq((nTokens, nHeavy, nMissing == 0L))
+      .toDF("n_tokens", "n_true_heavy", "all_heavy_in_sketch")
+  }
+
   /** Filter-funnel report (q83): the C4/Gopher-style quality-gate
     * summary a curation pipeline reads before dropping anything — per
     * source, how many documents survive each SUCCESSIVE filter. Rules

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
-import graft.sources.{Corpus, JsonLines}
+import graft.sources.{Corpus, CsvLines, JsonLines}
 
 /** JSONL round-trip and dirty-input contract: explicit schema, corrupt
   * lines counted (never silently dropped, never fatal). */
@@ -64,5 +64,24 @@ class JsonLinesSpec extends AnyFunSuite {
     val expectedClean = docs.where(col("doc_id") < 100).count() - expectedCorrupt
     assert(row.getLong(0) == expectedClean)
     assert(row.getLong(1) == expectedCorrupt)
+  }
+
+  test("CSV healthReport: planted type-mismatch rows are counted (q101 contract)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv1").toString + "/fixture"
+    val docs = Corpus.table(spark, "/root/testdata/sf0.001", "documents")
+    val row = CsvLines.healthReport(docs, dir, 100L, 5L).head()
+    val expectedCorrupt = docs.where(col("doc_id") < 100 &&
+      col("doc_id") % 5 === 0).count()
+    val expectedClean = docs.where(col("doc_id") < 100).count() - expectedCorrupt
+    assert(row.getLong(0) == expectedClean)
+    assert(row.getLong(1) == expectedCorrupt)
+    // clean rows parse into real columns; corrupt keep their raw line
+    val back = CsvLines.read(spark,
+      dir, new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string"))
+    val raw = back.where(col(CsvLines.CorruptCol).isNotNull)
+      .select(col("doc_id"), col(CsvLines.CorruptCol)).head()
+    assert(raw.isNullAt(0) && raw.getString(1).startsWith("notanumber"))
   }
 }

@@ -579,6 +579,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(ratios(1L) < ratios(2L))
   }
 
+  test("heavy-hitter audit: sketch covers every exact heavy hitter; planted hitter detected") {
+    val row = TextStats.heavyHitterAudit(docs, 0.02).collect().head
+    assert(row.getLong(0) > 0L)       // tokens counted
+    assert(row.getLong(1) > 0L)       // corpus has true heavy hitters at 2%
+    assert(row.getBoolean(2))         // superset guarantee held
+    // planted corpus: one term at 50% frequency must be the sole
+    // heavy hitter at support 0.25, and the sketch must report it
+    val s = spark
+    import s.implicits._
+    val planted = (0 until 200).map(i =>
+      (i.toLong, "x", if (i % 2 == 0) "hot filler" else s"cold$i filler"))
+      .toDF("doc_id", "source", "text")
+    val r = TextStats.heavyHitterAudit(planted, 0.25).collect().head
+    assert(r.getLong(0) == 400L)
+    // 'filler' is 50% — heavy; 'hot' is exactly 25%, which is NOT
+    // strictly greater than support·N, so the true heavy set is
+    // {filler} alone (the strict-inequality boundary, pinned)
+    assert(r.getLong(1) == 1L)
+    assert(r.getBoolean(2))
+  }
+
+  test("nfc normalize: kernel composes exactly, idempotent, SQL-registered, report counts planted split") {
+    import graft.functions.TokenKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = UTF8String.fromString("Cafe\u0301") // e + combining acute
+    val comp = UTF8String.fromString("Caf\u00e9") // precomposed
+    assert(dec != comp) // genuinely different bytes before NFC
+    assert(TokenKernel.nfcNormalize(dec) == comp)
+    assert(TokenKernel.nfcNormalize(comp) eq comp) // fast path: same ref
+    // SQL registration (GraftExtensions surface)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('Cafe\u0301')")
+      .head().getString(0)
+    assert(viaSql == "Caf\u00e9")
+    // report: n_changed counts exactly the decomposed-planted docs
+    val rows = graft.pipeline.TextScrub.nfcNormalizationReport(docs).collect()
+    import org.apache.spark.sql.functions.col
+    val expected = docs.where(col("doc_id") % 3 === 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected.getOrElse(r.getString(0), 0L))
+    }
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)

@@ -21,8 +21,22 @@ import argparse, json, sys
 
 
 def load(path):
+    """Accept either the full graft.Bench artifact (has `queries`) or a
+    driver BENCH_r{N}.json wrapper, whose `tail` holds a (possibly
+    truncated) fragment of the bench stdout line — recover what query
+    times survive in the fragment via regex."""
+    import re
     with open(path) as f:
         d = json.load(f)
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        qs = {}
+        # decimal-point required: bare ints in the fragment are rerun
+        # counts, not times; first match wins (times precede reruns)
+        for m in re.finditer(r'"(q[^"]+)":([0-9]+\.[0-9]+)', d["tail"]):
+            qs.setdefault(m.group(1), float(m.group(2)))
+        fps = {m.group(1): m.group(2) for m in
+               re.finditer(r'"(q[^"]+)":"([0-9a-f]{8,12})"', d["tail"])}
+        d = {"queries": qs, "plan_fp": fps, "sf": str(d.get("sf", "?"))}
     return d
 
 
@@ -37,7 +51,11 @@ def main():
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
-    if old.get("sf") != new.get("sf"):
+    # normalize "0.1" vs "/root/testdata/sf0.1" spellings before warning
+    def sfkey(v):
+        s = str(v)
+        return s.rsplit("sf", 1)[-1] if "sf" in s else s
+    if sfkey(old.get("sf")) != sfkey(new.get("sf")):
         print(f"WARNING: different SFs ({old.get('sf')} vs {new.get('sf')}) — "
               "fingerprints are NOT comparable across SFs; "
               "time ratios reflect data size, not regressions.")
