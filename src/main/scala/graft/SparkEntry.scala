@@ -855,11 +855,12 @@ object SparkEntry {
         |  round(sqrt(n_tokens::DOUBLE) / denom * tot_tokens / n_tokens, 6)
         |    AS epochs
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin.replace("\n", " "),
-    // normalization parity: Java \s and RE2 \s agree on the corpus
-    // charset (plain ASCII spaces); sha256 hex is lowercase in both
+    // normalization parity: NFC (byte-level parity gated by q102),
+    // then Java \s == RE2 \s on the corpus charset (plain ASCII
+    // spaces); sha256 hex is lowercase in both
     "q61_normalized_dedup" ->
       """WITH n AS (SELECT source, sha256(text) AS raw_h,
-        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_h
+        |  sha256(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_h
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
         |  count(DISTINCT raw_h) AS n_unique_raw,

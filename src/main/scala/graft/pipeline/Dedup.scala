@@ -68,8 +68,12 @@ object Dedup {
   def normalizedDedupSummary(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), sha2(col("text"), 256).as("raw_h"),
-        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
-          .as("norm_h"))
+        // NFC first (composed vs decomposed accents are different
+        // bytes — round 10, parity gated byte-level by q102), then
+        // case-fold, then whitespace-collapse
+        sha2(trim(regexp_replace(lower(
+            graft.functions.NfcNormalize.column(col("text"))), "\\s+", " ")),
+          256).as("norm_h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("raw_h")).as("n_unique_raw"),
@@ -737,7 +741,12 @@ object Dedup {
     val spark = docs.sparkSession
     val base = docs.where(col("doc_id") % baseMod === 0)
     val delta = docs.where(col("doc_id") % baseMod =!= 0)
+    // materialized once: the hash projection feeds the sizing count,
+    // the sketch build, AND both exact-recheck joins — left lazy,
+    // Spark would re-scan the base corpus for each (the production
+    // shape persists exactly this projection next to the sketch)
     val baseH = base.select(sha2(col("text"), 256).as("h")).distinct()
+      .localCheckpoint(true)
 
     val bf = baseH.stat.bloomFilter("h", math.max(baseH.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
