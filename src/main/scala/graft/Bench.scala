@@ -79,6 +79,8 @@ object Bench {
           .replaceAll("@[0-9a-fA-F]+", "@")
           .replaceAll("[0-9a-f]{8}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{12}", "uuid")
           .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
+          // per-process table names (q99 band store) are run-local
+          .replaceAll("_p\\d+", "_p")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(norm.getBytes("UTF-8")).take(6)
           .map(b => "%02x".format(b & 0xff)).mkString

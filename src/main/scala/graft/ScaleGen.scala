@@ -88,11 +88,17 @@ object ScaleGen {
     val docs = read("documents")
     val docOff = off(docs, "doc_id")
     write("documents", replicated(docs) { (d, i) =>
+      // bijective token rename: suffix every maximal non-space run.
+      // "[^ ]+" mirrors the tokenizer exactly (split on single ' ',
+      // limit -1: tabs are token chars, empty tokens stay empty), and
+      // whitespace is left byte-identical — so every within-replica
+      // token/shingle/minhash relationship of replica 0 is preserved
+      // under a bijection, while cross-replica token sets are
+      // disjoint. (An earlier spelling prefixed only the FIRST token
+      // and collapsed \s+ runs, which broke both properties — caught
+      // in round-10 review.)
       val t = if (i == 0) col("text")
-        // bijective token rename: suffix every token (whitespace-
-        // preceded ones via one linear regex pass, plus the first)
-        else concat(lit(s"r$i"),
-          regexp_replace(col("text"), "\\s+", s"_r$i "), lit(s"_r$i"))
+        else regexp_replace(col("text"), "([^ ]+)", s"$$1_r$i")
       d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
         .withColumn("text", t)
     })
@@ -100,6 +106,13 @@ object ScaleGen {
     val emb = read("embeddings")
     val vecOff = off(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // rot = i % dim: past factor == dim two replicas would share a
+    // rotation and be exact vector duplicates of each other — the
+    // near-dup clique explosion this tool exists to prevent. Refuse
+    // rather than silently corrupt the scaling measurement.
+    require(factor <= dim,
+      s"factor $factor exceeds embedding dim $dim: replica rotations would " +
+        "repeat and cross-replica vectors would duplicate exactly")
     write("embeddings", replicated(emb) { (d, i) =>
       val rot = i % dim
       val e = if (rot == 0) col("embedding")

@@ -107,8 +107,12 @@ object TextScrub {
   def piiPresetReport(docs: DataFrame): DataFrame = {
     val planted = docs.select(col("doc_id"), col("source"),
       concat_ws(" ",
+        // the local part carries doc_id % 10000, not doc_id: a 9+
+        // digit run inside the email would ALSO match the phone
+        // preset (\d[\d -]{7,}\d), breaking the one-match-per-class
+        // construction for billion-scale ids
         when(col("doc_id") % 2 === 0, concat(lit("contact u"),
-          col("doc_id"), lit("@ex"), col("doc_id") % 10, lit(".com"))),
+          col("doc_id") % 10000, lit("@ex"), col("doc_id") % 10, lit(".com"))),
         when(col("doc_id") % 3 === 0, concat(lit("ip 10.0."),
           col("doc_id") % 256, lit(".7"))),
         when(col("doc_id") % 5 === 0, concat(lit("call +1 555 010 "),

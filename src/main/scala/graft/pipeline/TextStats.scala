@@ -318,6 +318,22 @@ object TextStats {
     * batch shape shared with Multimodal; JDK 17's Deflater releases
     * native state via Cleaner). Scan-local: no shuffle at any corpus
     * size; the signal column feeds whatever summary runs downstream. */
+  /** One Deflater per partition, reset between inputs — shared by the
+    * signal and the guard so the codec configuration cannot drift
+    * between them. Returns the per-input deflated size function. */
+  private def perPartitionDeflatedSize(): Array[Byte] => Long = {
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](8192)
+    bytes => {
+      deflater.reset()
+      deflater.setInput(bytes)
+      deflater.finish()
+      var n = 0L
+      while (!deflater.finished()) n += deflater.deflate(buf)
+      n
+    }
+  }
+
   def compressionSignal(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -325,16 +341,7 @@ object TextStats {
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(6)
-        val buf = new Array[Byte](8192)
-        def deflatedSize(bytes: Array[Byte]): Long = {
-          deflater.reset()
-          deflater.setInput(bytes)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
-          n
-        }
+        val deflatedSize = perPartitionDeflatedSize()
         it.map { case (id, src, text) =>
           val b = text.getBytes("UTF-8")
           (id, src, b.length.toLong, deflatedSize(b))
@@ -360,16 +367,7 @@ object TextStats {
       .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
       .as[(Long, String, Long, String)]
       .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(6)
-        val buf = new Array[Byte](8192)
-        def deflatedSize(bytes: Array[Byte]): Long = {
-          deflater.reset()
-          deflater.setInput(bytes)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
-          n
-        }
+        val deflatedSize = perPartitionDeflatedSize()
         it.map { case (id, src, nChars, text) =>
           val b = text.getBytes("UTF-8")
           (id, src, nChars, b.length.toLong,
@@ -401,8 +399,12 @@ object TextStats {
   def heavyHitterAudit(docs: DataFrame, support: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // materialized once: the exploded frame feeds the total count, the
+    // sketch, the exact heavy set, and the missing check — left lazy,
+    // each would re-scan and re-tokenize the corpus (4 passes)
     val terms = graft.sources.Corpus.fanOutSmallScan(docs)
       .select(explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(true)
     val nTokens = terms.count()
     val sketch: Seq[String] = terms.stat.freqItems(Seq("term"), support)
       .head().getSeq[String](0)

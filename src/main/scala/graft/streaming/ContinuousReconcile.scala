@@ -22,14 +22,18 @@ import graft.engine.{GrantSpec, ModuleResult, ReconcileEngine, UserSpec}
 object ContinuousReconcile {
 
   /** Build the writer (caller picks trigger/checkpoint and starts it).
-    * Within a batch, specs apply in userName order for determinism. */
+    * Within a batch, specs apply in (userName, full-spec) order — the
+    * secondary key makes the order TOTAL, so two specs for the same
+    * user in one micro-batch apply deterministically too (a
+    * userName-only sort leaves their relative order to partition
+    * nondeterminism, and with replace semantics last-writer wins). */
   def writer(specs: Dataset[UserSpec], engine: ReconcileEngine)
             (onResult: (UserSpec, ModuleResult) => Unit = (_, _) => ())
       : DataStreamWriter[UserSpec] =
     specs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[UserSpec], _: Long) =>
-        batch.orderBy("userName").collect()
+        batch.collect().sortBy(s => (s.userName, s.toString))
           .foreach(spec => onResult(spec, engine.usersModule(spec)))
       }
 
@@ -48,14 +52,15 @@ object ContinuousReconcile {
     * streaming surface next to the users-path writer above. Same
     * contract: at-least-once delivery composes with the engine's
     * probe-before-write idempotence; within a batch, specs apply in
-    * granteeName order for determinism. */
+    * (granteeName, full-spec) order — total, so same-grantee specs in
+    * one micro-batch are deterministic under replace semantics too. */
   def grantsWriter(specs: Dataset[GrantSpec], engine: ReconcileEngine)
                   (onResult: (GrantSpec, ModuleResult) => Unit = (_, _) => ())
       : DataStreamWriter[GrantSpec] =
     specs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[GrantSpec], _: Long) =>
-        batch.orderBy("granteeName").collect()
+        batch.collect().sortBy(s => (s.granteeName, s.toString))
           .foreach(spec => onResult(spec, engine.grantsModule(spec)))
       }
 

@@ -65,6 +65,11 @@ def main():
     rows = []
     for q in sorted(set(oq) & set(nq)):
         t0, t1 = oq[q], nq[q]
+        # Bench records -1 for a failed query — a status, not a time
+        if t0 < 0 or t1 < 0:
+            rows.append((q, t0, t1, float("nan"),
+                         "FAILED" if t1 < 0 else "recovered"))
+            continue
         ratio = t1 / t0 if t0 > 0 else float("inf")
         fp_changed = q in ofp and q in nfp and ofp[q] != nfp[q]
         if fp_changed:
@@ -86,9 +91,13 @@ def main():
         print("removed:", ", ".join(only_old))
     if only_new:
         print("added:  ", ", ".join(only_new))
-    tot0 = sum(oq[q] for q in set(oq) & set(nq))
-    tot1 = sum(nq[q] for q in set(oq) & set(nq))
-    print(f"comparable subset: {len(set(oq) & set(nq))} queries, "
+    timed = [q for q in set(oq) & set(nq) if oq[q] >= 0 and nq[q] >= 0]
+    tot0 = sum(oq[q] for q in timed)
+    tot1 = sum(nq[q] for q in timed)
+    if not timed or tot0 == 0:
+        print("no timed queries in common — nothing to compare")
+        return
+    print(f"comparable subset: {len(timed)} queries, "
           f"{tot0:.1f}s -> {tot1:.1f}s ({tot1 / tot0:.2f}x); "
           f"{len([r for r in rows if r[4] == 'plan_changed'])} plan-changed, "
           f"{len([r for r in rows if r[4] == 'noise?'])} same-plan outliers "
