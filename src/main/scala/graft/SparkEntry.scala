@@ -353,6 +353,14 @@ object SparkEntry {
     // NFC == DuckDB nfc_normalize byte for byte
     "q102_nfc_normalize" -> ((s, dir) => graft.pipeline.TextScrub
       .nfcNormalizationReport(Corpus.table(s, dir, "documents"))),
+    // q103: ORC round trip — write documents through Spark's second
+    // built-in columnar format, read back, and hash the CONTENT; the
+    // oracle computes the same aggregates straight from the parquet
+    // source, so any dropped/re-typed/corrupted column or lost row
+    // mismatches
+    "q103_orc_roundtrip" -> ((s, dir) => graft.sources.OrcTables
+      .roundTripReport(Corpus.table(s, dir, "documents"),
+        fixtureDir("q103", dir), 200L)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1070,6 +1078,16 @@ object SparkEntry {
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
         |  sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the ORC round trip's target values, computed from the parquet
+    // source directly — losslessness means the two must agree on
+    // counts, sums, and the per-text content hash
+    "q103_orc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  sum(('0x'||substr(sha256(text||'#orc'),1,15))::BIGINT
+        |      % 1000000000)::BIGINT AS text_hash_sum
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // the planted CSV corruption split, recomputed from the source
     // table (q77's pattern, mod 5)
     "q101_csv_health" ->

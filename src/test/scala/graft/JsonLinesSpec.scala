@@ -84,4 +84,20 @@ class JsonLinesSpec extends AnyFunSuite {
       .select(col("doc_id"), col(CsvLines.CorruptCol)).head()
     assert(raw.isNullAt(0) && raw.getString(1).startsWith("notanumber"))
   }
+
+  test("ORC round trip: rows, schema, and text content survive exactly (q103 contract)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc1").toString + "/fixture"
+    val docs = Corpus.table(spark, "/root/testdata/sf0.001", "documents")
+    docs.where(col("doc_id") < 100).write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.where(col("doc_id") < 100).count())
+    val orig = docs.where(col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.select("doc_id", "text").collect().foreach { r =>
+      assert(orig(r.getLong(0)) == r.getString(1))
+    }
+  }
 }
