@@ -55,4 +55,31 @@ object TokenKernelProperties extends Properties("tokenkernel") {
         .count()
       bad == 0L
     }
+
+  // decomposed sequences the NFC kernel must compose, mixed with text
+  // that is already normalized (exercising the fast path)
+  private val accentedText: Gen[String] = {
+    val piece = Gen.oneOf(
+      Gen.const("e\u0301"), // decomposes → é
+      Gen.const("a\u0300"), // → à
+      Gen.const("o\u0302"), // → ô
+      Gen.const("n\u0303"), // → ñ
+      Gen.const("\u00e9"), // already composed
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.const("日本語"), Gen.const(" "), Gen.const(""))
+    Gen.listOfN(6, piece).map(_.mkString)
+  }
+
+  property("nfc kernel: idempotent and equal to java.text.Normalizer on arbitrary text") =
+    forAll(Gen.listOfN(32, accentedText)) { texts =>
+      import org.apache.spark.unsafe.types.UTF8String
+      texts.forall { t =>
+        val once = graft.functions.TokenKernel
+          .nfcNormalize(UTF8String.fromString(t))
+        val ref = java.text.Normalizer.normalize(
+          t, java.text.Normalizer.Form.NFC)
+        once.toString == ref &&
+          graft.functions.TokenKernel.nfcNormalize(once) == once
+      }
+    }
 }
