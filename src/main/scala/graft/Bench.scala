@@ -79,8 +79,10 @@ object Bench {
           .replaceAll("@[0-9a-fA-F]+", "@")
           .replaceAll("[0-9a-f]{8}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{12}", "uuid")
           .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
-          // per-process table names (q99 band store) are run-local
-          .replaceAll("_p\\d+", "_p")
+          // per-process band-store table names (q99) are run-local;
+          // scoped to the store naming scheme — a bare _p\d+ rule
+          // would also collapse legitimate identifiers like len_p50
+          .replaceAll("graft_band_store_\\w+", "band_store")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(norm.getBytes("UTF-8")).take(6)
           .map(b => "%02x".format(b & 0xff)).mkString
@@ -200,8 +202,21 @@ object Bench {
       s""","cold_by_query":$cold,"warm_by_query":$warm,"runs_by_query_sec":$allRuns}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), artifact)
-    catch { case e: java.io.IOException =>
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      // Keep one previous artifact so tools/bench_diff.py always has a
+      // same-box comparison point. Write the NEW artifact to a temp
+      // file first: rotating before a failed write would destroy the
+      // only good artifact and misattribute the .prev generation.
+      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+      java.nio.file.Files.writeString(tmp, artifact)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(outPath.stripSuffix(".json") + ".prev.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }

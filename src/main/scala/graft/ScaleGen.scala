@@ -51,6 +51,15 @@ object ScaleGen {
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
+    // Validate EVERY precondition before the first write: a failed
+    // require mid-run would leave a partially-scaled, internally
+    // inconsistent corpus on disk (round-10 review).
+    val embDim = read("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    require(factor <= embDim,
+      s"factor $factor exceeds embedding dim $embDim: replica rotations " +
+        "would repeat and cross-replica vectors would duplicate exactly")
+
     // single-copy dims: nation/region bound group cardinalities;
     // part/supplier are unreferenced by the query surface but copied
     // for corpus completeness
@@ -105,14 +114,10 @@ object ScaleGen {
 
     val emb = read("embeddings")
     val vecOff = off(emb, "vec_id")
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    // rot = i % dim: past factor == dim two replicas would share a
-    // rotation and be exact vector duplicates of each other — the
-    // near-dup clique explosion this tool exists to prevent. Refuse
-    // rather than silently corrupt the scaling measurement.
-    require(factor <= dim,
-      s"factor $factor exceeds embedding dim $dim: replica rotations would " +
-        "repeat and cross-replica vectors would duplicate exactly")
+    // factor <= embDim was validated up front (before any write); past
+    // it, two replicas would share a rotation and be exact vector
+    // duplicates — the clique explosion this tool exists to prevent
+    val dim = embDim
     write("embeddings", replicated(emb) { (d, i) =>
       val rot = i % dim
       val e = if (rot == 0) col("embedding")

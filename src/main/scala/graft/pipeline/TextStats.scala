@@ -399,28 +399,36 @@ object TextStats {
   def heavyHitterAudit(docs: DataFrame, support: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // materialized once: the exploded frame feeds the total count, the
-    // sketch, the exact heavy set, and the missing check — left lazy,
-    // each would re-scan and re-tokenize the corpus (4 passes)
     val terms = graft.sources.Corpus.fanOutSmallScan(docs)
       .select(explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(true)
-    val nTokens = terms.count()
-    val sketch: Seq[String] = terms.stat.freqItems(Seq("term"), support)
-      .head().getSeq[String](0)
-    // integer-exact threshold: c > support·N spelled c·round(1/s) > N
-    // (support is 1/k by convention here) — a float product would put
-    // decimal-vs-double boundary behavior into the cross-engine gate
-    val invSupport = math.round(1.0 / support)
-    val trueHeavy = terms.groupBy(col("term"))
-      .agg(count(lit(1)).as("c"))
-      .where(col("c") * lit(invSupport) > lit(nTokens))
-    val nHeavy = trueHeavy.count()
-    val nMissing =
-      if (sketch.isEmpty) nHeavy
-      else trueHeavy.where(!col("term").isin(sketch: _*)).count()
-    Seq((nTokens, nHeavy, nMissing == 0L))
-      .toDF("n_tokens", "n_true_heavy", "all_heavy_in_sketch")
+    // The SKETCH pass stays one-pass constant-memory over the raw
+    // scan (the property being audited). The EXACT side aggregates to
+    // vocabulary grain first and persists THAT — vocabulary-sized,
+    // never token-sized — to serve the total, the heavy set, and the
+    // membership check from one aggregation; released on the way out
+    // (the returned frame is literal values, not a plan over it).
+    val termCounts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTokens = termCounts.agg(sum(col("c"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val sketch: Seq[String] = terms.stat.freqItems(Seq("term"), support)
+        .head().getSeq[String](0)
+      // integer-exact threshold: c > support·N spelled c·round(1/s) > N
+      // (support is 1/k by convention here) — a float product would put
+      // decimal-vs-double boundary behavior into the cross-engine gate
+      val invSupport = math.round(1.0 / support)
+      val trueHeavy = termCounts
+        .where(col("c") * lit(invSupport) > lit(nTokens))
+      val nHeavy = trueHeavy.count()
+      val nMissing =
+        if (sketch.isEmpty) nHeavy
+        else trueHeavy.where(!col("term").isin(sketch: _*)).count()
+      Seq((nTokens, nHeavy, nMissing == 0L))
+        .toDF("n_tokens", "n_true_heavy", "all_heavy_in_sketch")
+    } finally termCounts.unpersist(false)
   }
 
   /** Filter-funnel report (q83): the C4/Gopher-style quality-gate

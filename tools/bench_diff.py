@@ -65,10 +65,13 @@ def main():
     rows = []
     for q in sorted(set(oq) & set(nq)):
         t0, t1 = oq[q], nq[q]
-        # Bench records -1 for a failed query — a status, not a time
+        # Bench records -1 for a failed query — a status, not a time.
+        # Distinguish a NEW breakage from a long-standing one so known
+        # failures stop re-reading as regressions every diff.
         if t0 < 0 or t1 < 0:
-            rows.append((q, t0, t1, float("nan"),
-                         "FAILED" if t1 < 0 else "recovered"))
+            cls = ("still-failed" if t0 < 0 and t1 < 0
+                   else "FAILED(new)" if t1 < 0 else "recovered")
+            rows.append((q, t0, t1, float("nan"), cls))
             continue
         ratio = t1 / t0 if t0 > 0 else float("inf")
         fp_changed = q in ofp and q in nfp and ofp[q] != nfp[q]
