@@ -361,6 +361,19 @@ object SparkEntry {
     "q103_orc_roundtrip" -> ((s, dir) => graft.sources.OrcTables
       .roundTripReport(Corpus.table(s, dir, "documents"),
         fixtureDir("q103", dir), 200L)),
+    // q104: corpus snapshot diff — v1 drops doc_id%7==0, v2 drops
+    // doc_id%13==0 and rewrites doc_id%11==0, both derived in closed
+    // form so the oracle classifies added/removed/modified/unchanged
+    // ARITHMETICALLY (independent derivation, q93's pattern)
+    "q104_corpus_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Corpus.table(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.corpusDiff(v1, v2)
+    }),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1078,6 +1091,22 @@ object SparkEntry {
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
         |  sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // arithmetic reclassification of the planted snapshot split:
+    // added = in v2 only (%7==0, %13!=0), removed = in v1 only,
+    // modified = in both with the %11 rewrite, unchanged = the rest;
+    // ids divisible by both 7 and 13 are in neither snapshot
+    "q104_corpus_diff" ->
+      """WITH c AS (SELECT source,
+        |  CASE WHEN doc_id % 7 = 0 AND doc_id % 13 <> 0 THEN 'added'
+        |       WHEN doc_id % 13 = 0 AND doc_id % 7 <> 0 THEN 'removed'
+        |       WHEN doc_id % 7 <> 0 AND doc_id % 13 <> 0
+        |            AND doc_id % 11 = 0 THEN 'modified'
+        |       WHEN doc_id % 7 <> 0 AND doc_id % 13 <> 0 THEN 'unchanged'
+        |       ELSE NULL END AS change
+        |  FROM documents)
+        |SELECT source, change, count(*)::BIGINT AS n_docs FROM c
+        |WHERE change IS NOT NULL
+        |GROUP BY source, change ORDER BY source, change""".stripMargin.replace("\n", " "),
     // the ORC round trip's target values, computed from the parquet
     // source directly — losslessness means the two must agree on
     // counts, sums, and the per-text content hash

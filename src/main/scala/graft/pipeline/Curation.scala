@@ -22,6 +22,31 @@ import TextFunctions._
   *    which rand()-based sampling is NOT under task retry. */
 object Curation {
 
+  /** Corpus snapshot diff (q104): the audit an incremental pipeline
+    * runs between corpus versions before re-training — per source,
+    * how many documents were added, removed, modified, or unchanged.
+    * One full-outer join on the stable key where each side carries
+    * only (doc_id, source, sha256) — 64-byte hashes, never text — and
+    * the classification is a scan-local CASE over null/hash patterns.
+    * At 100 TB both snapshot projections shuffle once on doc_id; with
+    * both snapshots bucketed by doc_id (the band-store stance, q99)
+    * even that shuffle disappears. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("src_o"),
+      sha2(col("text"), 256).as("h_o"))
+    val n = newDocs.select(col("doc_id"), col("source").as("src_n"),
+      sha2(col("text"), 256).as("h_n"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("h_o").isNull, lit("added"))
+          .when(col("h_n").isNull, lit("removed"))
+          .when(col("h_o") =!= col("h_n"), lit("modified"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy(col("source"), col("change"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "change")
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * k-token shingle with the eval split (here: doc_id % evalMod == 0
     * stands in for a benchmark table). Returns per-source counts of

@@ -624,6 +624,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus diff classifies added/removed/modified/unchanged exactly") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "x", "same"), (2L, "x", "will change"),
+      (3L, "y", "goes away")).toDF("doc_id", "source", "text")
+    val v2 = Seq((1L, "x", "same"), (2L, "x", "changed!"),
+      (4L, "y", "brand new")).toDF("doc_id", "source", "text")
+    val got = Curation.corpusDiff(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("x", "unchanged") -> 1L, ("x", "modified") -> 1L,
+      ("y", "removed") -> 1L, ("y", "added") -> 1L))
+  }
+
   test("language ID argmax is deterministic and covers all docs") {
     val n = TextStats.langIdSummary(docs).agg(sum(col("n"))).head.getLong(0)
     assert(n == 500L)
