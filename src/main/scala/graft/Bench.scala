@@ -83,6 +83,10 @@ object Bench {
           // scoped to the store naming scheme — a bare _p\d+ rule
           // would also collapse legitimate identifiers like len_p50
           .replaceAll("graft_band_store_\\w+", "band_store")
+          // JVM-assigned lambda identifiers (MapPartitions operators):
+          // Lambda$<counter>/0x<addr> differs every run for identical
+          // code, which made every codec-tier fingerprint unstable
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(norm.getBytes("UTF-8")).take(6)
           .map(b => "%02x".format(b & 0xff)).mkString
