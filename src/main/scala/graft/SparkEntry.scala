@@ -374,6 +374,13 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       Curation.corpusDiff(v1, v2)
     }),
+    // q105: the PURE within-stream watermark dedup replayed over the
+    // documents table (q90 gates the composed admission path; this
+    // isolates dedupStream itself) — kept hash set == the corpus's
+    // distinct content hashes
+    "q105_streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.dedupStreamReplay(
+        Corpus.table(s, dir, "documents"))),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1051,6 +1058,11 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 9::BIGINT AS width, 6::BIGINT AS height,
         |  3::BIGINT AS n_channels, sum(v)::BIGINT AS red_sum
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // within-stream dedup keeps exactly one copy per content hash:
+    // the kept SET is the corpus's distinct hashes, ordered
+    "q105_streaming_dedup" ->
+      """SELECT DISTINCT sha256(text) AS h FROM documents
+        |ORDER BY h""".stripMargin.replace("\n", " "),
     // streaming admission == batch admission: distinct stream hashes
     // anti-joined against the base (doc_id % 10 == 0) hash projection;
     // one row per admitted hash, ordered — exactly what admitStream's

@@ -378,4 +378,44 @@ object StreamingPipeline {
       .select(sha2(col("text"), 256).as("h"))
       .orderBy("h"))
   }
+
+  /** Gate composition (q105): replay the batch documents table through
+    * the PURE within-stream dedup (dedupStream — q90's admission gate
+    * covers the composed anti-join + dedup path; this isolates the
+    * bounded-state dedup operator itself). Same harness, same
+    * hash-SET output contract (the winning doc_id among same-batch
+    * copies is partition-order dependent; the kept hash set is exact);
+    * oracle = the distinct content hashes of the corpus, verbatim. */
+  def dedupStreamReplay(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    require(rows.nonEmpty, "empty documents corpus")
+    val epochMs = 1700000000000L // fixed replay epoch — run determinism
+    val spanSec = rows.last._1 - rows.head._1 + 10L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = dedupStream(stream.toDF().toDF("doc_id", "ts", "text"),
+      lateness = s"$spanSec seconds")
+    val qname = "q105_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q105")
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      rows.grouped(200000).foreach { chunk =>
+        stream.addData(chunk.iterator.map { case (id, text) =>
+          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
+        }.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    materializeAndDropSink(qname, ckpt, spark.table(qname)
+      .select(sha2(col("text"), 256).as("h"))
+      .orderBy("h"))
+  }
 }
