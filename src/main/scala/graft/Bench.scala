@@ -77,7 +77,11 @@ object Bench {
           .replaceAll("#\\d+", "#")
           .replaceAll("plan_id=\\d+", "plan_id=")
           .replaceAll("@[0-9a-fA-F]+", "@")
-          .replaceAll("[0-9a-f]{8}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{4}-?[0-9a-f]{12}", "uuid")
+          // dashes MANDATORY: a dash-optional form also matches any
+          // 32+ char hex run (e.g. a sha256 literal in a plan), which
+          // would collapse a genuine hash-literal change to 'uuid' and
+          // misclassify a real plan change as noise (ADVICE r10)
+          .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid")
           .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
           // per-process band-store table names (q99) are run-local;
           // scoped to the store naming scheme — a bare _p\d+ rule
@@ -196,7 +200,25 @@ object Bench {
     val fp = planFpByQuery.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qs,"failed":$fl,"warmup":$wu,"runs_per_query":$timedRuns,"adaptive_reruns":$adaptiveReruns,"reruns_by_query":$rr,"warm_index_queries":$cached,"plan_fp":$fp,"sf":"$sfDir"}"""
-    println(line)
+    // The driver's tail capture holds ~2 KB of stdout; the full line
+    // above outgrew that around round 9 (BENCH_r09/r10 "parsed": null —
+    // the captured tail began MID-line). stdout therefore carries ONE
+    // compact line sized to fit the tail: query keys shortened to their
+    // qN/qNb prefix (checked unique below), centisecond precision, no
+    // fingerprints. Full fidelity lives in the file artifact (and the
+    // full line goes to stderr for humans watching the run).
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val shortOk = results.map(r => shortKey(r._1)).distinct.size == results.size
+    def key(n: String): String = if (shortOk) shortKey(n) else n
+    def cs(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsShort = results.map { case (k, v) => "\"" + key(k) + "\":" + cs(v) }
+      .mkString("{", ",", "}")
+    val flShort = failed.map(n => "\"" + key(n) + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","core14_total":${ms(coreTotal)},"queries":$qsShort,"failed":$flShort,"sf":"$sfDir"}"""
+    System.err.println(line)
+    println(compact)
     // The stdout line above is what the driver tail-captures — and a
     // tail is TRUNCATABLE (round-7's artifact lost the first ~20 query
     // timings). The complete artifact goes to a file the driver/judge

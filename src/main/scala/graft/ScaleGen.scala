@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   * This is benchmark/scaling tooling, not a gate input — the
   * correctness oracle keeps running on the driver's own corpora. */
 object ScaleGen {
+  /** Token-rename separator: U+0001, outside any text corpus alphabet
+    * (verified before use, see the documents guard below). */
+  private val Sep = "\u0001"
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/target/sf1")
@@ -96,6 +100,14 @@ object ScaleGen {
 
     val docs = read("documents")
     val docOff = off(docs, "doc_id")
+    // The rename suffix must be UNREACHABLE from the source alphabet or
+    // the map is not strictly bijective: with a plain "_rN" suffix, a
+    // replica-0 token that already ends in "_r1" collides with replica
+    // 1's rename of its stem (ADVICE r10). U+0001 is a control char no
+    // text corpus contains — VERIFIED here rather than assumed, so the
+    // disjointness invariant is unconditional, not a precondition.
+    require(docs.where(col("text").contains(Sep)).limit(1).count() == 0L,
+      "source corpus contains \\u0001 — rename suffix would not be bijective")
     write("documents", replicated(docs) { (d, i) =>
       // bijective token rename: suffix every maximal non-space run.
       // "[^ ]+" mirrors the tokenizer exactly (split on single ' ',
@@ -103,11 +115,12 @@ object ScaleGen {
       // whitespace is left byte-identical — so every within-replica
       // token/shingle/minhash relationship of replica 0 is preserved
       // under a bijection, while cross-replica token sets are
-      // disjoint. (An earlier spelling prefixed only the FIRST token
-      // and collapsed \s+ runs, which broke both properties — caught
-      // in round-10 review.)
+      // disjoint under the verified-absent U+0001 separator. (An
+      // earlier spelling prefixed only the FIRST token and collapsed
+      // \s+ runs, which broke both properties — caught in round-10
+      // review.)
       val t = if (i == 0) col("text")
-        else regexp_replace(col("text"), "([^ ]+)", s"$$1_r$i")
+        else regexp_replace(col("text"), "([^ ]+)", s"$$1${Sep}r$i")
       d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
         .withColumn("text", t)
     })

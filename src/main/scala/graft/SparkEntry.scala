@@ -393,14 +393,35 @@ object SparkEntry {
     * process's fixtures so repeated runs don't accumulate stores. */
   private lazy val fixturePid: Long = {
     val pid = ProcessHandle.current().pid()
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    val root = new java.io.File("/root/repo/target/graft-fixtures")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      val root = new java.io.File("/root/repo/target/graft-fixtures")
       val mine = root.listFiles()
       if (mine != null) mine.filter(_.getName.endsWith(s"_p$pid")).foreach(rm)
     }))
+    // ORPHAN SWEEP (VERDICT r10 item 8): the shutdown hook never runs
+    // for a SIGKILL'd process (driver timeouts, OOM kills), so its
+    // fixtures would accumulate across gate runs. On first fixture use,
+    // remove directories whose owning pid is dead. Pid-reuse could make
+    // an orphan look alive, so an age floor (1 day — far beyond any
+    // gate run) removes those too. Never touches live recent dirs, so
+    // concurrent Verify+Bench stay isolated exactly as before.
+    val others = root.listFiles()
+    if (others != null) others.foreach { f =>
+      val name = f.getName
+      val owner = name.lastIndexOf("_p") match {
+        case -1 => None
+        case i => name.drop(i + 2).toLongOption
+      }
+      val ownerDead = owner.exists(p =>
+        p != pid && !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive)
+          .orElse(java.lang.Boolean.FALSE))
+      val stale = !owner.contains(pid) &&
+        System.currentTimeMillis() - f.lastModified() > 86400000L
+      if (ownerDead || stale) rm(f)
+    }
     pid
   }
 

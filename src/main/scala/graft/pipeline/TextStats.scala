@@ -380,7 +380,13 @@ object TextStats {
         sum(col("n_chars")).as("n_chars_total"),
         bool_and(col("d2") < lit(2L) * col("d1"))
           .as("double_copy_compresses"),
-        bool_and(col("d1") > 0L && col("d1") <= col("n_bytes") + 64L)
+        // size-aware ceiling: deflate's stored-block fallback costs
+        // ~5 bytes per 64 KiB block, so a flat n_bytes+64 bound would
+        // flip FALSE on a large (~>800 KB) incompressible document
+        // despite correct codec behavior (ADVICE r10); n_bytes/16384
+        // over-provisions that per-block overhead safely
+        bool_and(col("d1") > 0L &&
+            col("d1") <= col("n_bytes") + 64L + col("n_bytes") / 16384L)
           .as("bounds_ok"))
       .orderBy("source")
   }

@@ -28,11 +28,17 @@ def load(path):
     import re
     with open(path) as f:
         d = json.load(f)
+    # a driver wrapper whose `parsed` holds the full bench line is the
+    # lossless path — prefer it over regex tail recovery
+    if "queries" not in d and isinstance(d.get("parsed"), dict) \
+            and "queries" in d["parsed"]:
+        d = d["parsed"]
     if "queries" not in d and isinstance(d.get("tail"), str):
         qs = {}
-        # decimal-point required: bare ints in the fragment are rerun
-        # counts, not times; first match wins (times precede reruns)
-        for m in re.finditer(r'"(q[^"]+)":([0-9]+\.[0-9]+)', d["tail"]):
+        # a time is either a %.3f float or the bare failure sentinel -1
+        # (never a bare positive int — those are rerun counts, which this
+        # pattern therefore cannot match); first match wins by position
+        for m in re.finditer(r'"(q[^"]+)":(-1\b|[0-9]+\.[0-9]+)', d["tail"]):
             qs.setdefault(m.group(1), float(m.group(2)))
         fps = {m.group(1): m.group(2) for m in
                re.finditer(r'"(q[^"]+)":"([0-9a-f]{8,12})"', d["tail"])}
