@@ -399,6 +399,12 @@ object SparkEntry {
         |  round(array_dot(ed, q_ed) / (sqrt(array_dot(ed, ed)) * q_norm), 6) AS cos
         |FROM v, q WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+    // q108: the q95 frame-sampling gate through MULTI-PAGE TIFF — the
+    // JDK's second real multi-frame container — with fresh closed-form
+    // constants; certifies the sampler as container-generic
+    "q108_tiff_frame_sample" -> ((s, dir) =>
+      Multimodal.sampledTiffFrameMetaReport(
+        Corpus.table(s, dir, "documents"), 20L, 3)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1214,6 +1220,20 @@ object SparkEntry {
     // exactly the property being gated
     "q106_sql_exact_dedup" -> PO.exactDedup,
     "q107_sql_cosine_topk" -> PO.cosineTopK(0L, 10),
+    // q95's closed-form recomputation pattern with the TIFF constants:
+    // w = id%6+5, h = id%4+3, n = id%5+2, v = (x·19+y·23+f·41+id)%256
+    "q108_tiff_frame_sample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 6 + 5) AS w, (doc_id % 4 + 3) AS h,
+        |    (doc_id % 5 + 2) AS n FROM documents WHERE doc_id < 20),
+        |f AS (SELECT doc_id, w, h, n, j.i AS fi, (j.i * n) // least(3, n) AS sf
+        |  FROM d, unnest(range(0, least(3, n))) AS j(i)),
+        |px AS (SELECT doc_id, fi, sf, n, w, h,
+        |    ((x.i * 19 + y.i * 23 + sf * 41 + doc_id) % 256) AS v
+        |  FROM f, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i))
+        |SELECT doc_id AS media_id, fi AS frame_idx, sf AS src_frame,
+        |  n AS n_frames, w AS width, h AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, fi, sf, n, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "),
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change

@@ -352,8 +352,63 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic MULTI-PAGE TIFFs — the second real JDK
+    * multi-frame container (the TIFF plugin ships with the JDK since
+    * 9). Same discipline as `syntheticAnimatedGifs` with fresh
+    * constants: doc_id < maxId becomes a TIFF of width doc_id%6+5,
+    * height doc_id%4+3, doc_id%5+2 pages, where page f's pixel (x, y)
+    * holds gray value (x·19 + y·23 + f·41 + doc_id) mod 256.
+    * TYPE_BYTE_INDEXED over the exact gray palette keeps value ==
+    * stored index == decoded channel (TYPE_BYTE_GRAY would be wrong
+    * here: its linear color space makes getRGB/setRGB apply a gamma
+    * conversion and the closed form would not survive the codec).
+    * No per-page metadata pinning needed — TIFF has no interlace
+    * quirk; the default write param is lossless either way. */
+  def syntheticMultiPageTiffs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val palette = grayPalette
+        it.map { id =>
+          val w = (id % 6 + 5).toInt
+          val h = (id % 4 + 3).toInt
+          val n = (id % 5 + 2).toInt
+          imageIoMemoryCache
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < n) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = ((x * 19 + y * 23 + f * 41 + id) % 256).toInt
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          MediaRecord(id, "image/tiff", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
   /** REAL frame sampling: open the payload with the JDK's multi-frame
-    * image reader (GIF), count frames with the real parser, sample up
+    * image reader (GIF, TIFF), count frames with the real parser, sample up
     * to `maxFrames` of them under the pinned integer rule
     * src = j·n / min(maxFrames, n) (floor — same discipline as the q91
     * resize rule: implementation-defined rounding would be ungateable),
@@ -412,6 +467,17 @@ object Multimodal {
   def sampledFrameMetaReport(docs: DataFrame, maxId: Long,
                              maxFrames: Int): DataFrame =
     sampleImageFrameMeta(syntheticAnimatedGifs(docs, maxId), maxFrames).toDF()
+      .orderBy("media_id", "frame_idx")
+
+  /** Gate composition (q108): the q95 gate shape over MULTI-PAGE TIFF —
+    * the identical `sampleImageFrameMeta` path (reader discovery,
+    * getNumImages, floor-rule sampling, decode-only-sampled) exercised
+    * through a second real container format, which is precisely what
+    * certifies the sampler as container-generic rather than
+    * GIF-shaped. */
+  def sampledTiffFrameMetaReport(docs: DataFrame, maxId: Long,
+                                 maxFrames: Int): DataFrame =
+    sampleImageFrameMeta(syntheticMultiPageTiffs(docs, maxId), maxFrames).toDF()
       .orderBy("media_id", "frame_idx")
 
   /** Deterministic synthetic WAV payloads keyed off the documents

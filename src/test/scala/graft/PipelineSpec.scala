@@ -494,6 +494,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sampleImageFrameMeta(junk, 3).collect().isEmpty)
   }
 
+  test("real frame sampling: multi-page TIFF round-trip decodes exact pages") {
+    // the q108 gate contract at unit scale: same sampler, second real
+    // container — page counts, floor-rule sampled indices, dims, and
+    // gray sums must all equal the TIFF closed form
+    val metas = Multimodal.sampleImageFrameMeta(
+      Multimodal.syntheticMultiPageTiffs(docs, 10L), 3).collect()
+    val byDoc = metas.groupBy(_.media_id)
+    assert(byDoc.keySet == (0L until 10L).toSet)
+    byDoc.foreach { case (id, fs) =>
+      val n = id % 5 + 2
+      val kk = math.min(3L, n)
+      assert(fs.head.n_frames == n && fs.length == kk)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0L until kk))
+      fs.foreach { m =>
+        assert(m.src_frame == m.frame_idx * n / kk)
+        assert(m.width == id % 6 + 5 && m.height == id % 4 + 3)
+        val expected = (for {
+          x <- 0L until m.width; y <- 0L until m.height
+        } yield (x * 19 + y * 23 + m.src_frame * 41 + id) % 256).sum
+        assert(m.gray_sum == expected)
+      }
+    }
+  }
+
   test("real audio decode: WAV round-trip reconstructs exact samples, quarantines junk") {
     // PCM data + real JDK container writer → real parser → sample sums
     // must equal the closed form (the q96 gate contract at unit scale)
