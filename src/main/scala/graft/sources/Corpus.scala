@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * /root/testdata/sf{0.001,0.01,0.1}. Plain `spark.read.parquet` so
   * Catalyst pushes filters/projections into the scan.
   *
-  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-  * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` (ts arrives as a nanos LongType)
-  * and convert via integral `div 1000` → `timestamp_micros`. Integral
-  * division matters: a double-typed divide of ~1.7e18 nanos exceeds the
-  * 53-bit mantissa and silently corrupts timestamps.
+  * `events.parquet` has shipped with TWO physical `ts` encodings across
+  * driver corpus generations, so the read is SCHEMA-ADAPTIVE:
+  *  - INT64 TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+  *    timestamp (PARQUET_TYPE_ILLEGAL): read with
+  *    `spark.sql.legacy.parquet.nanosAsLong` (ts arrives as a nanos
+  *    LongType) and convert via integral `div 1000` → `timestamp_micros`.
+  *    Integral division matters: a double-typed divide of ~1.7e18 nanos
+  *    exceeds the 53-bit mantissa and silently corrupts timestamps.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+  *    TIMESTAMP_NTZ: cast to the session type. The session timezone is
+  *    pinned UTC everywhere (builder configs + oracle), so the cast is
+  *    instant-preserving and downstream operators keep seeing the same
+  *    TimestampType they always did.
   */
 object Corpus {
   val tableNames: Seq[String] = Seq(
@@ -22,8 +29,15 @@ object Corpus {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
