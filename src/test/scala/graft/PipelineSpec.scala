@@ -541,6 +541,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudioMeta(junk).collect().isEmpty)
   }
 
+  test("real audio decode: AIFF (big-endian) round-trip through the shared decoder") {
+    // the q111 gate contract at unit scale: the SAME decodeAudioMeta
+    // path must reconstruct big-endian AIFF PCM exactly — this is the
+    // endianness branch a WAV-only gate never executes with a real
+    // container
+    val metas = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticAiffs(docs, 10L)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.sample_rate == 8000L && m.n_channels == 1L && m.bits == 16L)
+      assert(m.n_samples == m.media_id % 40 + 80)
+      val expected = (0L until m.n_samples)
+        .map(i => (i * 53 + m.media_id * 29) % 1987 - 993).sum
+      assert(m.sample_sum == expected)
+    }
+  }
+
   test("bloom admission == plain anti-join at any fpp, and the fast path actually fires") {
     // the q97 contract: Bloom false positives are re-checked exactly,
     // so the admission result is fpp-independent — pin tight (0.001)

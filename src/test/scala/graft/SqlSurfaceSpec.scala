@@ -42,4 +42,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val scala = Similarity.cosineTopK(Corpus.table(spark, sf, "embeddings"), 0L, 10)
     assert(rows(sql) == rows(scala))
   }
+
+  test("q109 ad-hoc SQL banded LSH == Dedup.lshNearDupPairs bit-for-bit") {
+    val sql = SparkEntry.queries("q109_sql_lsh_near_dups")(spark, sf)
+    val scala = Dedup.lshNearDupPairs(Corpus.table(spark, sf, "documents"), 0.8)
+    assert(rows(sql) == rows(scala))
+    // the SQL spelling must FIND something at this SF or the parity
+    // assertion is vacuous (sf0.001 plants near-dup pairs)
+    assert(sql.count() > 0)
+  }
+
+  test("q110 ad-hoc SQL simhash == Dedup.simhashAll bit-for-bit") {
+    val sql = SparkEntry.queries("q110_sql_simhash")(spark, sf)
+    val scala = Dedup.simhashAll(Corpus.table(spark, sf, "documents"))
+    assert(rows(sql) == rows(scala))
+  }
 }
