@@ -60,11 +60,15 @@ object SparkEntry {
     "q26_token_counts" -> ((s, dir) => TextStats.tokenCountsBySource(Corpus.table(s, dir, "documents"))),
     "q27_fingerprints" -> ((s, dir) => TextStats.fingerprints(Corpus.table(s, dir, "documents"), 50L)),
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
-    // nBits is REQUIRED on the bucketed ANN operators; the gate pins 4
-    // (16 buckets — ample for the ≤5k-vector sf corpora and frozen so
-    // the oracle bucketing matches). At scale, size it from the corpus:
-    // Similarity.sizedNBits(count) targets ≤1e4 vectors per bucket.
-    "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairs(Corpus.table(s, dir, "embeddings"), 0.4, 4)),
+    // The pair tier sizes its bucket width FROM THE CORPUS (integer-
+    // exact ceil-log2, mirrored verbatim by the oracle's params CTE),
+    // so expected population tracks the 500-vector target at any
+    // scale. The sf1 oracle pass is why: a width pinned at 4 bits put
+    // every 10×-corpus bucket over the 1000-member cap, the star
+    // fallback fired everywhere, and recall collapsed to 0.1% while
+    // the uncapped oracle kept all 15784 pairs.
+    "q29_cosine_near_dups" -> ((s, dir) => Similarity.cosineNearDupPairsAuto(
+      Corpus.table(s, dir, "embeddings"), 0.4)),
     "q33_simhash_near_dups" -> ((s, dir) => Dedup.simhashNearDupPairs(Corpus.table(s, dir, "documents"), 3)),
     // --- dedup clustering: near-dup graph → components → keep-one ---
     "q36_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Corpus.table(s, dir, "documents"), 0.8)),
@@ -139,8 +143,9 @@ object SparkEntry {
     "q57_unigram_quality" -> ((s, dir) => TextStats.unigramQuality(
       Corpus.table(s, dir, "documents"))),
     // q58: embedding cluster dedup — cosine pairs → CC → keep-one
-    "q58_embedding_dedup" -> ((s, dir) => Similarity.dedupEmbeddingsByClusters(
-      Corpus.table(s, dir, "embeddings"), 0.4, 4)),
+    // (corpus-sized width, same rule and same pair index as q29)
+    "q58_embedding_dedup" -> ((s, dir) => Similarity.dedupEmbeddingsByClustersAuto(
+      Corpus.table(s, dir, "embeddings"), 0.4)),
     // q59: context-budget chunking — 32-token windows, 8-token overlap
     "q59_chunk_documents" -> ((s, dir) => Curation.chunkDocuments(
       Corpus.table(s, dir, "documents"), 32, 8)),
@@ -570,11 +575,11 @@ object SparkEntry {
         | (6, 'app_user', false, '')
         |) AS t(step, grantee, changed, statement) ORDER BY step, statement""".stripMargin.replace("\n", " ")),
     "q12_lineitem_agg" ->
-      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q13_top_nations" ->
-      "SELECT n.n_name, count(*) AS num_customers, sum(c.c_acctbal) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
+      "SELECT n.n_name, count(*) AS num_customers, CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
     "q14_events_agg" ->
-      "SELECT event_type, count(*) AS n, sum(value) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' GROUP BY event_type ORDER BY event_type",
+      "SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' GROUP BY event_type ORDER BY event_type",
     // --- LLM-pipeline oracles (exact Spark↔DuckDB parity; see
     //     pipeline/PipelineOracles.scala for the portability contract) ---
     "q16_exact_dedup" -> PO.exactDedup,
@@ -590,7 +595,7 @@ object SparkEntry {
     "q26_token_counts" -> PO.tokenCounts,
     "q27_fingerprints" -> PO.fingerprints(50L),
     "q28_multimodal_meta" -> PO.multimodalMeta,
-    "q29_cosine_near_dups" -> PO.cosineNearDups(0.4, 4),
+    "q29_cosine_near_dups" -> PO.cosineNearDupsAuto(0.4, 500L),
     // all-probes IVF == brute force: the q22 exact-top-k oracle verbatim
     "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
     // all-probes through the PERSISTED store == brute force too
@@ -600,7 +605,7 @@ object SparkEntry {
     // salted join must be row-identical to the plain join — q32's
     // oracle verbatim
     "q79_salted_join" ->
-      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT o_orderpriority, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
@@ -624,7 +629,7 @@ object SparkEntry {
     // bucketing — both engines' year() cast to BIGINT
     "q87_nation_year_revenue" ->
       """SELECT n.n_name, year(o.o_orderdate)::BIGINT AS order_year,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -731,7 +736,7 @@ object SparkEntry {
     "q35_knn_join" -> PO.bucketKnnJoin(3, 4),
     "q34_events_monthly" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
-        | count(*) AS n, round(avg(value), 6) AS avg_value
+        | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY month, event_type ORDER BY month, event_type""".stripMargin.replace("\n", " "),
     "q30_window_topn" ->
       """SELECT * FROM (SELECT n.n_name, c.c_custkey, c.c_acctbal,
@@ -743,7 +748,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
     "q32_join_revenue" ->
-      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT o_orderpriority, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
@@ -826,7 +831,7 @@ object SparkEntry {
     "q47_json_props" ->
       """SELECT event_type, (cast(props->>'k' AS BIGINT) // 10)::BIGINT AS k_decile,
         | count(*) AS n, sum(cast(props->>'k' AS BIGINT))::BIGINT AS sum_k,
-        | round(avg(value), 6) AS avg_value
+        | round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY event_type, k_decile
         |ORDER BY event_type, k_decile""".stripMargin.replace("\n", " "),
     // repetition signals: integer numerator/denominator sums, ONE final
@@ -941,7 +946,7 @@ object SparkEntry {
         |  round(quantile_cont(med_freq, 0.5), 6) AS p50_med_freq
         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // embedding cluster dedup: recursive min-label CTE over cosine pairs
-    "q58_embedding_dedup" -> PO.embeddingClusterKept(0.4, 4),
+    "q58_embedding_dedup" -> PO.embeddingClusterKeptAuto(0.4, 500L),
     // pivot spelled as CASE-sums — same explicit column enum
     "q56_lang_source_pivot" -> {
       val cols = CrosstabSources.map(s =>

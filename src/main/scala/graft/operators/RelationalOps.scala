@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Corpus
 
@@ -20,14 +20,30 @@ import graft.sources.Corpus
   */
 object RelationalOps {
 
-  /** Q12 — pricing-summary style agg over lineitem. */
+  /** Money folds in DECIMAL, not DOUBLE — the sf1 oracle pass's
+    * headline lesson. A parallel double sum is order-dependent: at 10×
+    * rows the Spark partial-agg tree and DuckDB's scan-order fold
+    * drifted past even round(…,4) on the revenue gates (q13/q32/q79
+    * HASH_MISMATCH at sf1). Casting each term to a fixed-scale decimal
+    * FIRST makes the fold exact and associative — any partitioning,
+    * any engine, one answer, at any scale. The per-term cast is
+    * deterministic from the double bits (no double is ever an exact
+    * midpoint of the target scale: midpoints are non-dyadic), so the
+    * two engines quantize identically. */
+  private def money(c: Column, scale: Int): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(28, scale))
+
+  /** Q12 — pricing-summary style agg over lineitem. sum_qty stays a
+    * double fold: l_quantity is whole units, so the sum is integer-
+    * exact and order-free already. */
   def lineitemAgg(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.table(spark, sfDir, "lineitem")
       .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -37,7 +53,8 @@ object RelationalOps {
     val n = Corpus.table(spark, sfDir, "nation")
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("num_customers"), sum(col("c_acctbal")).as("total_bal"))
+      .agg(count(lit(1)).as("num_customers"),
+        sum(money(col("c_acctbal"), 2)).cast("double").as("total_bal"))
       .orderBy(col("total_bal").desc, col("n_name"))
       .limit(10)
   }
@@ -47,7 +64,8 @@ object RelationalOps {
     Corpus.table(spark, sfDir, "events")
       .where(col("ts") >= to_timestamp(lit("2024-01-01 00:00:00")))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"), 6)).cast("double").as("total"))
       .orderBy(col("event_type"))
 
   /** Q30 — window top-n per group: the per-partition rank pattern.
@@ -82,14 +100,13 @@ object RelationalOps {
     Corpus.table(spark, sfDir, "events")
       .groupBy(date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      // avg over an EXACT decimal sum, divided once as a double: the
+      // nondeterminism lives in the fold, not the final divide
+      .agg(count(lit(1)).as("n"),
+        round(sum(money(col("value"), 6)).cast("double") / count(lit(1)), 6)
+          .as("avg_value"))
       .orderBy("month", "event_type")
 
-  /** Q32 — big×big equi-join (orders ⋈ lineitem on orderkey) + agg.
-    * Both sides shuffle on the join key; at warehouse scale these
-    * tables are bucketed on orderkey so the exchange disappears.
-    * Revenue rounded to 4 decimals: partial-sum combine order differs
-    * between engines at the ulp level. */
   /** Q40 — as-of join over events: each purchase matched to the user's
     * most recent prior-or-equal click (AsOfJoin scaladoc for semantics;
     * the right side is pre-deduped to one row per (user, ts) so the
@@ -188,7 +205,9 @@ object RelationalOps {
       .groupBy(col("event_type"),
         expr("(k - pmod(k, 10)) div 10").as("k_decile"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-        round(avg(col("value")), 6).as("avg_value"))
+        // decimal-exact fold, one final double divide (see `money`)
+        round(sum(money(col("value"), 6)).cast("double") / count(lit(1)), 6)
+          .as("avg_value"))
       .orderBy("event_type", "k_decile")
 
   /** Q50 — time-series smoothing: daily totals with a 7-day moving
@@ -342,13 +361,19 @@ object RelationalOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
 
+  /** Q32 — big×big equi-join (orders ⋈ lineitem on orderkey) + agg.
+    * Both sides shuffle on the join key; at warehouse scale these
+    * tables are bucketed on orderkey so the exchange disappears.
+    * Revenue folds in DECIMAL (see `money`): exact, order-free, scale-
+    * stable — the double fold failed the sf1 oracle even at 4dp. */
   def revenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }
@@ -369,8 +394,8 @@ object RelationalOps {
       .join(l, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("n_name"),
         year(col("o_orderdate")).cast("long").as("order_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+      .agg(sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"), col("order_year"))
   }
@@ -391,7 +416,8 @@ object RelationalOps {
         struct(col("o_orderkey"), col("l_linenumber")), factor)
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }

@@ -125,8 +125,16 @@ object PipelineOracles {
        |FROM h ORDER BY doc_id""".stripMargin
 
   /** Pigeonhole simhash near-dups: (maxHamming+1) chunks, verify exact
-    * hamming on chunk-sharing candidates. */
-  def simhashNearDups(maxHamming: Int): String = {
+    * hamming on chunk-sharing candidates. Candidate generation MIRRORS
+    * the implementation's `boundedPairs` bucket cap (star fallback
+    * past `maxBucket` members): at gate corpora no chunk bucket ever
+    * reaches the cap, so this is identical to the uncapped spelling —
+    * but at sf1 the hot chunk buckets cross it, and an uncapped oracle
+    * then grades the DOCUMENTED bounded-work approximation as a
+    * mismatch (1.1% of pairs at sf1) instead of grading the
+    * implementation against its contract. The cap rule is part of the
+    * operator's spec; the oracle spells it. */
+  def simhashNearDups(maxHamming: Int, maxBucket: Int = 1000): String = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -137,9 +145,14 @@ object PipelineOracles {
        |  THEN '1' ELSE '0' END), 'string_agg', '') AS sh FROM h),
        |chunks AS (SELECT doc_id, c, substr(sh, c*$chunkBits + 1, $chunkBits) AS chunk
        |  FROM s, (SELECT unnest(range(0, $chunks)) AS c) x),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM chunks a JOIN chunks b
-       |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |buckets AS (SELECT c, chunk, list_sort(list(doc_id)) AS ids
+       |  FROM chunks GROUP BY c, chunk HAVING count(*) > 1),
+       |cand AS (SELECT DISTINCT p.doc_a, p.doc_b FROM buckets,
+       |  unnest(CASE WHEN len(ids) <= $maxBucket THEN
+       |      flatten(list_transform(range(1, len(ids)),
+       |        i -> list_transform(ids[i+1:], y -> {'doc_a': ids[i], 'doc_b': y})))
+       |    ELSE list_transform(ids[2:], y -> {'doc_a': ids[1], 'doc_b': y})
+       |    END) AS u(p)),
        |v AS (SELECT doc_a, doc_b,
        |  len(list_filter(range(1, 65), i -> substr(sa.sh, i, 1) <> substr(sb.sh, i, 1))) AS hamming
        |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
@@ -232,6 +245,23 @@ object PipelineOracles {
     s"""list_aggregate(list_transform(range(1, ${nBits + 1}),
        |  i -> CASE WHEN $col[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 
+  /** Integer-exact mirror of Similarity.oracleSizedNBits as a `params`
+    * CTE: nb = smallest b ≥ 1 with 2^b ≥ ceil(count/target), computed
+    * with integer shifts (never floating log2 — libm vs JVM could
+    * disagree by one ulp at exact powers of two and flip the width).
+    * Both engines derive the width from the SAME corpus count, so the
+    * bucket definitions stay in lockstep at any scale. */
+  private def adaptiveNbCte(target: Long): String =
+    s"""params AS (
+       |  SELECT greatest(1, coalesce((SELECT max(t.b) + 1 FROM range(0, 41) t(b)
+       |    WHERE (1::BIGINT << CAST(t.b AS INT)) <
+       |      (SELECT (count(*) + ${target - 1}) // $target FROM embeddings)), 0)) AS nb)""".stripMargin
+
+  /** signBucket over the adaptive width from the `params` CTE. */
+  private def signBucketAdaptive(col: String): String =
+    s"""list_aggregate(list_transform(range(1, (SELECT nb FROM params) + 1),
+       |  i -> CASE WHEN $col[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
+
   def bucketTopK(queryId: Long, k: Int, nBits: Int): String =
     s"""WITH b AS (SELECT vec_id, label, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
@@ -249,10 +279,45 @@ object PipelineOracles {
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
        |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Corpus-sized twin of cosineNearDups — mirrors
+    * Similarity.cosineNearDupPairsAuto at any scale. */
+  def cosineNearDupsAuto(threshold: Double, target: Long): String =
+    s"""WITH ${adaptiveNbCte(target)},
+       |b AS (SELECT vec_id, embedding,
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+       |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
   /** Embedding cluster dedup: recursive min-label reachability over the
     * verified cosine near-dup pairs (same CTE shape as the text tier's
     * clusterCtes), keep the smallest vec_id per component, count
     * survivors per class label. */
+  /** Corpus-sized twin of embeddingClusterKept — the q58 production
+    * spelling; same adaptive width as cosineNearDupsAuto. */
+  def embeddingClusterKeptAuto(threshold: Double, target: Long): String =
+    s"""WITH RECURSIVE ${adaptiveNbCte(target)},
+       |b AS (SELECT vec_id, embedding,
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |near_pairs AS (SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+       |  WHERE cos >= $threshold),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
+       |  UNION SELECT vec_b, vec_a FROM near_pairs),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+       |clusters AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+       |removed AS (SELECT node FROM clusters WHERE node <> cluster)
+       |SELECT label, count(*) AS n_kept FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM removed)
+       |GROUP BY label ORDER BY label""".stripMargin
+
   def embeddingClusterKept(threshold: Double, nBits: Int): String =
     s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),

@@ -46,8 +46,16 @@ object Similarity {
     * from a per-bucket byte budget instead of assuming the dimension. */
   def sizedNBits(corpusVectors: Long, targetPerBucket: Long = 10000L): Int = {
     require(corpusVectors > 0 && targetPerBucket > 0)
-    val buckets = math.max(1.0, corpusVectors.toDouble / targetPerBucket)
-    math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
+    // integer-exact ceil-log2 (== oracleSizedNBits, property-pinned):
+    // the earlier ceil(log(x)/log(2)) spelling overshot by one at
+    // 2^29/2^31/2^39 — libm's quotient lands a few ulp ABOVE the exact
+    // integer and ceil rounds it up. Benign for a sizing dial (one
+    // extra bit halves the expected population) but exactly the wobble
+    // an oracle-mirrored width cannot afford.
+    val m = (corpusVectors + targetPerBucket - 1) / targetPerBucket
+    var b = 0
+    while ((1L << b) < m) b += 1
+    math.max(1, b)
   }
 
   /** Pair-WORK sizing for the kNN-join tiers: bucket count such that
@@ -82,6 +90,24 @@ object Similarity {
     val target = math.min(10000L,
       math.max(256L, bucketBudgetBytes / (dim.toLong * 8L)))
     sizedNBits(corpusVectors, target)
+  }
+
+  /** INTEGER-EXACT spelling of `sizedNBits` — same result for every
+    * (n, target), proved in PipelineSpec — computed without floating
+    * log2, so a DuckDB oracle can recompute the identical width from
+    * `count(*)` with integer shifts and stay in lockstep at ANY scale.
+    * This is what lets the q29/q58 gates size their buckets from the
+    * corpus instead of pinning nBits: the sf1 oracle pass showed a
+    * pinned width stops matching an uncapped oracle the moment bucket
+    * populations cross `maxBucket` (at 10× the fallback degraded q29
+    * to 0.1% recall). A float ceil(log2(…)) here would risk an
+    * off-by-one against the oracle's libm at exact powers of two. */
+  def oracleSizedNBits(corpusVectors: Long, targetPerBucket: Long): Int = {
+    require(corpusVectors > 0 && targetPerBucket > 0)
+    val m = (corpusVectors + targetPerBucket - 1) / targetPerBucket
+    var b = 0
+    while ((1L << b) < m) b += 1
+    math.max(1, b)
   }
 
   /** vec as doubles + its norm (+ sign bucket when nBits > 0). Fans an
@@ -326,6 +352,18 @@ object Similarity {
     cosineNearDupPairsUnsorted(embeddings, threshold, nBits, maxBucket)
       .orderBy("vec_a", "vec_b")
 
+  /** Corpus-sized pair tier: bucket width from `oracleSizedNBits` over
+    * the actual vector count, so expected population tracks
+    * `targetPerBucket` at any scale and (with the observed ~1.1×
+    * sign-bucket skew and a 2× margin: target 500 vs cap 1000) the
+    * star-fallback never fires — the q29/q58 production spelling the
+    * sf1 oracle pass forced. The count is one cheap scan; the pair
+    * index it keys is session-cached anyway. */
+  def cosineNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
+                             targetPerBucket: Long = 500L): DataFrame =
+    cosineNearDupPairs(embeddings, threshold,
+      oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
+
   private def cosineNearDupPairsUnsorted(
       embeddings: DataFrame, threshold: Double,
       nBits: Int, maxBucket: Int): DataFrame =
@@ -363,6 +401,15 @@ object Similarity {
     * tiers cannot drift apart semantically. Candidate generation is the
     * sign-bucketed pair tier (never all-pairs); the removed set is
     * O(true near-dups) and Catalyst sizes the anti-join from it. */
+  /** Corpus-sized twin of `dedupEmbeddingsByClusters` — same adaptive
+    * width rule as `cosineNearDupPairsAuto`, and the SAME width, so the
+    * two tiers keep consuming one session-cached pair index. */
+  def dedupEmbeddingsByClustersAuto(embeddings: DataFrame,
+                                    threshold: Double,
+                                    targetPerBucket: Long = 500L): DataFrame =
+    dedupEmbeddingsByClusters(embeddings, threshold,
+      oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
+
   def dedupEmbeddingsByClusters(embeddings: DataFrame, threshold: Double,
                                 nBits: Int): DataFrame = {
     val pairs = cosineNearDupPairsUnsorted(embeddings, threshold, nBits,

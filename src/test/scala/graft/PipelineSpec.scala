@@ -219,6 +219,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(bits == bits.sorted)
   }
 
+  test("PROPERTY: oracleSizedNBits == sizedNBits for every (n, target) — the integer spelling is exact") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // the q29/q58 gates derive bucket width through the INTEGER-exact
+    // spelling (mirrorable in DuckDB with shifts); it must agree with
+    // the float ceil-log2 definition at every magnitude, including the
+    // exact-power-of-two corpus sizes where a libm round could slip
+    val gen = for {
+      e <- Gen.choose(0.0, 12.0)
+      n <- Gen.choose(1L, 9L).map(m => math.max(1L, (m * math.pow(10, e)).toLong))
+      t <- Gen.oneOf(1L, 100L, 500L, 1000L, 10000L)
+    } yield (n, t)
+    val prop = Prop.forAll(gen) { case (n, t) =>
+      Similarity.oracleSizedNBits(n, t) == Similarity.sizedNBits(n, t)
+    }
+    val exact = (0 to 40).forall { b =>
+      val n = 1L << b
+      Similarity.oracleSizedNBits(n, 1L) == Similarity.sizedNBits(n, 1L)
+    }
+    assert(exact, "power-of-two corpus sizes must agree")
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("sizedNBitsForDim: per-bucket collected-row bytes stay within budget") {
     val budget = 16L << 20
     for (dim <- Seq(8, 64, 384, 768, 1536, 4096); n <- Seq(1e5, 1e7, 1e9)) {

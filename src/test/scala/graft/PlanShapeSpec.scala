@@ -31,6 +31,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q109 pure-SQL LSH keeps the banded shape: no cartesian, no BNLJ") {
+    // the SQL spelling must inherit the Scala operator's scale shape,
+    // not just its answers: candidates come from the band-bucket
+    // group-by, verification joins on candidate ids — nothing all-pairs
+    val p = plan("q109_sql_lsh_near_dups")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q22 cosine top-k: 1-row broadcast attach + TakeOrderedAndProject, no shuffle of the scan side") {
     val p = plan("q22_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"))

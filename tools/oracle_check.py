@@ -8,7 +8,7 @@ hash with floats rounded to 12 decimals and rows canonically sorted.
 
 Usage: tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, time
 import duckdb
 import numpy as np
 
@@ -47,7 +47,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in CORPUS:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark directory layout (e.g. target/sf1)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):  # driver single-file layout
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
@@ -71,7 +74,9 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY rows={len(sdf)}"
             continue
         try:
+            t0 = time.monotonic()
             odf = con.execute(oracles[name]).df()
+            oracle_sec = time.monotonic() - t0
             ocols = list(odf.columns)
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
@@ -86,7 +91,9 @@ def main(sf_dir, out_dir):
         elif sh != oh:
             results[name] = f"HASH_MISMATCH rows={sn}"
         else:
-            results[name] = f"OK rows={sn}"
+            # oracle-side wall clock: at sf1 the DuckDB recomputation is
+            # itself nontrivial — worth recording next to the verdict
+            results[name] = f"OK rows={sn} oracle_sec={oracle_sec:.2f}"
     bad = 0
     for k in sorted(results):
         status = results[k]
