@@ -73,7 +73,9 @@ object SparkEntry {
     // --- dedup clustering: near-dup graph → components → keep-one ---
     "q36_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Corpus.table(s, dir, "documents"), 0.8)),
     "q37_cluster_dedup_kept" -> ((s, dir) => Dedup.dedupByClusters(Corpus.table(s, dir, "documents"), 0.8)),
-    "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoin(Corpus.table(s, dir, "embeddings"), 3, 4)),
+    // corpus-sized width (oracle recomputes it in SQL): the r10 sf1
+    // outlier — pinned nb=4 ran 15.8x at 10x rows; adaptive holds ~2x
+    "q35_knn_join" -> ((s, dir) => Similarity.bucketKnnJoinAuto(Corpus.table(s, dir, "embeddings"), 3)),
     // k-means IVF is not SQL-expressible — no oracleSql entry, so the
     // driver records the (documented) weaker rows-only check. NOTE:
     // building this entry trains the index (Spark jobs run at fn-call
@@ -184,9 +186,10 @@ object SparkEntry {
     // q70: sign-bucket ANN recall@10 vs exact, sampled query set
     "q70_bucket_recall" -> ((s, dir) => Similarity.bucketRecallAudit(
       Corpus.table(s, dir, "embeddings"), 10, 4, 100L)),
-    // q71: kNN majority-label consistency (embedding-quality eval)
-    "q71_knn_label_audit" -> ((s, dir) => Similarity.knnLabelAudit(
-      Corpus.table(s, dir, "embeddings"), 5, 4)),
+    // q71: kNN majority-label consistency (embedding-quality eval);
+    // corpus-sized width like q35
+    "q71_knn_label_audit" -> ((s, dir) => Similarity.knnLabelAuditAuto(
+      Corpus.table(s, dir, "embeddings"), 5)),
     // q72: burst-day anomaly flags (integer-exact 1.25× trailing-7d rule)
     "q72_burst_days" -> ((s, dir) => RelationalOps.burstDays(s, dir)),
     // q73: near-dup cluster-size histogram (the dedup approval report)
@@ -595,7 +598,7 @@ object SparkEntry {
     "q26_token_counts" -> PO.tokenCounts,
     "q27_fingerprints" -> PO.fingerprints(50L),
     "q28_multimodal_meta" -> PO.multimodalMeta,
-    "q29_cosine_near_dups" -> PO.cosineNearDupsAuto(0.4, 500L),
+    "q29_cosine_near_dups" -> PO.cosineNearDupsAuto(0.4, 125L),
     // all-probes IVF == brute force: the q22 exact-top-k oracle verbatim
     "q38b_ivf_exact" -> PO.cosineTopK(0L, 10),
     // all-probes through the PERSISTED store == brute force too
@@ -733,7 +736,7 @@ object SparkEntry {
     "q33_simhash_near_dups" -> PO.simhashNearDups(3),
     "q36_dedup_clusters" -> PO.dedupClusters(0.8),
     "q37_cluster_dedup_kept" -> PO.clusterDedupKept(0.8),
-    "q35_knn_join" -> PO.bucketKnnJoin(3, 4),
+    "q35_knn_join" -> PO.bucketKnnJoinAuto(3, 125L),
     "q34_events_monthly" ->
       """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
         | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
@@ -946,7 +949,7 @@ object SparkEntry {
         |  round(quantile_cont(med_freq, 0.5), 6) AS p50_med_freq
         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // embedding cluster dedup: recursive min-label CTE over cosine pairs
-    "q58_embedding_dedup" -> PO.embeddingClusterKeptAuto(0.4, 500L),
+    "q58_embedding_dedup" -> PO.embeddingClusterKeptAuto(0.4, 125L),
     // pivot spelled as CASE-sums — same explicit column enum
     "q56_lang_source_pivot" -> {
       val cols = CrosstabSources.map(s =>
@@ -1074,7 +1077,7 @@ object SparkEntry {
     "q70_bucket_recall" ->
       PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
     "q71_knn_label_audit" ->
-      PO.knnLabelAudit(5, 4).replace("\n", " "),
+      PO.knnLabelAuditAuto(5, 125L).replace("\n", " "),
     // integer-only burst rule (n*28 > 5*trail7, the 1.25x WARN dial) —
     // no float crosses engines
     "q72_burst_days" ->

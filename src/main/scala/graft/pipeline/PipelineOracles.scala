@@ -374,6 +374,47 @@ object PipelineOracles {
        |  FROM p)
        |SELECT * FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** Corpus-sized twin of bucketKnnJoin — mirrors
+    * Similarity.bucketKnnJoinAuto at any scale. */
+  def bucketKnnJoinAuto(k: Int, target: Long): String =
+    s"""WITH ${adaptiveNbCte(target)},
+       |b AS (SELECT vec_id, embedding,
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT vec_id, neighbor, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+       |  FROM p)
+       |SELECT * FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** Corpus-sized twin of knnLabelAudit — mirrors
+    * Similarity.knnLabelAuditAuto at any scale. */
+  def knnLabelAuditAuto(k: Int, target: Long): String =
+    s"""WITH ${adaptiveNbCte(target)},
+       |b AS (SELECT vec_id, label, embedding,
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
+       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT vec_id, neighbor,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+       |      AS rank FROM p),
+       |knn AS (SELECT r.vec_id, e.label AS n_label FROM r
+       |  JOIN embeddings e ON e.vec_id = r.neighbor WHERE rank <= $k),
+       |votes AS (SELECT vec_id, n_label, count(*) AS v FROM knn
+       |  GROUP BY vec_id, n_label),
+       |top AS (SELECT vec_id, n_label AS predicted FROM (SELECT vec_id, n_label,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, n_label) AS rn
+       |  FROM votes) t WHERE rn = 1)
+       |SELECT e.label, count(*) AS n,
+       |  sum(CASE WHEN top.predicted = e.label THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_correct,
+       |  round(sum(CASE WHEN top.predicted = e.label THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS accuracy
+       |FROM top JOIN embeddings e ON e.vec_id = top.vec_id
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+
   /** kNN majority-label audit — mirrors Similarity.knnLabelAudit:
     * bucketed kNN, majority vote with lexicographic tie-break,
     * per-label accuracy. */

@@ -173,6 +173,20 @@ object Similarity {
     // (the label audit) take the unsorted variant
     bucketKnnJoinUnsorted(embeddings, k, nBits).orderBy("vec_id", "rank")
 
+  /** Corpus-sized kNN join — the same adaptive-width rule (and SQL
+    * mirror) as the pair tier. This is what closes the q35/q71 scaling
+    * outlier for real: round 10 shipped the sizing dial
+    * (`pairSizedNBits`) but the GATE kept nBits pinned because the
+    * oracle couldn't follow a data-dependent width; with the
+    * integer-exact width recomputable in SQL, the gate runs the
+    * production rule. Population target 500 keeps per-bucket pair work
+    * ~constant under corpus growth (measured: 20.2 s → expected ~5 s
+    * at sf1 for the q35 shape at nb=6). */
+  def bucketKnnJoinAuto(embeddings: DataFrame, k: Int,
+                        targetPerBucket: Long = 125L): DataFrame =
+    bucketKnnJoin(embeddings, k,
+      oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
+
   private def bucketKnnJoinUnsorted(embeddings: DataFrame, k: Int,
                                     nBits: Int): DataFrame = {
     // Bucket-collect instead of a self-join: members of each bucket are
@@ -218,6 +232,13 @@ object Similarity {
     * equi-join against the (vec_id, label) projection, which Catalyst
     * sizes — at audit scales the neighbor table is sample- or
     * corpus-linear, never quadratic. */
+  /** Corpus-sized twin of `knnLabelAudit` — same width rule as
+    * `bucketKnnJoinAuto`, same SQL mirror. */
+  def knnLabelAuditAuto(embeddings: DataFrame, k: Int,
+                        targetPerBucket: Long = 125L): DataFrame =
+    knnLabelAudit(embeddings, k,
+      oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
+
   def knnLabelAudit(embeddings: DataFrame, k: Int, nBits: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val labels = embeddings.select(col("vec_id"), col("label"))
@@ -360,7 +381,7 @@ object Similarity {
     * sf1 oracle pass forced. The count is one cheap scan; the pair
     * index it keys is session-cached anyway. */
   def cosineNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
-                             targetPerBucket: Long = 500L): DataFrame =
+                             targetPerBucket: Long = 125L): DataFrame =
     cosineNearDupPairs(embeddings, threshold,
       oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
 
@@ -406,7 +427,7 @@ object Similarity {
     * two tiers keep consuming one session-cached pair index. */
   def dedupEmbeddingsByClustersAuto(embeddings: DataFrame,
                                     threshold: Double,
-                                    targetPerBucket: Long = 500L): DataFrame =
+                                    targetPerBucket: Long = 125L): DataFrame =
     dedupEmbeddingsByClusters(embeddings, threshold,
       oracleSizedNBits(math.max(embeddings.count(), 1L), targetPerBucket))
 
