@@ -472,6 +472,45 @@ object SparkEntry {
     // endianness branch is certified with a real parser, not a fixture
     "q111_aiff_decode" -> ((s, dir) => Multimodal.decodedAiffMetaReport(
       Corpus.table(s, dir, "documents"), 20L)),
+    // q112: AU — the third and last JDK-native audio container through
+    // the same decoder; the javax.sound parser surface is now complete
+    "q112_au_decode" -> ((s, dir) => Multimodal.decodedAuMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
+    // q113: the AS-OF JOIN — the closure's one custom operator — in
+    // pure SQL: the same tag → union → one-window → keep-left dataflow
+    // AsOfJoin composes in Scala, spelled with last(_r, true) over a
+    // running window. Hash-matches q40's DuckDB-native-ASOF oracle:
+    // even the operator Spark lacks is SQL-reachable in this engine.
+    "q113_sql_asof_join" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id,
+        |    value AS click_value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS _rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, click_ts, click_id, click_value
+        |  FROM c0 WHERE _rn = 1),
+        |u AS (
+        |  SELECT user_id, ts AS _t, 1 AS _side, event_id, ts, purchase_value,
+        |    CAST(NULL AS STRUCT<click_ts: TIMESTAMP, click_id: BIGINT,
+        |      click_value: DOUBLE>) AS _r
+        |  FROM p
+        |  UNION ALL
+        |  SELECT user_id, click_ts, 0, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+        |    named_struct('click_ts', click_ts, 'click_id', click_id,
+        |      'click_value', click_value)
+        |  FROM c),
+        |w AS (SELECT *, last(_r, true) OVER (PARTITION BY user_id
+        |    ORDER BY _t, _side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+        |  FROM u)
+        |SELECT user_id, event_id, ts, purchase_value,
+        |  _asof.click_ts AS click_ts, _asof.click_id AS click_id,
+        |  _asof.click_value AS click_value
+        |FROM w WHERE _side = 1 AND _asof IS NOT NULL
+        |ORDER BY event_id""".stripMargin)),
   )
 
   /** Per-PROCESS fixture directory for the gate entries that write to
@@ -759,6 +798,19 @@ object SparkEntry {
     // implementation (inclusive >=, inner semantics, right pre-deduped
     // per (user, ts) on both sides for a deterministic match)
     "q40_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, click_ts, click_id, click_value FROM c0 WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+        |  c.click_ts, c.click_id, c.click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin.replace("\n", " "),
+    // the pure-SQL as-of spelling must reproduce the same native-ASOF
+    // answer — q40's oracle verbatim
+    "q113_sql_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
         |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value,
@@ -1295,6 +1347,17 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, (doc_id % 40 + 80) AS n
         |  FROM documents WHERE doc_id < 20),
         |s AS (SELECT doc_id, n, ((i.i * 53 + doc_id * 29) % 1987 - 993) AS v
+        |  FROM d, unnest(range(0, n)) AS i(i))
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,
+        |  sum(v)::BIGINT AS sample_sum
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // q96's closed-form recomputation with the AU constants:
+    // n = id%30+60, sample i = (i·71 + id·43) mod 1913 − 956
+    "q112_au_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 30 + 60) AS n
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, n, ((i.i * 71 + doc_id * 43) % 1913 - 956) AS v
         |  FROM d, unnest(range(0, n)) AS i(i))
         |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
         |  1::BIGINT AS n_channels, 16::BIGINT AS bits, n AS n_samples,

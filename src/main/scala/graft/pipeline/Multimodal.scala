@@ -619,6 +619,47 @@ object Multimodal {
   def decodedAiffMetaReport(docs: DataFrame, maxId: Long): DataFrame =
     decodeAudioMeta(syntheticAiffs(docs, maxId)).toDF().orderBy("media_id")
 
+  /** Deterministic synthetic AU payloads (q112) — the THIRD and last
+    * audio container the JDK parses natively (Sun/NeXT .au, also
+    * big-endian PCM but with a different header layout and a
+    * variable-length annotation field): doc_id%30+60 samples, sample
+    * i = (i·71 + doc_id·43) mod 1913 − 956. With WAV (little-endian
+    * RIFF), AIFF (big-endian IFF), and AU (big-endian magic+offset
+    * header) all decoding through the one `decodeAudioMeta` path, the
+    * audio tier covers every container javax.sound ships a parser
+    * for; what remains stubbed is exactly what the JDK cannot decode
+    * (compressed codecs) — the honest seam. */
+  def syntheticAus(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 30 + 60).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((i * 71 + id * 43) % 1913 - 956).toInt
+            pcm(2 * i) = ((v >> 8) & 0xff).toByte // AU PCM is big-endian
+            pcm(2 * i + 1) = (v & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+          MediaRecord(id, "audio/basic", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** Gate composition (q112): q96's decode gate over AU — the trio
+    * completer; same decoder, fresh closed-form constants. */
+  def decodedAuMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeAudioMeta(syntheticAus(docs, maxId)).toDF().orderBy("media_id")
+
   /** Deterministic synthetic PNG payloads keyed off the documents
     * table (the corpus ships no binary tables): doc_id < maxId becomes
     * an RGB image of width doc_id%7+8, height doc_id%5+4 whose pixel

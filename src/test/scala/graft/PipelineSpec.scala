@@ -564,6 +564,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudioMeta(junk).collect().isEmpty)
   }
 
+  test("real audio decode: AU round-trip through the shared decoder (the trio completer)") {
+    val metas = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticAus(docs, 10L)).collect()
+    assert(metas.length == 10)
+    metas.foreach { m =>
+      assert(m.sample_rate == 8000L && m.n_channels == 1L && m.bits == 16L)
+      assert(m.n_samples == m.media_id % 30 + 60)
+      val expected = (0L until m.n_samples)
+        .map(i => (i * 71 + m.media_id * 43) % 1913 - 956).sum
+      assert(m.sample_sum == expected)
+    }
+  }
+
   test("real audio decode: AIFF (big-endian) round-trip through the shared decoder") {
     // the q111 gate contract at unit scale: the SAME decodeAudioMeta
     // path must reconstruct big-endian AIFF PCM exactly — this is the

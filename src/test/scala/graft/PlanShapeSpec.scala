@@ -408,8 +408,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q95/q96/q108/q111 codec tiers: embarrassingly parallel maps — no joins, no data shuffle") {
     // same shape contract as q76: the only exchange is the final
     // gate-determinism sort; codecs run per task, never driver-side
-    Seq("q95_frame_sample", "q96_audio_decode",
-        "q108_tiff_frame_sample", "q111_aiff_decode").foreach { q =>
+    Seq("q95_frame_sample", "q96_audio_decode", "q108_tiff_frame_sample",
+        "q111_aiff_decode", "q112_au_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), q)
       assert(!p.contains("Exchange hashpartitioning"), q)

@@ -57,4 +57,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val scala = Dedup.simhashAll(Corpus.table(spark, sf, "documents"))
     assert(rows(sql) == rows(scala))
   }
+
+  test("q113 ad-hoc SQL as-of join == RelationalOps.purchaseAsofClick bit-for-bit") {
+    val sql = SparkEntry.queries("q113_sql_asof_join")(spark, sf)
+    val scala = graft.operators.RelationalOps.purchaseAsofClick(spark, sf)
+    assert(rows(sql) == rows(scala))
+    assert(sql.count() > 0) // non-vacuous: sf0.001 has matched purchases
+  }
 }
