@@ -481,37 +481,42 @@ object SparkEntry {
     // AsOfJoin composes in Scala, spelled with last(_r, true) over a
     // running window. Hash-matches q40's DuckDB-native-ASOF oracle:
     // even the operator Spark lacks is SQL-reachable in this engine.
-    "q113_sql_asof_join" -> ((s, dir) => QueryRunner.sql(s, dir,
-      """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
-        |  FROM events WHERE event_type = 'purchase'),
-        |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id,
-        |    value AS click_value,
-        |    row_number() OVER (PARTITION BY user_id, ts
-        |      ORDER BY event_id DESC) AS _rn
-        |  FROM events WHERE event_type = 'click'),
-        |c AS (SELECT user_id, click_ts, click_id, click_value
-        |  FROM c0 WHERE _rn = 1),
-        |u AS (
-        |  SELECT user_id, ts AS _t, 1 AS _side, event_id, ts, purchase_value,
-        |    CAST(NULL AS STRUCT<click_ts: TIMESTAMP, click_id: BIGINT,
-        |      click_value: DOUBLE>) AS _r
-        |  FROM p
-        |  UNION ALL
-        |  SELECT user_id, click_ts, 0, CAST(NULL AS BIGINT),
-        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
-        |    named_struct('click_ts', click_ts, 'click_id', click_id,
-        |      'click_value', click_value)
-        |  FROM c),
-        |w AS (SELECT *, last(_r, true) OVER (PARTITION BY user_id
-        |    ORDER BY _t, _side
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
-        |  FROM u)
-        |SELECT user_id, event_id, ts, purchase_value,
-        |  _asof.click_ts AS click_ts, _asof.click_id AS click_id,
-        |  _asof.click_value AS click_value
-        |FROM w WHERE _side = 1 AND _asof IS NOT NULL
-        |ORDER BY event_id""".stripMargin)),
+    // (Text hoisted to `sqlAsOfJoin` so the property test can run the
+    // IDENTICAL spelling over arbitrary synthetic events tables.)
+    "q113_sql_asof_join" -> ((s, dir) => QueryRunner.sql(s, dir, sqlAsOfJoin)),
   )
+
+  /** The q113 SQL text — over whatever `events` view is registered. */
+  private[graft] val sqlAsOfJoin: String =
+    """WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c0 AS (SELECT user_id, ts AS click_ts, event_id AS click_id,
+      |    value AS click_value,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |      ORDER BY event_id DESC) AS _rn
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, click_ts, click_id, click_value
+      |  FROM c0 WHERE _rn = 1),
+      |u AS (
+      |  SELECT user_id, ts AS _t, 1 AS _side, event_id, ts, purchase_value,
+      |    CAST(NULL AS STRUCT<click_ts: TIMESTAMP, click_id: BIGINT,
+      |      click_value: DOUBLE>) AS _r
+      |  FROM p
+      |  UNION ALL
+      |  SELECT user_id, click_ts, 0, CAST(NULL AS BIGINT),
+      |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+      |    named_struct('click_ts', click_ts, 'click_id', click_id,
+      |      'click_value', click_value)
+      |  FROM c),
+      |w AS (SELECT *, last(_r, true) OVER (PARTITION BY user_id
+      |    ORDER BY _t, _side
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+      |  FROM u)
+      |SELECT user_id, event_id, ts, purchase_value,
+      |  _asof.click_ts AS click_ts, _asof.click_id AS click_id,
+      |  _asof.click_value AS click_value
+      |FROM w WHERE _side = 1 AND _asof IS NOT NULL
+      |ORDER BY event_id""".stripMargin
 
   /** Per-PROCESS fixture directory for the gate entries that write to
     * disk (q77 JSONL round trip, q78 IVF store): the old sf-keyed path

@@ -64,4 +64,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
     assert(sql.count() > 0) // non-vacuous: sf0.001 has matched purchases
   }
+
+  test("PROPERTY: q113 SQL == AsOfJoin on random events — ties, no-match, dup-ts all agree") {
+    // The corpus pin can't exercise every tie topology; seeded random
+    // tables can. Deliberately DENSE collisions: few users, a tiny
+    // timestamp range (purchase==click ts ties are common), duplicate
+    // click timestamps per user (exercising the rank-1 pre-dedup), and
+    // users with purchases but no prior click (inner-drop path).
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 3) {
+      val n = 200 + round * 100
+      val rows0 = (0 until n).map { i =>
+        val et = rnd.nextInt(3) match {
+          case 0 => "purchase"; case 1 => "click"; case _ => "view"
+        }
+        (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(40) * 1000L),
+          rnd.nextInt(6).toLong, et, rnd.nextDouble() * 100)
+      }
+      val df = rows0.toDF("event_id", "ts", "user_id", "event_type", "value")
+      df.createOrReplaceTempView("events")
+      try {
+        val viaSql = s.sql(SparkEntry.sqlAsOfJoin)
+        // the Scala reference: the exact q40 composition over the same frame
+        val purchases = df.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+        val rank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+        val clicks = df.where($"event_type" === "click")
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(rank))
+          .where($"_rn" === 1)
+          .select($"user_id", $"ts".as("click_ts"),
+            $"event_id".as("click_id"), $"value".as("click_value"))
+        val viaScala = graft.operators.AsOfJoin
+          .asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+        assert(rows(viaSql) == rows(viaScala), s"round $round")
+        assert(viaSql.count() > 0, s"round $round vacuous")
+      } finally {
+        // restore the corpus view the shared session's other tests expect
+        Corpus.table(s, sf, "events").createOrReplaceTempView("events")
+      }
+    }
+  }
 }
