@@ -379,6 +379,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q113 pure-SQL as-of: the SQL spelling keeps the zero-join shape") {
+    // the union + running-last-window dataflow must survive the SQL
+    // surface: windows and their exchanges only — a planner that
+    // rewrote it into a range join would explode at scale exactly like
+    // the naive formulation AsOfJoin.scala documents
+    val p = plan("q113_sql_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q85 quantile guard: agg materialized ONCE (checkpoint scan), rank check broadcasts it back") {
     val p = plan("q85_quantile_guard")
     assert(p.contains("BroadcastHashJoin"))
