@@ -62,7 +62,7 @@ object SparkEntry {
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.payloadMetaBySource(Corpus.table(s, dir, "documents"))),
     // The pair tier sizes its bucket width FROM THE CORPUS (integer-
     // exact ceil-log2, mirrored verbatim by the oracle's params CTE),
-    // so expected population tracks the 500-vector target at any
+    // so expected population tracks the 125-vector target at any
     // scale. The sf1 oracle pass is why: a width pinned at 4 bits put
     // every 10×-corpus bucket over the 1000-member cap, the star
     // fallback fired everywhere, and recall collapsed to 0.1% while

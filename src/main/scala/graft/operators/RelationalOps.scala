@@ -26,10 +26,15 @@ object RelationalOps {
     * drifted past even round(…,4) on the revenue gates (q13/q32/q79
     * HASH_MISMATCH at sf1). Casting each term to a fixed-scale decimal
     * FIRST makes the fold exact and associative — any partitioning,
-    * any engine, one answer, at any scale. The per-term cast is
-    * deterministic from the double bits (no double is ever an exact
-    * midpoint of the target scale: midpoints are non-dyadic), so the
-    * two engines quantize identically.
+    * any engine, one answer, at any scale. Parity of the per-term
+    * cast rests on both engines rounding half-away-from-zero (Spark
+    * HALF_UP via the shortest-repr BigDecimal; DuckDB std::round) —
+    * NOT on midpoints being unrepresentable: some doubles ARE exact
+    * midpoints of the target scale (0.0078125 at scale 6, 0.03125 at
+    * scale 4), and DuckDB additionally quantizes via a double multiply
+    * by 10^scale, leaving a theoretical 1-ulp edge. If the scale or
+    * either engine's rounding mode ever changes, re-verify this
+    * half-up agreement — it is the real invariant.
     *
     * Cost, measured honestly (sf0.1, TimeTool): the decimal fold is
     * ~1.6× the double fold on the revenue joins (q32 0.63→1.1 s) —

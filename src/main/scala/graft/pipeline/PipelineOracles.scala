@@ -279,33 +279,60 @@ object PipelineOracles {
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
        |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Capped candidate-pair CTEs over the adaptive sign buckets —
+    * MIRRORS the implementation's `boundedPairs` star fallback past
+    * `maxBucket` members (smallest vec_id is the representative, same
+    * as the array_sort'd bucket collect), exactly like the
+    * `simhashNearDups` oracle does for the text tier. Sign-bucket
+    * population is distribution-dependent (a sign bit that never
+    * varies subdivides nothing), so a clustered corpus can overfill a
+    * bucket at ANY adaptive width; an uncapped oracle would then grade
+    * the documented bounded-work contract as a mismatch. Emits
+    * `bucket_pairs(vec_a, vec_b, cos)` — already cosine-verified. */
+  private def cappedCosinePairCtes(threshold: Double,
+                                   maxBucket: Int): String =
+    s"""buckets AS (SELECT bucket, list_sort(list(vec_id)) AS ids
+       |  FROM b GROUP BY bucket HAVING count(*) > 1),
+       |cand AS (SELECT p.vec_a, p.vec_b FROM buckets,
+       |  unnest(CASE WHEN len(ids) <= $maxBucket THEN
+       |      flatten(list_transform(range(1, len(ids)),
+       |        i -> list_transform(ids[i+1:], y -> {'vec_a': ids[i], 'vec_b': y})))
+       |    ELSE list_transform(ids[2:], y -> {'vec_a': ids[1], 'vec_b': y})
+       |    END) AS u(p)),
+       |bucket_pairs AS (SELECT cand.vec_a, cand.vec_b,
+       |  round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM cand JOIN b a ON a.vec_id = cand.vec_a
+       |            JOIN b b2 ON b2.vec_id = cand.vec_b
+       |  WHERE round(${cosineExpr("a.embedding", "b2.embedding")}, 6)
+       |    >= $threshold)""".stripMargin
+
   /** Corpus-sized twin of cosineNearDups — mirrors
-    * Similarity.cosineNearDupPairsAuto at any scale. */
-  def cosineNearDupsAuto(threshold: Double, target: Long): String =
+    * Similarity.cosineNearDupPairsAuto at any scale, INCLUDING the
+    * `maxBucket` star-fallback cap (part of the operator's spec). */
+  def cosineNearDupsAuto(threshold: Double, target: Long,
+                         maxBucket: Int = 1000): String =
     s"""WITH ${adaptiveNbCte(target)},
        |b AS (SELECT vec_id, embedding,
-       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings)
-       |SELECT * FROM (
-       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
-       |WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |${cappedCosinePairCtes(threshold, maxBucket)}
+       |SELECT vec_a, vec_b, cos FROM bucket_pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Embedding cluster dedup: recursive min-label reachability over the
     * verified cosine near-dup pairs (same CTE shape as the text tier's
     * clusterCtes), keep the smallest vec_id per component, count
     * survivors per class label. */
   /** Corpus-sized twin of embeddingClusterKept — the q58 production
-    * spelling; same adaptive width as cosineNearDupsAuto. */
-  def embeddingClusterKeptAuto(threshold: Double, target: Long): String =
+    * spelling; same adaptive width AND `maxBucket` cap as
+    * cosineNearDupsAuto, so both Auto oracles grade the bounded-work
+    * contract the implementation ships. */
+  def embeddingClusterKeptAuto(threshold: Double, target: Long,
+                               maxBucket: Int = 1000): String =
     s"""WITH RECURSIVE ${adaptiveNbCte(target)},
        |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
-       |near_pairs AS (SELECT * FROM (
-       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
-       |  WHERE cos >= $threshold),
+       |${cappedCosinePairCtes(threshold, maxBucket)},
+       |near_pairs AS (SELECT vec_a, vec_b FROM bucket_pairs),
        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
        |  UNION SELECT vec_b, vec_a FROM near_pairs),
        |reach(node, lab) AS (

@@ -179,7 +179,7 @@ object Similarity {
     * (`pairSizedNBits`) but the GATE kept nBits pinned because the
     * oracle couldn't follow a data-dependent width; with the
     * integer-exact width recomputable in SQL, the gate runs the
-    * production rule. Population target 500 keeps per-bucket pair work
+    * production rule. Population target 125 keeps per-bucket pair work
     * ~constant under corpus growth (measured: 20.2 s → expected ~5 s
     * at sf1 for the q35 shape at nb=6). */
   def bucketKnnJoinAuto(embeddings: DataFrame, k: Int,
@@ -376,7 +376,7 @@ object Similarity {
   /** Corpus-sized pair tier: bucket width from `oracleSizedNBits` over
     * the actual vector count, so expected population tracks
     * `targetPerBucket` at any scale and (with the observed ~1.1×
-    * sign-bucket skew and a 2× margin: target 500 vs cap 1000) the
+    * sign-bucket skew and an 8× margin: target 125 vs cap 1000) the
     * star-fallback never fires — the q29/q58 production spelling the
     * sf1 oracle pass forced. The count is one cheap scan; the pair
     * index it keys is session-cached anyway. */

@@ -34,9 +34,19 @@ object Corpus {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampType => raw
-        case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // TIMESTAMP(MICROS, isAdjustedToUTC=false); session tz is
+          // pinned UTC so the cast is instant-preserving.
           raw.withColumn("ts",
             col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case other =>
+          // The corpus is driver-regenerated between rounds; an
+          // unrecognized ts encoding must fail HERE, loudly, not be
+          // coerced to nulls by a blanket cast (ADVICE r11).
+          throw new IllegalStateException(
+            s"events.ts has unexpected physical type $other — " +
+              "the driver regenerated the corpus with a new encoding; " +
+              "extend Corpus.table deliberately")
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
