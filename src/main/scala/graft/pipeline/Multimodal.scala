@@ -69,6 +69,20 @@ final case class MediaAudioMeta(
     n_samples: Long,
     sample_sum: Long)
 
+/** Per-declared-type audit row of the codec quarantine contract:
+  * every payload is either DECODED (with a post-decode checksum
+  * proving pixels/samples were actually reconstructed) or QUARANTINED
+  * (counted, bytes accounted, row skipped). n_decoded + n_quarantined
+  * = n_total by construction — nothing crashes, nothing silently
+  * passes through. */
+final case class MediaQuarantineReport(
+    media_type: String,
+    n_total: Long,
+    n_decoded: Long,
+    n_quarantined: Long,
+    quarantined_bytes: Long,
+    decoded_checksum: Long)
+
 /** Multimodal-column operators.
   *
   * Decode/feature-extraction runs per PARTITION (one codec instance per
@@ -553,36 +567,44 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.flatMap { r =>
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          try {
-            val fmt = ais.getFormat
-            if (fmt.getSampleSizeInBits != 16 ||
-                fmt.getEncoding !=
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-            else {
-              val bytes = ais.readAllBytes()
-              val total = bytes.length / 2 // per-channel samples, folded
-              var s = 0L
-              var i = 0
-              while (i < total) {
-                val (hi, lo) =
-                  if (fmt.isBigEndian) (bytes(2 * i), bytes(2 * i + 1) & 0xff)
-                  else (bytes(2 * i + 1), bytes(2 * i) & 0xff)
-                s += (hi.toInt << 8) | lo // hi sign-extends: signed 16-bit
-                i += 1
-              }
-              Some(MediaAudioMeta(r.media_id, fmt.getSampleRate.toLong,
-                fmt.getChannels.toLong, fmt.getSampleSizeInBits.toLong,
-                total.toLong / fmt.getChannels, s))
-            }
-          } finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }
+      it.flatMap { r => parseAudio(r.payload).map(m => m.copy(media_id = r.media_id)) }
     }
   }
+
+  /** Container parse + 16-bit-PCM sample reconstruction; `media_id` is
+    * a placeholder the caller rewrites. None is the QUARANTINE
+    * outcome: unrecognized container (mp3 etc. — AudioSystem throws
+    * UnsupportedAudioFileException), corrupt body, or an encoding this
+    * path does not reconstruct. Shared by the decode gates
+    * (q96/q111/q112) and the quarantine audit (q114), so the audit
+    * grades exactly the production decode rule. */
+  private def parseAudio(payload: Array[Byte]): Option[MediaAudioMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = ais.readAllBytes()
+          val total = bytes.length / 2 // per-channel samples, folded
+          var s = 0L
+          var i = 0
+          while (i < total) {
+            val (hi, lo) =
+              if (fmt.isBigEndian) (bytes(2 * i), bytes(2 * i + 1) & 0xff)
+              else (bytes(2 * i + 1), bytes(2 * i) & 0xff)
+            s += (hi.toInt << 8) | lo // hi sign-extends: signed 16-bit
+            i += 1
+          }
+          Some(MediaAudioMeta(-1L, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, fmt.getSampleSizeInBits.toLong,
+            total.toLong / fmt.getChannels, s))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Gate composition (q96): synthesize WAVs from doc ids, round-trip
     * them through the real JDK audio codec, and report decoded format +
@@ -722,19 +744,25 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         decodeImage(r.payload).map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          var redSum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { redSum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-            y += 1
-          }
-          MediaImageMeta(r.media_id, w.toLong, h.toLong,
-            img.getRaster.getNumBands.toLong, redSum)
+          MediaImageMeta(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
+            img.getRaster.getNumBands.toLong, redSum(img))
         }
       }
     }
+  }
+
+  /** Red-channel pixel sum of a decoded image — the post-decode
+    * checksum shared by decodeImageMeta and the quarantine audit. */
+  private def redSum(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    s
   }
 
   /** Gate composition (q76): synthesize PNGs from doc ids, round-trip
@@ -760,6 +788,115 @@ object Multimodal {
       .map(r => MediaRecord(r.media_id, r.media_type, r.payload, "resized"))
     decodeImageMeta(resized).toDF().orderBy("media_id")
   }
+
+  /** The codec-fallback QUARANTINE CONTRACT as an auditable operator
+    * (q114) — the gate VERDICT r11 asked for on the one previously
+    * untested seam. Each payload routes to the decoder family its
+    * DECLARED media type names and the outcome is classified:
+    *
+    *  - image types → javax.imageio. A payload no reader recognizes
+    *    OR that a reader throws on (truncated/corrupt body) is
+    *    quarantined — the decode is genuinely attempted.
+    *  - audio types → javax.sound.sampled via the SAME `parseAudio`
+    *    the decode gates use. Compressed codecs the JDK lacks (mp3 —
+    *    `UnsupportedAudioFileException`) quarantine via the attempt,
+    *    not via label matching.
+    *  - video types and anything else → no codec ships in this
+    *    container (the declared JDK limitation): quarantined
+    *    immediately, counted, never crashed on, never passed through.
+    *
+    * Decoded rows carry a POST-decode checksum (image red sum / audio
+    * sample sum — values that exist only after real pixel/PCM
+    * reconstruction), so a seam that skipped decoding and echoed
+    * bytes cannot fake the decoded side, and quarantined rows carry
+    * their byte counts, so silent drops cannot fake the quarantine
+    * side. Scale shape: embarrassingly parallel classify map over the
+    * scan, then ONE partial+final aggregate on the low-cardinality
+    * media_type — no joins, no data shuffle (only per-type partials
+    * move). */
+  def quarantineAudit(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val decoded: Option[Long] = // Some(checksum) = decoded
+          if (r.media_type.startsWith("image/"))
+            decodeImage(r.payload).map(redSum)
+          else if (r.media_type.startsWith("audio/"))
+            parseAudio(r.payload).map(_.sample_sum)
+          else None
+        decoded match {
+          case Some(ck) => (r.media_type, 1L, 0L, 0L, ck)
+          case None => (r.media_type, 0L, 1L, r.payload.length.toLong, 0L)
+        }
+      }
+    }.toDF("media_type", "dec", "quar", "qbytes", "ck")
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("dec")).cast("long").as("n_decoded"),
+        sum(col("quar")).cast("long").as("n_quarantined"),
+        sum(col("qbytes")).cast("long").as("quarantined_bytes"),
+        sum(col("ck")).cast("long").as("decoded_checksum"))
+  }
+
+  /** Mixed-media fixture set for the quarantine gate: five
+    * deterministic classes keyed off doc_id % 5, so the oracle
+    * recomputes every audit number arithmetically —
+    *
+    *   0 → a VALID synthetic PNG (decodes; closed-form red sum)
+    *   1 → a CORRUPT PNG: real 8-byte signature + 8 garbage bytes,
+    *       declared image/png — the reader claims it, the decode
+    *       throws, the contract quarantines (16 bytes each)
+    *   2 → a VALID synthetic WAV (decodes; closed-form sample sum)
+    *   3 → garbage declared audio/mpeg — the codec the JDK lacks;
+    *       AudioSystem's attempt throws, quarantined
+    *   4 → garbage declared video/mp4 — no codec family at all,
+    *       quarantined
+    *
+    * Garbage fill byte i = (i·7 + doc_id) mod 256, length
+    * doc_id%20+30 — closed-form byte counts, and verifiably unable to
+    * collide with any JDK container magic (RIFF/FORM/.snd/PNG/GIF/
+    * BMP/JPEG/TIFF all need byte pairs this fill cannot produce). */
+  def mixedMediaFixtures(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def cls(c: Int): DataFrame =
+      docs.where(col("doc_id") < maxId && col("doc_id") % 5 === c)
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val corruptPngs = cls(1).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val b = new Array[Byte](16)
+          System.arraycopy(pngMagic, 0, b, 0, 8)
+          var i = 8
+          while (i < 16) { b(i) = ((i * 7 + id) % 256).toByte; i += 1 }
+          MediaRecord(id, "image/png", b, "fixture")
+        }
+      }
+    def garbage(c: Int, mediaType: String): Dataset[MediaRecord] =
+      cls(c).select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 20 + 30).toInt
+          val b = new Array[Byte](n)
+          var i = 0
+          while (i < n) { b(i) = ((i * 7 + id) % 256).toByte; i += 1 }
+          MediaRecord(id, mediaType, b, "fixture")
+        }
+      }
+    syntheticPngs(cls(0), maxId)
+      .union(corruptPngs)
+      .union(syntheticWavs(cls(2), maxId))
+      .union(garbage(3, "audio/mpeg"))
+      .union(garbage(4, "video/mp4"))
+  }
+
+  /** Gate composition (q114): the quarantine audit over the planted
+    * mixed-media fixtures — hash-checked against the oracle's
+    * arithmetic recomputation of every count, byte total, and decoded
+    * checksum from the residue classes. */
+  def quarantineAuditReport(docs: DataFrame, maxId: Long): DataFrame =
+    quarantineAudit(mixedMediaFixtures(docs, maxId)).orderBy("media_type")
 
   /** Byte-level metadata summary — pure column expressions, and the
     * correctness-observable face of the binary plumbing: payload length

@@ -594,6 +594,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("codec quarantine contract: every row decoded or quarantined, never crashed, never passed") {
+    // the q114 gate contract at unit scale: the audit must account for
+    // EVERY planted row (n_decoded + n_quarantined == n_total per
+    // type), quarantine exactly the undecodable classes with their
+    // byte counts, and carry post-decode checksums for survivors
+    val report = Multimodal.quarantineAuditReport(docs, 20L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(report.keySet == Set(
+      "image/png", "audio/wav", "audio/mpeg", "video/mp4"))
+    report.values.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: total != decoded + quarantined")
+    }
+    val ids = docs.where(col("doc_id") < 20).select("doc_id")
+      .collect().map(_.getLong(0))
+    def n(c: Int) = ids.count(_ % 5 == c).toLong
+    val png = report("image/png")
+    assert(png.getLong(2) == n(0) && png.getLong(3) == n(1))
+    assert(png.getLong(4) == 16L * n(1)) // truncated PNGs: 16 bytes each
+    assert(png.getLong(5) > 0L) // decode really happened (red sums)
+    val wav = report("audio/wav")
+    assert(wav.getLong(3) == 0L && wav.getLong(2) == n(2))
+    val mp3 = report("audio/mpeg")
+    assert(mp3.getLong(2) == 0L && mp3.getLong(3) == n(3))
+    assert(mp3.getLong(4) == ids.filter(_ % 5 == 3).map(_ % 20 + 30).sum)
+    val mp4 = report("video/mp4")
+    assert(mp4.getLong(2) == 0L && mp4.getLong(3) == n(4) &&
+      mp4.getLong(5) == 0L)
+    // hostile payloads through the audit never crash the job: a
+    // declared image that is pure garbage and a declared wav that is
+    // a truncated real container both land in quarantine
+    val s = spark
+    import s.implicits._
+    val realWav = Multimodal.syntheticWavs(docs, 1L).collect().head.payload
+    val hostile = Seq(
+      MediaRecord(1L, "image/png", Array[Byte](1, 2, 3), "junk"),
+      MediaRecord(2L, "audio/wav", realWav.take(12), "junk"),
+      MediaRecord(3L, "video/mp4", Array.empty[Byte], "junk")).toDS()
+    val audited = Multimodal.quarantineAudit(hostile).collect()
+    assert(audited.map(_.getLong(3)).sum == 3L) // all quarantined
+    assert(audited.map(_.getLong(2)).sum == 0L)
+  }
+
   test("bloom admission == plain anti-join at any fpp, and the fast path actually fires") {
     // the q97 contract: Bloom false positives are re-checked exactly,
     // so the admission result is fpp-independent — pin tight (0.001)
