@@ -36,18 +36,25 @@ object RelationalOps {
     * either engine's rounding mode ever changes, re-verify this
     * half-up agreement — it is the real invariant.
     *
-    * Cost, measured honestly (sf0.1, TimeTool): the decimal fold is
-    * ~1.6× the double fold on the revenue joins (q32 0.63→1.1 s) —
-    * and the tax lives in the sum's decimal buffer, not the per-term
-    * cast (precision 18 vs 28 times identically; 18 kept anyway for
-    * the compact cast node). Accepted: exactness is the contract.
-    * If this fold ever dominates a hot path, the escape hatch is a
-    * custom partial aggregate accumulating unscaled longs per
-    * partition (primitive codegen) and widening only at merge —
-    * per-task sums stay far under 2^63 even at 100 TB; only the
-    * grand total needs the wide type. */
-  private def money(c: Column, scale: Int): Column =
+    * The r11 decimal fold (sum over Cast(c, Decimal(18, scale))) paid
+    * ~1.6× on the sf0.1 revenue joins (q32 0.63→1.1 s): a
+    * BigDecimal.valueOf (Double.toString + parse + alloc) and a
+    * decimal buffer add per row. This is the designed escape hatch,
+    * implemented (r12): `functions.MoneySum` quantizes each term to
+    * an unscaled long (bit-identical to the decimal cast — exact-path
+    * fallback near .5 boundaries), accumulates in 128-bit (hi, lo)
+    * limbs with primitive codegen, and widens to Decimal(38, scale)
+    * ONCE per group. Same exactness, same associativity, decimal cost
+    * paid per GROUP instead of per row. Bit-parity with the decimal
+    * fold is pinned by MoneySumProperties. */
+  // private[graft]: the property suite folds both spellings and pins
+  // them bit-equal — the decimal fold stays as the reference oracle
+  private[graft] def money(c: Column, scale: Int): Column =
     c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+
+  /** The exact money fold: drop-in for `sum(money(c, scale))`. */
+  private def moneySum(c: Column, scale: Int): Column =
+    graft.functions.MoneySum.moneySum(c, scale)
 
   /** Q12 — pricing-summary style agg over lineitem. sum_qty stays a
     * double fold: l_quantity is whole units, so the sum is integer-
@@ -58,7 +65,7 @@ object RelationalOps {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -70,7 +77,7 @@ object RelationalOps {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("num_customers"),
-        sum(money(col("c_acctbal"), 2)).cast("double").as("total_bal"))
+        moneySum(col("c_acctbal"), 2).cast("double").as("total_bal"))
       .orderBy(col("total_bal").desc, col("n_name"))
       .limit(10)
   }
@@ -81,7 +88,7 @@ object RelationalOps {
       .where(col("ts") >= to_timestamp(lit("2024-01-01 00:00:00")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(money(col("value"), 6)).cast("double").as("total"))
+        moneySum(col("value"), 6).cast("double").as("total"))
       .orderBy(col("event_type"))
 
   /** Q30 — window top-n per group: the per-partition rank pattern.
@@ -119,7 +126,7 @@ object RelationalOps {
       // avg over an EXACT decimal sum, divided once as a double: the
       // nondeterminism lives in the fold, not the final divide
       .agg(count(lit(1)).as("n"),
-        round(sum(money(col("value"), 6)).cast("double") / count(lit(1)), 6)
+        round(moneySum(col("value"), 6).cast("double") / count(lit(1)), 6)
           .as("avg_value"))
       .orderBy("month", "event_type")
 
@@ -222,7 +229,7 @@ object RelationalOps {
         expr("(k - pmod(k, 10)) div 10").as("k_decile"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         // decimal-exact fold, one final double divide (see `money`)
-        round(sum(money(col("value"), 6)).cast("double") / count(lit(1)), 6)
+        round(moneySum(col("value"), 6).cast("double") / count(lit(1)), 6)
           .as("avg_value"))
       .orderBy("event_type", "k_decile")
 
@@ -388,7 +395,7 @@ object RelationalOps {
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
@@ -410,7 +417,7 @@ object RelationalOps {
       .join(l, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("n_name"),
         year(col("o_orderdate")).cast("long").as("order_year"))
-      .agg(sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"), col("order_year"))
@@ -432,7 +439,7 @@ object RelationalOps {
         struct(col("o_orderkey"), col("l_linenumber")), factor)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
