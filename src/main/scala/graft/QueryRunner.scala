@@ -65,8 +65,33 @@ object QueryRunner {
     lastInit.put(spark, sfDir)
   }
 
+  // The clustering-tier views are MATERIALIZED plans — the session
+  // pair index plus the driver-iterative CC solve run when the
+  // DataFrame is BUILT (min-label propagation cannot be a lazy plan;
+  // Spark's recursive CTE ships UNION ALL only, and reachability over
+  // the symmetric near-dup graph needs UNION's dedup to converge). So
+  // unlike the lazy views above they register on FIRST REFERENCE, not
+  // in init(): a session that never touches the clustering tier never
+  // pays the clustering. Same weak keying as lastInit.
+  private val clusterInit = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def initClusterViews(spark: SparkSession, sfDir: String): Unit = {
+    if (clusterInit.get(spark) == sfDir) return
+    val docs = Corpus.table(spark, sfDir, "documents")
+    Dedup.nearDupClusters(docs, 0.8)
+      .createOrReplaceTempView("graft_dedup_clusters")
+    Dedup.dedupByClustersKeepBest(docs, 0.8)
+      .createOrReplaceTempView("graft_cluster_keep_best")
+    clusterInit.put(spark, sfDir)
+  }
+
+  private val clusterViewNames =
+    Seq("graft_dedup_clusters", "graft_cluster_keep_best")
+
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     init(spark, sfDir)
+    if (clusterViewNames.exists(query.contains)) initClusterViews(spark, sfDir)
     spark.sql(query)
   }
 }

@@ -493,6 +493,14 @@ object SparkEntry {
     // checksums. The oracle recomputes every number arithmetically.
     "q114_codec_quarantine" -> ((s, dir) => Multimodal.quarantineAuditReport(
       Corpus.table(s, dir, "documents"), 40L)),
+    // q115: the CLUSTERING tier reached from pure SQL — the last
+    // Scala-only pipeline tier (VERDICT r11 item 3). The
+    // graft_dedup_clusters view's plan IS Dedup.nearDupClusters
+    // (session pair index + shared min-label CC solve), registered on
+    // first reference because a materialized clustering cannot be a
+    // lazy view plan. Hash-matches q36's recursive-CTE oracle.
+    "q115_sql_dedup_clusters" -> ((s, dir) => QueryRunner.sql(s, dir,
+      "SELECT doc_id, cluster FROM graft_dedup_clusters ORDER BY doc_id")),
   )
 
   /** The q113 SQL text — over whatever `events` view is registered. */
@@ -788,6 +796,8 @@ object SparkEntry {
       "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",
     "q33_simhash_near_dups" -> PO.simhashNearDups(3),
     "q36_dedup_clusters" -> PO.dedupClusters(0.8),
+    // the pure-SQL clustering spelling shares q36's oracle verbatim
+    "q115_sql_dedup_clusters" -> PO.dedupClusters(0.8),
     "q37_cluster_dedup_kept" -> PO.clusterDedupKept(0.8),
     "q35_knn_join" -> PO.bucketKnnJoinAuto(3, 125L),
     "q34_events_monthly" ->

@@ -37,6 +37,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
   }
 
+  test("graft_dedup_clusters view == Dedup.nearDupClusters") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT doc_id, cluster FROM graft_dedup_clusters")
+    val scala = Dedup.nearDupClusters(Corpus.table(spark, sf, "documents"), 0.8)
+    assert(rows(sql) == rows(scala))
+    // non-vacuous: sf0.001 plants near-dup pairs, so clusters exist
+    assert(sql.count() > 0)
+  }
+
+  test("graft_cluster_keep_best view == Dedup.dedupByClustersKeepBest") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT source, n_kept FROM graft_cluster_keep_best")
+    val scala = Dedup.dedupByClustersKeepBest(
+      Corpus.table(spark, sf, "documents"), 0.8)
+    assert(rows(sql) == rows(scala))
+  }
+
   test("q107 ad-hoc SQL over array_dot == Similarity.cosineTopK bit-for-bit") {
     val sql = SparkEntry.queries("q107_sql_cosine_topk")(spark, sf)
     val scala = Similarity.cosineTopK(Corpus.table(spark, sf, "embeddings"), 0L, 10)
