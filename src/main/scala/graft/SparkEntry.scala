@@ -501,6 +501,14 @@ object SparkEntry {
     // lazy view plan. Hash-matches q36's recursive-CTE oracle.
     "q115_sql_dedup_clusters" -> ((s, dir) => QueryRunner.sql(s, dir,
       "SELECT doc_id, cluster FROM graft_dedup_clusters ORDER BY doc_id")),
+    // q116: the q80 parity contract through the PRODUCTION ingress —
+    // spark.readStream.parquet over staged files (FileStreamSource,
+    // maxFilesPerTrigger=1, mtime-ordered corpus + sentinel batches)
+    // instead of driver-fed MemoryStream. Shares q41's oracle: Append
+    // output == batch sessionization, now entry-path-to-sink.
+    "q116_filestream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.sessionizeFileStream(
+        Corpus.table(s, dir, "events"), 30, fixtureDir("q116", dir))),
   )
 
   /** The q113 SQL text — over whatever `events` view is registered. */
@@ -781,6 +789,18 @@ object SparkEntry {
     // streaming Append output == batch sessionization — q41's oracle
     // verbatim
     "q80_streaming_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    // the file-source streaming spelling shares q41/q80's oracle
+    "q116_filestream_sessionize" ->
       """WITH f AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess

@@ -226,6 +226,89 @@ object StreamingPipeline {
       .orderBy("user_id", "session_start"))
   }
 
+  /** Gate composition (q116): the q80 parity contract driven through
+    * the PRODUCTION entry path — `spark.readStream.parquet(dir)` over
+    * real files — instead of the driver-fed MemoryStream harness. This
+    * retires the one caveat every prior streaming gate carried: the
+    * operators were oracle-checked, the readStream/FileStreamSource
+    * ingress was not.
+    *
+    * Mechanics: the corpus is staged as file 000.parquet, the two
+    * far-future sentinel batches as 001/002.parquet, with strictly
+    * increasing modification times; `maxFilesPerTrigger=1` makes
+    * FileStreamSource (oldest-first by mtime) deliver exactly three
+    * micro-batches in that order. Batch 0 carries the whole corpus, so
+    * the first-batch watermark is the epoch and nothing is
+    * late-dropped; the sentinel batches advance the watermark and fire
+    * the event-time timeouts, ripening every real session. Append
+    * output therefore equals the batch sessionization — q41's oracle
+    * verbatim, the same contract q80 pins over MemoryStream.
+    *
+    * Scale shape: identical to sessionize (one shuffle on user_id,
+    * watermark-bounded state); the file staging is gate plumbing, a
+    * production deployment just points readStream at its landing
+    * directory. */
+  def sessionizeFileStream(events: DataFrame, gapMinutes: Int,
+                           fixtureDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val projected = events.select(col("user_id"), col("ts"), col("value"))
+    require(projected.where(col("user_id") === SentinelUser).isEmpty,
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+    val maxTs = projected.agg(max(col("ts"))).head()
+      .getTimestamp(0).getTime
+
+    val root = new java.io.File(fixtureDir)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(root)
+    val srcDir = new java.io.File(root, "in")
+    srcDir.mkdirs()
+
+    // stage one parquet FILE per intended micro-batch (Spark writes a
+    // directory; the part file moves into the watched dir under an
+    // ordered name + explicit mtime)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(root, s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      rm(tmp)
+    }
+    val day = 86400000L
+    val t0 = System.currentTimeMillis() - 60000L
+    stage(projected, "000.parquet", t0)
+    def sentinel(offset: Long) = Seq(
+      (SentinelUser, new java.sql.Timestamp(maxTs + offset), 0.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    stage(sentinel(day), "001.parquet", t0 + 20000L)
+    stage(sentinel(2 * day), "002.parquet", t0 + 40000L)
+
+    val stream = spark.readStream
+      .schema(projected.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val out = sessionize(stream, gapMinutes)
+    val qname = "q116_filestream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(root, "ckpt").toPath
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    materializeAndDropSink(qname, ckpt, spark.table(qname)
+      .where(col("user_id") =!= SentinelUser)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start"))
+  }
+
   /** Gate composition (q88): the streaming windowed aggregation
     * replayed over the batch events table, same harness as
     * sessionizeReplay (ts-ordered chunked MemoryStream feed, two
