@@ -129,10 +129,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"))
       .agg(count(lit(1)).as("kept"))
 
-  private val NumHashes = 8
+  // private[graft]: SparkEntry GENERATES the q109 SQL spelling from
+  // these constants so the SQL surface cannot drift from this dataflow
+  private[graft] val NumHashes = 8
   val Bands = 4
   val RowsPerBand = 2
   val ShingleK = 3
+
+  /** The star-fallback bucket cap every bounded-pair tier defaults to;
+    * the q33/q109 SQL spellings and the DuckDB oracles mirror this
+    * value, so it is defined exactly once. */
+  val DefaultMaxBucket = 1000
 
   private def minhashCols(doc: DataFrame): DataFrame = {
     // One native expression per stage: text → distinct-shingle hashes →
@@ -164,7 +171,7 @@ object Dedup {
     * shuffle ONLY on the band key; there is no cross join anywhere.
     */
   def lshNearDupPairs(docs: DataFrame, threshold: Double,
-                      maxBucket: Int = 1000): DataFrame =
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
     // deterministic order on the public/gate surface only — the
     // cluster/index consumers take the unsorted variant, because a
     // global sort of the pair table is pure waste to a CC loop and at
@@ -286,7 +293,7 @@ object Dedup {
     * one-shuffle + pair-expansion DAG as the MinHash tier; hamming is
     * verified on the (few) candidates. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val sims = graft.sources.Corpus.fanOutSmallScan(docs)
@@ -351,7 +358,7 @@ object Dedup {
       // The verified jaccard rides along (one double per pair): the
       // clustering consumers project it away, the estimate audit needs
       // it, and a production pipeline persists it anyway.
-      lshNearDupPairsUnsorted(docs, threshold, maxBucket = 1000)
+      lshNearDupPairsUnsorted(docs, threshold, maxBucket = DefaultMaxBucket)
         .localCheckpoint(true)
     }
 

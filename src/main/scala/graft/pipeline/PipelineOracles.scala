@@ -134,7 +134,7 @@ object PipelineOracles {
     * mismatch (1.1% of pairs at sf1) instead of grading the
     * implementation against its contract. The cap rule is part of the
     * operator's spec; the oracle spells it. */
-  def simhashNearDups(maxHamming: Int, maxBucket: Int = 1000): String = {
+  def simhashNearDups(maxHamming: Int, maxBucket: Int = Dedup.DefaultMaxBucket): String = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -310,7 +310,7 @@ object PipelineOracles {
     * Similarity.cosineNearDupPairsAuto at any scale, INCLUDING the
     * `maxBucket` star-fallback cap (part of the operator's spec). */
   def cosineNearDupsAuto(threshold: Double, target: Long,
-                         maxBucket: Int = 1000): String =
+                         maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH ${adaptiveNbCte(target)},
        |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
@@ -327,7 +327,7 @@ object PipelineOracles {
     * cosineNearDupsAuto, so both Auto oracles grade the bounded-work
     * contract the implementation ships. */
   def embeddingClusterKeptAuto(threshold: Double, target: Long,
-                               maxBucket: Int = 1000): String =
+                               maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH RECURSIVE ${adaptiveNbCte(target)},
        |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),

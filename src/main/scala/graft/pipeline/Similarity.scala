@@ -368,7 +368,7 @@ object Similarity {
     * over `maxBucket` degrade to representative star pairs
     * (TextFunctions.boundedPairs). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         nBits: Int, maxBucket: Int = 1000): DataFrame =
+                         nBits: Int, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     // sorted on the public/gate surface only — see lshNearDupPairs
     cosineNearDupPairsUnsorted(embeddings, threshold, nBits, maxBucket)
       .orderBy("vec_a", "vec_b")
@@ -434,7 +434,7 @@ object Similarity {
   def dedupEmbeddingsByClusters(embeddings: DataFrame, threshold: Double,
                                 nBits: Int): DataFrame = {
     val pairs = cosineNearDupPairsUnsorted(embeddings, threshold, nBits,
-      maxBucket = 1000)
+      maxBucket = Dedup.DefaultMaxBucket)
     val removed = Dedup.minLabelComponents(pairs, "vec_a", "vec_b")
       .where(col("node") =!= col("label"))
       .select(col("node"))
