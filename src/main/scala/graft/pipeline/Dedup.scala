@@ -762,17 +762,14 @@ object Dedup {
     val base = docs.where(col("doc_id") % baseMod === 0)
     val delta = docs.where(col("doc_id") % baseMod =!= 0)
     // Materialized ONCE PER SESSION (SessionCache, lineage-keyed): the
-    // hash projection feeds the sizing count, the sketch build, and
-    // both exact-recheck joins — left lazy each would re-scan the
-    // base corpus, and a per-CALL checkpoint would pin a fresh copy in
-    // the block manager on every bench invocation. This pair IS the
-    // artifact a production deployment persists next to the data
-    // (projection + sketch, rebuilt when the base version changes —
-    // here: when the input files' lineage fingerprint changes). The
-    // sketch is cached SERIALIZED, so repeated Bench/Verify calls in
-    // one session reuse one copy instead of accumulating per-call
-    // broadcast blocks until the ContextCleaner runs (ADVICE r10).
-    val (baseH, bfBytes) = graft.SessionCache.getOrBuild(spark,
+    // hash projection feeds the sizing count, the sketch-build
+    // subquery plan, and both exact-recheck joins — left lazy each
+    // would re-scan the base corpus, and a per-CALL checkpoint would
+    // pin a fresh copy in the block manager on every bench invocation.
+    // This pair IS the artifact a production deployment persists next
+    // to the data (projection + sketch plan, rebuilt when the input
+    // files' lineage fingerprint changes).
+    val (baseH, bfPlan) = graft.SessionCache.getOrBuild(spark,
       ("bloom_admission_base",
         graft.SessionCache.lineageFingerprint(docs), baseMod, fpp)) {
       val h = base.select(sha2(col("text"), 256).as("h")).distinct()
@@ -782,15 +779,20 @@ object Dedup {
         .optimalNumOfBits(n, fpp), 64L)
       val agg = new BloomFilterAggregate(
         graftshim.expression(xxhash64(col("h"))), Literal(n), Literal(numBits))
-      val bytes = h.agg(graftshim.column(agg.toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      (h, bytes)
+      val plan = h.agg(graftshim.column(agg.toAggregateExpression()).as("bf"))
+        .queryExecution.analyzed
+      (h, plan)
     }
-    // The serialized sketch rides the plan as a literal — right at gate
-    // scale; a production deployment with a GB-sized sketch wraps it in
-    // the scalar-subquery + broadcast shape InjectRuntimeFilter uses.
+    // The sketch reaches the probe side as a SCALAR SUBQUERY over the
+    // checkpointed hash projection — the exact shape Spark's own
+    // InjectRuntimeFilter uses — not as a plan Literal (r11 finding 2:
+    // a GB-sized production sketch embedded in the plan text would be
+    // serialized with every task binary). The subquery executes once
+    // per query and its one-row result broadcasts to tasks; ReuseSubquery
+    // collapses the neg/pos twins within a single execution.
     def mightContain = graftshim.column(BloomFilterMightContain(
-      Literal(bfBytes), graftshim.expression(xxhash64(col("h")))))
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bfPlan),
+      graftshim.expression(xxhash64(col("h")))))
 
     val dh = delta.select(col("doc_id"), col("source"),
       sha2(col("text"), 256).as("h"))
