@@ -43,6 +43,19 @@ def load(path):
         fps = {m.group(1): m.group(2) for m in
                re.finditer(r'"(q[^"]+)":"([0-9a-f]{8,12})"', d["tail"])}
         d = {"queries": qs, "plan_fp": fps, "sf": str(d.get("sf", "?"))}
+    # Key spellings differ by artifact generation: driver wrappers carry
+    # short ids (q12), the full bench artifact full names
+    # (q12_lineitem_agg). Normalize both to the short id so cross-form
+    # diffs (BENCH_r{N}.json vs committed bench_out.json) line up.
+    def short(name):
+        return name.split("_", 1)[0]
+    for key in ("queries", "plan_fp"):
+        if key in d and isinstance(d[key], dict):
+            m = {}
+            for k, v in d[key].items():
+                m[short(k)] = v
+            if len(m) == len(d[key]):  # collision-free: safe to normalize
+                d[key] = m
     return d
 
 
