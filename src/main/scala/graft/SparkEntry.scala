@@ -471,6 +471,23 @@ object SparkEntry {
     "q116_filestream_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.sessionizeFileStream(
         Corpus.table(s, dir, "events"), 30, fixtureDir("q116", dir))),
+    // q117: the keep-BEST clustering policy from pure SQL — q115's
+    // view tier completed (both clustering views now carry their own
+    // oracle row, not just the SqlSurfaceSpec pin). q82's oracle.
+    "q117_sql_cluster_keep_best" -> ((s, dir) => QueryRunner.sql(s, dir,
+      "SELECT source, n_kept FROM graft_cluster_keep_best ORDER BY source")),
+    // q118: the q12 pricing summary in ad-hoc SQL over the registered
+    // money_sum kernel — the exact 128-bit fold reachable from the SQL
+    // surface, graded by q12's own decimal-fold oracle.
+    "q118_sql_money_sum" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(money_sum(l_extendedprice * (1 - l_discount), 4) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(1) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
   )
 
   /** The q109 SQL text, GENERATED from Dedup's banding constants
@@ -667,6 +684,9 @@ object SparkEntry {
         |) AS t(step, grantee, changed, statement) ORDER BY step, statement""".stripMargin.replace("\n", " ")),
     "q12_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    // the SQL money_sum spelling shares q12's decimal-fold oracle
+    "q118_sql_money_sum" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q13_top_nations" ->
       "SELECT n.n_name, count(*) AS num_customers, CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
     "q14_events_agg" ->
@@ -716,6 +736,9 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY source, pattern""".stripMargin.replace("\n", " "),
     // keep-best representative over the same recursive clusters
     "q82_cluster_keep_best" -> PO.clusterDedupKeepBest(0.8).replace("\n", " "),
+    // the pure-SQL keep-best spelling shares q82's oracle verbatim
+    "q117_sql_cluster_keep_best" ->
+      PO.clusterDedupKeepBest(0.8).replace("\n", " "),
     // four-table star: same revenue arithmetic as q32, one year()
     // bucketing — both engines' year() cast to BIGINT
     "q87_nation_year_revenue" ->

@@ -106,11 +106,26 @@ object GraftFunctions {
         (0 until n).map(minhashA), (0 until n).map(minhashB))
     })
 
+  /** `money_sum(x, scale)` — the exact 128-bit money fold
+    * (functions.MoneySum) on the SQL surface, so ad-hoc SQL gets the
+    * same partitioning-independent revenue sums the Scala relational
+    * tier uses (bit-identical to sum(CAST(x AS DECIMAL(18, scale)))
+    * at a fraction of the per-row cost). The analyzer wraps the
+    * returned AggregateFunction in its AggregateExpression. */
+  val moneySumFunction: FunctionDescriptor = (
+    FunctionIdentifier("money_sum"),
+    new ExpressionInfo(classOf[MoneySum].getName, "money_sum"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "money_sum(x, scale) requires a literal scale")
+      MoneySum(exprs(0), exprs(1).eval().toString.toInt)
+    })
+
   val all: Seq[FunctionDescriptor] = Seq(
     hasFunction, sha256Prefix60Function,
     simhash64Function, hashTokensFunction, arrayDotFunction,
     hammingBitsFunction, nfcNormalizeFunction,
-    shingleSetFunction, affineMinhashesFunction)
+    shingleSetFunction, affineMinhashesFunction, moneySumFunction)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, _, builder) =>

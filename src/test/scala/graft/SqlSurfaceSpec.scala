@@ -54,6 +54,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
   }
 
+  test("q118 ad-hoc SQL money_sum == RelationalOps.lineitemAgg bit-for-bit") {
+    val sql = SparkEntry.queries("q118_sql_money_sum")(spark, sf)
+    val scala = graft.operators.RelationalOps.lineitemAgg(spark, sf)
+    assert(rows(sql) == rows(scala))
+  }
+
   test("q107 ad-hoc SQL over array_dot == Similarity.cosineTopK bit-for-bit") {
     val sql = SparkEntry.queries("q107_sql_cosine_topk")(spark, sf)
     val scala = Similarity.cosineTopK(Corpus.table(spark, sf, "embeddings"), 0L, 10)
