@@ -430,6 +430,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q114 quarantine audit: classify map + ONE per-type aggregate — no joins") {
+    // the audit's scale shape: decode/classify runs per task
+    // (MapPartitions), and the only exchange is the tiny per-type
+    // partial+final aggregate — no payload bytes cross a join
+    val p = plan("q114_codec_quarantine")
+    assert(!p.contains("Join"))
+    assert(p.contains("MapPartitions"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q118 SQL money_sum: same pushdown + partial/final agg shape as q12") {
+    val p = plan("q118_sql_money_sum")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_money_sum"), "partial aggregation must be map-side")
+    assert(!p.contains("Join"))
+  }
+
   test("q98 compression guard: scan-local codec, one partial+final aggregate — no joins") {
     val p = plan("q98_compression_guard")
     assert(!p.contains("Join"))
