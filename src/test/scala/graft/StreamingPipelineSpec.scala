@@ -273,4 +273,20 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("replay conf dial: batch shuffle partitions restored after a replay") {
+    val spark = SparkTestSession.spark
+    val key = "spark.sql.shuffle.partitions"
+    val retain = "spark.sql.streaming.minBatchesToRetain"
+    val before = spark.conf.get(key)
+    val retainBefore = spark.conf.get(retain) // SQLConf default surfaces here
+    // a replay pins its own state-partition count at query start; the
+    // session Verify/Bench share must get its batch setting back (and
+    // the replay-only retention override must not linger)
+    val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    StreamingPipeline.dedupStreamReplay(docs).collect()
+    assert(spark.conf.get(key) == before)
+    assert(spark.conf.get(retain) == retainBefore)
+  }
 }
