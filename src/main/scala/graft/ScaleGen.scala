@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *    making cross-replica Jaccard 0 — without this, each doc and its
   *    9 twins form near-dup cliques and the pair graph explodes
   *    quadratically instead of scaling like a real 10× corpus;
-  *  - embeddings are dimension-ROTATED per replica (an orthogonal
-  *    transform: within-replica cosines are bit-preserved, cross-
-  *    replica cosines decorrelate), for the same reason in ANN space.
+  *  - embeddings get a per-replica orthogonal transform — a dimension
+  *    ROTATION for the first `dim` replicas, composed with a validated
+  *    ±1 sign-flip pattern per further "sign round" (so factor may
+  *    exceed the embedding dimension): every per-coordinate product is
+  *    bit-preserved within a replica (float × ±1 is exact; rotation
+  *    only permutes terms, so a fixed-order dot SUM can wiggle in the
+  *    last ulp — true of rotation alone as well), cross-replica
+  *    cosines decorrelate, for the same reason in ANN space.
   *
   * This is benchmark/scaling tooling, not a gate input — the
   * correctness oracle keeps running on the driver's own corpora. */
@@ -30,6 +35,53 @@ object ScaleGen {
   /** Token-rename separator: U+0001, outside any text corpus alphabet
     * (verified before use, see the documents guard below). */
   private val Sep = "\u0001"
+
+  /** Per-sign-round ±1 patterns for embedding replication past the
+    * dimension: round 0 is all-plus (replicas 0..dim-1 stay pure
+    * rotations, byte-identical to historical output); each later round
+    * is a seeded balanced pattern. Validated STRUCTURALLY — balance in
+    * [dim/4, 3dim/4] and pairwise Hamming distance ≥ dim/4 — so no two
+    * replicas can be near-identical, by construction rather than by
+    * probability. Package-visible for the spec. */
+  private[graft] def signPatternsFor(dim: Int, factor: Int): Array[Array[Float]] = {
+    val rounds = (factor + dim - 1) / dim
+    val patterns = Array.tabulate(rounds) { m =>
+      if (m == 0) Array.fill(dim)(1f)
+      else {
+        val rnd = new java.util.Random(0x5CA1E000L + m)
+        Array.fill(dim)(if (rnd.nextBoolean()) -1f else 1f)
+      }
+    }
+    patterns.zipWithIndex.drop(1).foreach { case (p, m) =>
+      val flips = p.count(_ < 0)
+      require(flips >= dim / 4 && flips <= 3 * dim / 4,
+        s"sign round $m unbalanced: $flips/$dim flips")
+    }
+    for (a <- patterns.indices; b <- (a + 1) until patterns.length) {
+      val diff = (0 until dim)
+        .count(k => patterns(a)(k) != patterns(b)(k))
+      require(diff >= dim / 4,
+        s"sign rounds $a/$b too close: differ in $diff/$dim positions")
+    }
+    require(factor <= dim * rounds, "sign-round arithmetic broken")
+    patterns
+  }
+
+  /** The replica-i orthogonal transform over an array&lt;float&gt;
+    * embedding column: rotation by (i % dim) composed with the sign
+    * round (i / dim) pattern. Package-visible for the spec. */
+  private[graft] def replicaTransform(e: org.apache.spark.sql.Column,
+      dim: Int, patterns: Array[Array[Float]], i: Int)
+      : org.apache.spark.sql.Column = {
+    val rot = i % dim
+    val rotated = if (rot == 0) e
+      else concat(slice(e, rot + 1, dim - rot), slice(e, 1, rot))
+    if (i / dim == 0) rotated else {
+      val signLit = array(patterns(i / dim).toIndexedSeq.map(lit): _*)
+      // float × ±1f is exact; element_at is 1-based
+      transform(rotated, (x, k) => x * element_at(signLit, k + 1))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -60,9 +112,16 @@ object ScaleGen {
     // inconsistent corpus on disk (round-10 review).
     val embDim = read("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    require(factor <= embDim,
-      s"factor $factor exceeds embedding dim $embDim: replica rotations " +
-        "would repeat and cross-replica vectors would duplicate exactly")
+    // Replicas 0..dim-1 use pure rotations (byte-identical to the
+    // historical sf1/sf3 output). Past dim, each "sign round"
+    // m = i/dim composes the rotation with a per-round ±1 pattern —
+    // still orthogonal (and EXACT in float: (-u)·(-v) == u·v bit for
+    // bit), so within-replica cosines stay bit-preserved while
+    // cross-round same-rotation pairs decorrelate. Patterns are
+    // validated structurally in signPatternsFor (balance + pairwise
+    // distance), not trusted probabilistically — validated HERE, up
+    // front, before the first write.
+    val signPatterns = signPatternsFor(embDim, factor)
 
     // single-copy dims: nation/region bound group cardinalities;
     // part/supplier are unreferenced by the query surface but copied
@@ -127,17 +186,16 @@ object ScaleGen {
 
     val emb = read("embeddings")
     val vecOff = off(emb, "vec_id")
-    // factor <= embDim was validated up front (before any write); past
-    // it, two replicas would share a rotation and be exact vector
-    // duplicates — the clique explosion this tool exists to prevent
+    // replica i = rotation (i % dim) composed with sign round (i / dim)
+    // — distinct (rot, round) pairs by construction, and the sign
+    // patterns were validated pairwise-distant up front, so no two
+    // replicas can share a transform (the exact-duplicate clique
+    // explosion this tool exists to prevent)
     val dim = embDim
     write("embeddings", replicated(emb) { (d, i) =>
-      val rot = i % dim
-      val e = if (rot == 0) col("embedding")
-        else concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot))
       d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
-        .withColumn("embedding", e)
+        .withColumn("embedding",
+          replicaTransform(col("embedding"), dim, signPatterns, i))
     })
 
     spark.stop()
