@@ -164,31 +164,52 @@ object StreamingPipeline {
     * negative ids (ADVICE r8/r9). */
   private val SentinelUser = Long.MinValue
 
-  /** State-partition count for the REPLAY gates. A streaming query pins
-    * `spark.sql.shuffle.partitions` into its offset log at start, and
-    * every stateful micro-batch then opens/commits that many state
-    * stores. Replay gates process a gate-sized corpus in 1–3
-    * micro-batches, so 32 state stores per batch is pure per-batch
-    * fixed cost (measured: q80 5.2→3.8 s, q88 5.3→3.1 s at sf0.1) with
-    * zero effect on the result — the gates hash-match the batch oracle
-    * at any partition count (partitioning independence IS part of the
-    * contract). Production sizes this dial to its real keyspace ×
-    * executor count exactly as it does for batch shuffles; nothing
-    * here changes the operators' scale shape. */
-  private val ReplayStatePartitions = "8"
+  /** State-partition count for a REPLAY over `n` input rows. A
+    * streaming query pins `spark.sql.shuffle.partitions` into its
+    * offset log at start, and every stateful micro-batch then
+    * opens/commits that many state stores. Replay gates process the
+    * corpus in few micro-batches, so the store count must be sized to
+    * the DATA, not left at the session's batch setting: 32 stores per
+    * batch over a gate-sized corpus is pure per-batch fixed cost
+    * (measured: q80 5.2→3.8 s, q88 5.3→3.1 s at sf0.1), while a
+    * pinned LOW count throttles the genuine shuffle+state work once
+    * the corpus grows (a fixed 8 cost q80 ~25% at the 6 M-event sf1).
+    * Same corpus-sized-rule discipline as the embedding bucket
+    * widths: ~250 k rows per state partition, floor 8 (even under a
+    * smaller session setting — 8 tiny stores are harmless), capped at
+    * the session's own setting above the floor. Results are
+    * partition-count independent
+    * (hash-matched vs the batch oracle at every scale factor) —
+    * production sizes the same dial to its keyspace × executor count. */
+  private[graft] def replayStatePartitions(n: Long, sessionParts: Int): Int =
+    math.max(8L, math.min(sessionParts.toLong, (n + 249999L) / 250000L))
+      .toInt
+
+  /** Replay feed chunk size for an `n`-row corpus: at most ~8 data
+    * micro-batches. Chunking exists to bound any single batch, not for
+    * correctness (the feed is ts-sorted, so no chunking choice can
+    * late-drop), and the rows are already collected driver-side either
+    * way — but each micro-batch pays a fixed planning + state-commit
+    * cost, so a pinned 200 k chunk turned the 6 M-event sf1 replay
+    * into 30 batches of overhead. Floor stays 200 k so gate-scale
+    * behavior is unchanged. */
+  private[graft] def replayChunkSize(n: Long): Int =
+    math.max(200000L, (n + 7L) / 8L).toInt
 
   /** Run `body` (a replay: start → feed → stop) with the replay-sized
-    * state-partition conf, restoring the session's batch setting after
-    * — the conf is only read at streaming-query start, so batch work
-    * before/after the replay is untouched. Also retains only 2 batches
-    * of checkpoint log (the replay deletes its checkpoint anyway). */
-  private def withReplayConf[T](spark: org.apache.spark.sql.SparkSession)
-                               (body: => T): T = {
+    * state-partition conf for an `n`-row corpus, restoring the
+    * session's batch setting after — the conf is only read at
+    * streaming-query start, so batch work before/after the replay is
+    * untouched. Also retains only 2 batches of checkpoint log (the
+    * replay deletes its checkpoint anyway). */
+  private def withReplayConf[T](spark: org.apache.spark.sql.SparkSession,
+                                n: Long)(body: => T): T = {
     val parts = "spark.sql.shuffle.partitions"
     val retain = "spark.sql.streaming.minBatchesToRetain"
     val prevParts = spark.conf.get(parts)
     val prevRetain = spark.conf.getOption(retain)
-    spark.conf.set(parts, ReplayStatePartitions)
+    spark.conf.set(parts,
+      replayStatePartitions(n, prevParts.toInt).toString)
     spark.conf.set(retain, "2")
     try body
     finally {
@@ -238,13 +259,13 @@ object StreamingPipeline {
     val qname = "q80_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q80")
-    withReplayConf(spark) {
+    withReplayConf(spark, rows.length.toLong) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        rows.grouped(200000).foreach { chunk =>
+        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
           stream.addData(chunk.toIndexedSeq)
           query.processAllAvailable()
         }
@@ -271,11 +292,16 @@ object StreamingPipeline {
     * operators were oracle-checked, the readStream/FileStreamSource
     * ingress was not.
     *
-    * Mechanics: the corpus is staged as file 000.parquet, the two
-    * far-future sentinel batches as 001/002.parquet, with strictly
-    * increasing modification times; `maxFilesPerTrigger=1` makes
-    * FileStreamSource (oldest-first by mtime) deliver exactly three
-    * micro-batches in that order. Batch 0 carries the whole corpus, so
+    * Mechanics: the corpus is staged as `nFiles` parquet files (one
+    * mtime wave — ~250 k rows/file so the batch-0 scan parallelizes
+    * like a real landing directory, instead of one giant file read by
+    * one task), and each of the two far-future sentinel batches as its
+    * own LATER mtime wave of `nFiles` tiny files. With
+    * `maxFilesPerTrigger = nFiles`, FileStreamSource (oldest-first by
+    * mtime) deliver exactly three micro-batches: whole corpus, then
+    * sentinel wave 1, then sentinel wave 2 — a wave can never split or
+    * mix because each wave is exactly nFiles files and strictly older
+    * than the next. Batch 0 carries the whole corpus, so
     * the first-batch watermark is the epoch and nothing is
     * late-dropped; the sentinel batches advance the watermark and fire
     * the event-time timeouts, ripening every real session. Append
@@ -293,8 +319,9 @@ object StreamingPipeline {
     val projected = events.select(col("user_id"), col("ts"), col("value"))
     require(projected.where(col("user_id") === SentinelUser).isEmpty,
       s"events corpus contains reserved replay sentinel user_id $SentinelUser")
-    val maxTs = projected.agg(max(col("ts"))).head()
-      .getTimestamp(0).getTime
+    val statsRow = projected.agg(max(col("ts")), count(lit(1))).head()
+    val maxTs = statsRow.getTimestamp(0).getTime
+    val nRows = statsRow.getLong(1)
 
     val root = new java.io.File(fixtureDir)
     def rm(f: java.io.File): Unit = {
@@ -304,37 +331,56 @@ object StreamingPipeline {
     val srcDir = new java.io.File(root, "in")
     srcDir.mkdirs()
 
-    // stage one parquet FILE per intended micro-batch (Spark writes a
-    // directory; the part file moves into the watched dir under an
-    // ordered name + explicit mtime)
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new java.io.File(root, s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dest = new java.io.File(srcDir, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+    // one mtime WAVE per intended micro-batch, every wave the same
+    // file count (Spark writes a directory; the part files move into
+    // the watched dir under ordered names + an explicit shared mtime)
+    val targetFiles =
+      math.max(1L, math.min(32L, (nRows + 249999L) / 250000L)).toInt
+    def stage(df: DataFrame, wave: String, mtime: Long): Int = {
+      val tmp = new java.io.File(root, s"stage_$wave")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dest = new java.io.File(srcDir, f"${wave}_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
+      }
       rm(tmp)
+      parts.length
     }
     val day = 86400000L
     val t0 = System.currentTimeMillis() - 60000L
-    stage(projected, "000.parquet", t0)
-    def sentinel(offset: Long) = Seq(
-      (SentinelUser, new java.sql.Timestamp(maxTs + offset), 0.0))
-      .toDF("user_id", "ts", "value")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
-    stage(sentinel(day), "001.parquet", t0 + 20000L)
-    stage(sentinel(2 * day), "002.parquet", t0 + 40000L)
+    // corpus wave: ~250k rows/file so the batch-0 scan parallelizes
+    // like a real landing directory; round-robin may leave a partition
+    // empty (written files < targetFiles), so the ACTUAL staged count
+    // m becomes the wave size everywhere it matters
+    val m = stage(projected.repartition(targetFiles), "000", t0)
+    require(m >= 1, "corpus wave staged no files")
+    // a sentinel WAVE: m copies of the one far-future row, one per
+    // file — spark.range(0, m, 1, m) puts exactly one row in each of
+    // its m partitions DETERMINISTICALLY (unlike round-robin). The
+    // duplicate sentinel rows merge into the one sentinel session,
+    // which is excluded from the result anyway.
+    def sentinel(offset: Long) = spark
+      .range(0L, m.toLong, 1L, m).select(
+        lit(SentinelUser).as("user_id"),
+        lit(new java.sql.Timestamp(maxTs + offset)).as("ts"),
+        lit(0.0).as("value"))
+    val m1 = stage(sentinel(day), "001", t0 + 20000L)
+    val m2 = stage(sentinel(2 * day), "002", t0 + 40000L)
+    require(m1 == m && m2 == m,
+      s"sentinel waves staged $m1/$m2 files, corpus wave $m")
 
     val stream = spark.readStream
       .schema(projected.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", m)
       .parquet(srcDir.toString)
     val out = sessionize(stream, gapMinutes)
     val qname = "q116_filestream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(root, "ckpt").toPath
-    withReplayConf(spark) {
+    withReplayConf(spark, nRows) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
@@ -380,13 +426,13 @@ object StreamingPipeline {
     val qname = "q88_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q88")
-    withReplayConf(spark) {
+    withReplayConf(spark, rows.length.toLong) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        rows.grouped(200000).foreach { chunk =>
+        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
           stream.addData(chunk.toIndexedSeq)
           query.processAllAvailable()
         }
@@ -484,7 +530,7 @@ object StreamingPipeline {
     val qname = "q90_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q90")
-    withReplayConf(spark) {
+    withReplayConf(spark, rows.length.toLong) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
@@ -493,7 +539,7 @@ object StreamingPipeline {
         // no sentinel batches needed: dropDuplicatesWithinWatermark is a
         // stateful FILTER — first arrivals emit in their own micro-batch,
         // nothing is held back for watermark finalization
-        rows.grouped(200000).foreach { chunk =>
+        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
           stream.addData(chunk.iterator.map { case (id, text) =>
             (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
           }.toIndexedSeq)
@@ -529,13 +575,13 @@ object StreamingPipeline {
     val qname = "q105_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q105")
-    withReplayConf(spark) {
+    withReplayConf(spark, rows.length.toLong) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        rows.grouped(200000).foreach { chunk =>
+        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
           stream.addData(chunk.iterator.map { case (id, text) =>
             (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
           }.toIndexedSeq)

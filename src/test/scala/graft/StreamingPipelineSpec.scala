@@ -274,6 +274,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("replay state partitions are corpus-sized: floor 8, ~250k rows each, session cap") {
+    assert(StreamingPipeline.replayStatePartitions(0L, 32) == 8)
+    assert(StreamingPipeline.replayStatePartitions(600000L, 32) == 8)
+    assert(StreamingPipeline.replayStatePartitions(2500000L, 32) == 10)
+    assert(StreamingPipeline.replayStatePartitions(6000000L, 32) == 24)
+    assert(StreamingPipeline.replayStatePartitions(60000000L, 32) == 32)
+    assert(StreamingPipeline.replayStatePartitions(60000000L, 200) == 240.min(200))
+    // a session tuned below the floor keeps its own setting as the cap
+    assert(StreamingPipeline.replayStatePartitions(100L, 4) == 8.max(4).min(8))
+  }
+
   test("replay conf dial: batch shuffle partitions restored after a replay") {
     val spark = SparkTestSession.spark
     val key = "spark.sql.shuffle.partitions"
