@@ -172,8 +172,11 @@ object StreamingPipeline {
     * the DATA, not left at the session's batch setting: 32 stores per
     * batch over a gate-sized corpus is pure per-batch fixed cost
     * (measured: q80 5.2→3.8 s, q88 5.3→3.1 s at sf0.1), while a
-    * pinned LOW count throttles the genuine shuffle+state work once
-    * the corpus grows (a fixed 8 cost q80 ~25% at the 6 M-event sf1).
+    * pinned LOW count would throttle the genuine shuffle+state work
+    * once the corpus outgrows it (measured NEUTRAL at the 6 M-event
+    * sf1, where the single-threaded driver feed dominates — the rule
+    * exists so the constant can never become the bottleneck at the
+    * next replica size).
     * Same corpus-sized-rule discipline as the embedding bucket
     * widths: ~250 k rows per state partition, floor 8 (even under a
     * smaller session setting — 8 tiny stores are harmless), capped at
