@@ -258,6 +258,79 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("file-source sessionization survives a stop/restart from checkpoint") {
+    // the production-ingress property q116's single-run parity can't
+    // see: FileStreamSource must recover its offset log (not re-read
+    // batch-0 files) AND flatMapGroupsWithState must recover held
+    // sessions, so sessions spanning the restart still finalize
+    // exactly once with the right bounds. Memory sink refuses
+    // recovery, so foreachBatch into a buffer (at-least-once →
+    // membership assertions on the final set).
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fss_restart").toFile
+    val srcDir = new java.io.File(root, "in"); srcDir.mkdirs()
+    def stageOne(rows: Seq[(Long, Timestamp, Double)], name: String,
+                 mtime: Long): Unit = {
+      val tmp = new java.io.File(root, s"stage_$name")
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    // tight pre-restart window: max ts 10:10 → watermark 10:00, so no
+    // session's end+gap (≥10:35) can ripen before the restart — both
+    // users' sessions must be HELD in state across it
+    stageOne(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2.0),
+      (2L, ts("2024-01-01 10:10:00"), 8.0)), "000.parquet", t0)
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    val ckpt = new java.io.File(root, "ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def start() = StreamingPipeline.sessionize(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString), 30)
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(0), r.getLong(3), r.getDouble(4)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // nothing can have finalized yet: watermark hasn't passed any gap
+    assert(got.synchronized(got.isEmpty))
+
+    // post-restart: an in-gap event must merge INTO the recovered
+    // session (not spawn an overlapping one), then sentinels ripen
+    // everything; the processed corpus file must not re-read
+    stageOne(Seq((1L, ts("2024-01-01 10:20:00"), 4.0)),
+      "001.parquet", t0 + 20000L)
+    stageOne(Seq((-1L, ts("2024-01-03 00:00:00"), 0.0)),
+      "002.parquet", t0 + 40000L)
+    stageOne(Seq((-1L, ts("2024-01-05 00:00:00"), 0.0)),
+      "003.parquet", t0 + 60000L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sessions = got.synchronized(got.filter(_._1 != -1L).toSet)
+    assert(sessions == Set(
+      (1L, 3L, 7.0),   // 10:00+10:05 recovered, 10:20 merged in
+      (2L, 1L, 8.0)))
+  }
+
   test("q90 replay: streamed admission hash set equals batch admission") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
