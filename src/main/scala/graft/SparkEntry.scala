@@ -488,6 +488,13 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    // q119: multimodal → ANN end-to-end — real-codec image features
+    // (q76's synthetic PNGs through extractFeatures' production path)
+    // feeding exact cosine top-k under the embedding tier's
+    // conventions. The oracle recomputes features closed-form from
+    // doc_id and mirrors the sequential fold term by term.
+    "q119_media_feature_topk" -> ((s, dir) => Multimodal.mediaFeatureTopK(
+      Corpus.table(s, dir, "documents"), 200L, 0L, 10)),
   )
 
   /** The q109 SQL text, GENERATED from Dedup's banding constants
@@ -687,6 +694,27 @@ object SparkEntry {
     // the SQL money_sum spelling shares q12's decimal-fold oracle
     "q118_sql_money_sum" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    // closed-form recomputation of the feature pipeline: the channel
+    // mean S/(w·h) is float-exact cross-engine (S < 2^15 exact in
+    // float; the quotient is dyadic-exact or far from any float
+    // midpoint), and the cosine mirrors ArrayDot's sequential fold
+    // term by term ([w,h,3,m,m,m,m,0] against the query's vector)
+    "q119_media_feature_topk" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7 + 8) AS w, (doc_id % 5 + 4) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h, ((x.i * 31 + y.i * 17 + doc_id) % 256) AS v
+        |  FROM d, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)),
+        |f AS (SELECT doc_id, w::DOUBLE AS wd, h::DOUBLE AS hd,
+        |    CAST(sum(v)::DOUBLE / (w * h) AS REAL)::DOUBLE AS m
+        |  FROM px GROUP BY doc_id, w, h),
+        |n AS (SELECT doc_id, wd, hd, m,
+        |    sqrt(wd*wd + hd*hd + 9.0 + m*m + m*m + m*m + m*m) AS nrm FROM f),
+        |q AS (SELECT * FROM n WHERE doc_id = 0)
+        |SELECT n.doc_id AS media_id,
+        |  round((n.wd*q.wd + n.hd*q.hd + 9.0 + n.m*q.m + n.m*q.m + n.m*q.m
+        |    + n.m*q.m) / (n.nrm * q.nrm), 6) AS cos
+        |FROM n, q WHERE n.doc_id <> q.doc_id
+        |ORDER BY cos DESC, media_id LIMIT 10""".stripMargin.replace("\n", " "),
     "q13_top_nations" ->
       "SELECT n.n_name, count(*) AS num_customers, CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY total_bal DESC, n.n_name LIMIT 10",
     "q14_events_agg" ->

@@ -773,6 +773,39 @@ object Multimodal {
     decodeImageMeta(syntheticPngs(docs, maxId)).toDF()
       .orderBy("media_id")
 
+  /** Gate composition (q119): the multimodal tier FEEDING the ANN tier
+    * end-to-end — encode synthetic PNGs, decode them with the real
+    * codec into feature vectors (extractFeatures' production path:
+    * [w, h, bands, mean R, mean G, mean B, mean luma, 0]), then run
+    * exact cosine top-k against the query image's features, with the
+    * same double-cast + sequential ArrayDot fold + round(·,6)
+    * conventions as the embedding tier (Similarity.cosineTopK). The
+    * oracle recomputes the features in closed form from doc_id — the
+    * channel means are float-exact cross-engine because S < 2^15 is
+    * exact in float and S/(w·h) is either dyadic-exact (w·h a power of
+    * two) or too far from any float midpoint for double rounding to
+    * differ from single — and mirrors the fold order term by term.
+    * Scale shape: feature extraction is an embarrassingly parallel
+    * scan (no shuffle); the query row broadcasts; TopK is
+    * TakeOrderedAndProject. A real retrieval corpus swaps the codec
+    * seam, nothing else. */
+  def mediaFeatureTopK(docs: DataFrame, maxId: Long, queryId: Long,
+                       k: Int): DataFrame = {
+    val feats = extractFeatures(syntheticPngs(docs, maxId)).toDF()
+      .withColumn("ed", transform(col("feature"), x => x.cast("double")))
+      .withColumn("nrm",
+        sqrt(graft.functions.ArrayDot.column(col("ed"), col("ed"))))
+    val q = feats.where(col("media_id") === queryId)
+      .select(col("ed").as("q_ed"), col("nrm").as("q_nrm"))
+    feats.where(col("media_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("media_id"),
+        round(graft.functions.ArrayDot.column(col("ed"), col("q_ed"))
+          / (col("nrm") * col("q_nrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("media_id"))
+      .limit(k)
+  }
+
   /** Gate composition (q91): the q76 round trip EXTENDED through the
     * real resizer — synthesize PNGs, pixel-resize them to (tw × th),
     * then decode the RESIZED payloads and report their metadata. The

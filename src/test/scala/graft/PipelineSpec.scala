@@ -402,6 +402,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.agg(sum(col("n_kept"))).head().getLong(0) == keptTotal)
   }
 
+  test("media feature top-k: features match closed form; self excluded; ranks deterministic") {
+    // the q119 composition at unit scale: decoded features must equal
+    // the closed-form [w, h, 3, m, m, m, m, 0] (m = pixel-sum / n,
+    // float-exact — the cross-engine contract the oracle leans on)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticPngs(docs, 10L)).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    (0L until 10L).foreach { id =>
+      val w = (id % 7 + 8).toInt; val h = (id % 5 + 4).toInt
+      val s = (for (x <- 0 until w; y <- 0 until h)
+        yield (x * 31 + y * 17 + id) % 256).sum
+      val m = s.toFloat / (w * h)
+      assert(feats(id).toSeq ==
+        Seq(w.toFloat, h.toFloat, 3f, m, m, m, m, 0f), s"id $id")
+    }
+    val top = Multimodal.mediaFeatureTopK(docs, 10L, 0L, 5).collect()
+    assert(top.length == 5)
+    assert(!top.exists(_.getLong(0) == 0L)) // query excluded
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.sorted(Ordering[Double].reverse).toSeq == cosines.toSeq)
+    assert(cosines.forall(c => c > 0.9 && c <= 1.0)) // near-collinear family
+  }
+
   test("multimodal real codec: PNG round-trip decodes exact pixels, stub only for non-images") {
     // encode→decode must reproduce the closed-form pixel sums (PNG is
     // lossless) — the q76 gate contract, pinned here at unit scale
