@@ -495,6 +495,28 @@ object SparkEntry {
     // doc_id and mirrors the sequential fold term by term.
     "q119_media_feature_topk" -> ((s, dir) => Multimodal.mediaFeatureTopK(
       Corpus.table(s, dir, "documents"), 200L, 0L, 10)),
+    // q120: REAL video decode — the frame-sampling gate through the
+    // AVI container. The JDK ships no video codec, but uncompressed
+    // DIB frames need none: the demux is a real RIFF walker (chunk
+    // sizes, word padding, LIST recursion, BITMAPINFOHEADER,
+    // bottom-up B-G-R stride-padded rasters), so the previously-stub
+    // video tier now decodes exactly as far as a codec-free JVM can —
+    // and the distinct R/G/B closed forms make a demux that mixed up
+    // byte or row order hash-mismatch.
+    "q120_avi_frame_sample" -> ((s, dir) =>
+      Multimodal.sampledAviFrameMetaReport(
+        Corpus.table(s, dir, "documents"), 20L, 3)),
+    // q121: REAL compressed-audio decode — G.711 µ-law, the
+    // log-companded telephony codec whose decompressor the JDK ships.
+    // The oracle recomputes the expansion arithmetically (verified
+    // bit-exact against the javax.sound converter for all 256 codes).
+    "q121_ulaw_decode" -> ((s, dir) => Multimodal.decodedUlawMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
+    // q122: G.711 A-law — the second companding law through the same
+    // decoder seam (even-bit toggle + segment structure vs µ-law's
+    // complement), fresh closed-form constants.
+    "q122_alaw_decode" -> ((s, dir) => Multimodal.decodedAlawMetaReport(
+      Corpus.table(s, dir, "documents"), 20L)),
   )
 
   /** The q109 SQL text, GENERATED from Dedup's banding constants
@@ -1524,6 +1546,55 @@ object SparkEntry {
         |  n AS n_frames, w AS width, h AS height, sum(v)::BIGINT AS gray_sum
         |FROM px GROUP BY doc_id, fi, sf, n, w, h
         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "),
+    // q95's closed-form recomputation pattern with the AVI constants:
+    // w = id%7+6, h = id%3+3, n = id%4+2, R = (x·29+y·13+f·37+id)%256
+    // (the red channel is the gate sum; G/B differ by construction so
+    // a byte-order or row-order demux bug cannot hash-match)
+    "q120_avi_frame_sample" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7 + 6) AS w, (doc_id % 3 + 3) AS h,
+        |    (doc_id % 4 + 2) AS n FROM documents WHERE doc_id < 20),
+        |f AS (SELECT doc_id, w, h, n, j.i AS fi, (j.i * n) // least(3, n) AS sf
+        |  FROM d, unnest(range(0, least(3, n))) AS j(i)),
+        |px AS (SELECT doc_id, fi, sf, n, w, h,
+        |    ((x.i * 29 + y.i * 13 + sf * 37 + doc_id) % 256) AS v
+        |  FROM f, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i))
+        |SELECT doc_id AS media_id, fi AS frame_idx, sf AS src_frame,
+        |  n AS n_frames, w AS width, h AS height, sum(v)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id, fi, sf, n, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "),
+    // arithmetic recomputation of the JDK's G.711 µ-law expansion
+    // (verified bit-exact for all 256 code bytes): code byte i of
+    // doc_id's clip = (i·13 + doc_id·7) mod 256 over n = id%45+90;
+    // x = 255−b, value = sign(b<128) · ((((x&15)·2+33)<<((x>>4)&7))−33)·4
+    "q121_ulaw_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 45 + 90) AS n
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, n, ((i.i * 13 + doc_id * 7) % 256) AS b
+        |  FROM d, unnest(range(0, n)) AS i(i)),
+        |v AS (SELECT doc_id, n, b, 255 - b AS x FROM s)
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels, 8::BIGINT AS bits, n AS n_samples,
+        |  sum((CASE WHEN b < 128 THEN -1 ELSE 1 END) *
+        |      (((((x & 15) * 2 + 33) << ((x >> 4) & 7)) - 33) * 4))::BIGINT
+        |    AS sample_sum
+        |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the A-law twin: code byte i = (i·17 + doc_id·23) mod 256 over
+    // n = id%35+70; x = b XOR 0x55, mag = e=0 ? 2m+1 : (2m+33)<<(e−1),
+    // value = sign(b≥128) · mag · 8 (also verified for all 256 codes)
+    "q122_alaw_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 35 + 70) AS n
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, n, ((i.i * 17 + doc_id * 23) % 256) AS b
+        |  FROM d, unnest(range(0, n)) AS i(i)),
+        |v AS (SELECT doc_id, n, b, xor(b, 85) AS x FROM s),
+        |e AS (SELECT doc_id, n, b, ((x >> 4) & 7) AS e, (x & 15) AS m FROM v)
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels, 8::BIGINT AS bits, n AS n_samples,
+        |  sum((CASE WHEN b >= 128 THEN 1 ELSE -1 END) *
+        |      ((CASE WHEN e = 0 THEN 2*m + 1
+        |             ELSE (2*m + 33) << (e - 1) END) * 8))::BIGINT
+        |    AS sample_sum
+        |FROM e GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change

@@ -88,12 +88,16 @@ final case class MediaQuarantineReport(
   * Decode/feature-extraction runs per PARTITION (one codec instance per
   * task, amortized over its rows — the mapInPandas batch pattern in
   * Dataset form), never per row, and never on the driver. Codecs are
-  * injected seams: images (PNG/BMP/GIF/JPEG via javax.imageio — incl.
-  * multi-frame GIF sampling) and WAV-PCM audio (javax.sound.sampled)
-  * decode for REAL with JDK built-ins; `stubDecoder` remains only for
-  * payloads beyond the JDK's codecs (video, compressed audio — not in
-  * this container). Everything around the seams — encoders, schema,
-  * partition mapping, metadata derivation — is real and tested.
+  * injected seams, and every family the JVM can reach decodes for
+  * REAL: images (PNG/BMP/GIF/JPEG/TIFF via javax.imageio, incl.
+  * multi-frame sampling), PCM audio (WAV/AIFF/AU via
+  * javax.sound.sampled), COMPRESSED G.711 µ-law/A-law audio (the JDK's
+  * own decompressor), and uncompressed-DIB AVI video (a real RIFF
+  * demux — the container needs no codec). `stubDecoder` remains only
+  * for payloads a codec-free JVM genuinely cannot decode (mp4, mp3 —
+  * those quarantine, q114). Everything around the seams — encoders,
+  * schema, partition mapping, metadata derivation — is real and
+  * tested.
   */
 object Multimodal {
 
@@ -571,40 +575,67 @@ object Multimodal {
     }
   }
 
-  /** Container parse + 16-bit-PCM sample reconstruction; `media_id` is
-    * a placeholder the caller rewrites. None is the QUARANTINE
-    * outcome: unrecognized container (mp3 etc. — AudioSystem throws
+  /** Container parse + sample reconstruction; `media_id` is a
+    * placeholder the caller rewrites. None is the QUARANTINE outcome:
+    * unrecognized container (mp3 etc. — AudioSystem throws
     * UnsupportedAudioFileException), corrupt body, or an encoding this
-    * path does not reconstruct. Shared by the decode gates
-    * (q96/q111/q112) and the quarantine audit (q114), so the audit
-    * grades exactly the production decode rule. */
-  private def parseAudio(payload: Array[Byte]): Option[MediaAudioMeta] =
+    * path does not reconstruct. Two encodings DO reconstruct:
+    *
+    *  - 16-bit signed PCM (WAV/AIFF/AU, either endianness) — read raw;
+    *  - G.711 µ-law / A-law, the COMPRESSED telephony codecs the JDK
+    *    ships a real decompressor for (com.sun.media.sound codecs via
+    *    AudioSystem format conversion) — expanded to 16-bit PCM before
+    *    folding, with `bits` reporting the CONTAINER's 8-bit samples
+    *    so the gate certifies the parse saw the compressed format.
+    *
+    * Shared by the decode gates (q96/q111/q112/q121/q122) and the
+    * quarantine audit (q114), so the audit grades exactly the
+    * production decode rule. */
+  private def parseAudio(payload: Array[Byte]): Option[MediaAudioMeta] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import AudioFormat.Encoding
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 ||
-            fmt.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-        else {
-          val bytes = ais.readAllBytes()
-          val total = bytes.length / 2 // per-channel samples, folded
-          var s = 0L
-          var i = 0
-          while (i < total) {
-            val (hi, lo) =
-              if (fmt.isBigEndian) (bytes(2 * i), bytes(2 * i + 1) & 0xff)
-              else (bytes(2 * i + 1), bytes(2 * i) & 0xff)
-            s += (hi.toInt << 8) | lo // hi sign-extends: signed 16-bit
-            i += 1
-          }
+        val enc = fmt.getEncoding
+        if (enc == Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16) {
+          val (n, s) = foldPcm16(ais.readAllBytes(), fmt.isBigEndian)
           Some(MediaAudioMeta(-1L, fmt.getSampleRate.toLong,
-            fmt.getChannels.toLong, fmt.getSampleSizeInBits.toLong,
-            total.toLong / fmt.getChannels, s))
-        }
+            fmt.getChannels.toLong, 16L, n / fmt.getChannels, s))
+        } else if ((enc == Encoding.ULAW || enc == Encoding.ALAW) &&
+            fmt.getSampleSizeInBits == 8) {
+          // REAL decompression: the JDK's G.711 codec expands each
+          // 8-bit log-companded sample to linear 16-bit PCM.
+          val dst = new AudioFormat(Encoding.PCM_SIGNED, fmt.getSampleRate,
+            16, fmt.getChannels, 2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(dst, ais)
+          try {
+            val (n, s) = foldPcm16(pcm.readAllBytes(), bigEndian = false)
+            Some(MediaAudioMeta(-1L, fmt.getSampleRate.toLong,
+              fmt.getChannels.toLong, 8L, n / fmt.getChannels, s))
+          } finally pcm.close()
+        } else None
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fold a 16-bit signed PCM byte buffer into (sample count, sum),
+    * honoring the declared endianness. */
+  private def foldPcm16(bytes: Array[Byte], bigEndian: Boolean): (Long, Long) = {
+    val total = bytes.length / 2
+    var s = 0L
+    var i = 0
+    while (i < total) {
+      val (hi, lo) =
+        if (bigEndian) (bytes(2 * i), bytes(2 * i + 1) & 0xff)
+        else (bytes(2 * i + 1), bytes(2 * i) & 0xff)
+      s += (hi.toInt << 8) | lo // hi sign-extends: signed 16-bit
+      i += 1
+    }
+    (total.toLong, s)
+  }
 
   /** Gate composition (q96): synthesize WAVs from doc ids, round-trip
     * them through the real JDK audio codec, and report decoded format +
@@ -692,6 +723,274 @@ object Multimodal {
     * completer; same decoder, fresh closed-form constants. */
   def decodedAuMetaReport(docs: DataFrame, maxId: Long): DataFrame =
     decodeAudioMeta(syntheticAus(docs, maxId)).toDF().orderBy("media_id")
+
+  /** Wrap closed-form G.711 code bytes in a WAV container with the
+    * given companded encoding (ULAW → WAVE_FORMAT_MULAW, ALAW →
+    * WAVE_FORMAT_ALAW — both written by the JDK's own RIFF writer), so
+    * the decode side exercises a genuine compressed-audio container
+    * parse, not a byte echo. */
+  private def g711Wavs(docs: DataFrame, maxId: Long,
+                       encoding: javax.sound.sampled.AudioFormat.Encoding,
+                       nOf: Long => Int, byteOf: (Long, Int) => Int)
+      : Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val encName = encoding.toString // Encoding is not serializable-stable; rebuild per task
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+        val enc = new AudioFormat.Encoding(encName)
+        it.map { id =>
+          val n = nOf(id)
+          val code = new Array[Byte](n)
+          var i = 0
+          while (i < n) { code(i) = byteOf(id, i).toByte; i += 1 }
+          val fmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(code), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio/wav", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** Deterministic synthetic µ-LAW WAV payloads (q121) — the first
+    * COMPRESSED audio codec decoded for real: G.711 µ-law is the
+    * log-companded telephony codec (8 bits/sample carrying ~14-bit
+    * dynamic range), and the JDK ships its actual decompressor. Code
+    * byte i of doc_id's clip = (i·13 + doc_id·7) mod 256 over
+    * n = doc_id%45+90 samples — closed form, and the oracle recomputes
+    * the JDK's expansion arithmetically (verified bit-exact for all
+    * 256 code bytes against the javax.sound converter):
+    * x = 255−b; value = sign(b<128 → −1) · ((((x&15)·2+33) << ((x>>4)&7)) − 33) · 4. */
+  def syntheticUlawWavs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] =
+    g711Wavs(docs, maxId, javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      id => (id % 45 + 90).toInt, (id, i) => ((i * 13 + id * 7) % 256).toInt)
+
+  /** Gate composition (q121): decode the µ-law WAVs through the shared
+    * `decodeAudioMeta` path — container parse by the JDK RIFF reader,
+    * sample expansion by the JDK G.711 decompressor, sum folded over
+    * the reconstructed linear PCM. `bits` = 8 certifies the parse saw
+    * the compressed format. */
+  def decodedUlawMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeAudioMeta(syntheticUlawWavs(docs, maxId)).toDF().orderBy("media_id")
+
+  /** Deterministic synthetic A-LAW WAV payloads (q122) — G.711's
+    * second companding law (the European variant: different segment
+    * structure, even-bit toggle instead of complement). Code byte i =
+    * (i·17 + doc_id·23) mod 256 over n = doc_id%35+70 samples; oracle
+    * expansion (verified bit-exact for all 256 code bytes):
+    * x = b XOR 0x55; m = x&15; e = (x>>4)&7;
+    * mag = e=0 ? 2m+1 : (2m+33) << (e−1); value = sign(b≥128 → +1) · mag · 8. */
+  def syntheticAlawWavs(docs: DataFrame, maxId: Long): Dataset[MediaRecord] =
+    g711Wavs(docs, maxId, javax.sound.sampled.AudioFormat.Encoding.ALAW,
+      id => (id % 35 + 70).toInt, (id, i) => ((i * 17 + id * 23) % 256).toInt)
+
+  /** Gate composition (q122): q121 over A-law — same decoder seam,
+    * second companding law, fresh closed-form constants. */
+  def decodedAlawMetaReport(docs: DataFrame, maxId: Long): DataFrame =
+    decodeAudioMeta(syntheticAlawWavs(docs, maxId)).toDF().orderBy("media_id")
+
+  // ======================= video: AVI demux =======================
+  // The JDK ships no video CODEC, but a video CONTAINER needs none for
+  // uncompressed payloads: AVI (RIFF 'AVI ') with raw 24-bit DIB
+  // frames is a spec-complete video file any player opens. The demux
+  // below is a real RIFF walker (chunk sizes, word padding, LIST
+  // recursion, BITMAPINFOHEADER, bottom-up BGR rasters with 4-byte row
+  // stride) — so the video tier decodes for real exactly as far as a
+  // codec-free JVM can, and quarantines the rest (compressed '00dc'
+  // frames, non-BI_RGB, anything structurally broken).
+
+  private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+  private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    b.write((v >> 16) & 0xff); b.write((v >>> 24) & 0xff)
+  }
+  private def fourcc(b: java.io.ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Deterministic synthetic uncompressed-DIB AVIs keyed off the
+    * documents table: doc_id < maxId becomes an AVI of width
+    * doc_id%7+6 (6…12 — covers all three nonzero stride paddings AND
+    * the pad-free widths), height doc_id%3+3, doc_id%4+2 frames, where
+    * frame f's pixel (x, y) holds R = v = (x·29 + y·13 + f·37 +
+    * doc_id) mod 256, G = (v+85) mod 256, B = (v+170) mod 256 —
+    * closed-form recomputable from doc_id, and the three channels
+    * DIFFER so a demux that mixed up the DIB's B-G-R byte order (or
+    * its bottom-up row order) fails the red-sum gate. Container layout
+    * is the spec shape: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    * strf)) LIST('movi' '00db'×n)). */
+  def syntheticDibAvis(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where(col("doc_id") < maxId).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 7 + 6).toInt
+          val h = (id % 3 + 3).toInt
+          val n = (id % 4 + 2).toInt
+          val stride = ((w * 3 + 3) / 4) * 4
+          val fs = stride * h
+          val b = new java.io.ByteArrayOutputStream()
+          // sizes: strl content = 'strl'(4) + strh(8+56) + strf(8+40)
+          val strlSz = 4 + 64 + 48
+          // hdrl content = 'hdrl'(4) + avih(8+56) + LIST strl(8+strlSz)
+          val hdrlSz = 4 + 64 + 8 + strlSz
+          // movi content = 'movi'(4) + n frame chunks (8+fs each; fs is
+          // a multiple of 4, so chunks stay word-aligned with no pad)
+          val moviSz = 4 + n * (8 + fs)
+          val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+          fourcc(b, "RIFF"); le32(b, riffSz); fourcc(b, "AVI ")
+          fourcc(b, "LIST"); le32(b, hdrlSz); fourcc(b, "hdrl")
+          fourcc(b, "avih"); le32(b, 56)
+          le32(b, 40000); le32(b, 0); le32(b, 0); le32(b, 0) // us/frame…
+          le32(b, n); le32(b, 0); le32(b, 1); le32(b, 0)     // frames, streams
+          le32(b, w); le32(b, h)
+          (0 until 4).foreach(_ => le32(b, 0))               // reserved
+          fourcc(b, "LIST"); le32(b, strlSz); fourcc(b, "strl")
+          fourcc(b, "strh"); le32(b, 56)
+          fourcc(b, "vids"); fourcc(b, "DIB ")
+          le32(b, 0); le16(b, 0); le16(b, 0); le32(b, 0)     // flags, prio, init
+          le32(b, 1); le32(b, 25); le32(b, 0); le32(b, n)    // scale, rate, start, length
+          le32(b, fs); le32(b, 0); le32(b, 0)                // bufsize, quality, sampleSize
+          le16(b, 0); le16(b, 0); le16(b, w); le16(b, h)     // rcFrame
+          fourcc(b, "strf"); le32(b, 40)                     // BITMAPINFOHEADER
+          le32(b, 40); le32(b, w); le32(b, h); le16(b, 1); le16(b, 24)
+          le32(b, 0) /* BI_RGB */ ; le32(b, fs)
+          le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+          fourcc(b, "LIST"); le32(b, moviSz); fourcc(b, "movi")
+          var f = 0
+          while (f < n) {
+            fourcc(b, "00db"); le32(b, fs)
+            var row = h - 1 // DIB rasters are BOTTOM-UP
+            while (row >= 0) {
+              var x = 0
+              while (x < w) {
+                val v = ((x * 29 + row * 13 + f * 37 + id) % 256).toInt
+                b.write((v + 170) % 256) // B
+                b.write((v + 85) % 256)  // G
+                b.write(v)               // R
+                x += 1
+              }
+              var pad = stride - w * 3
+              while (pad > 0) { b.write(0); pad -= 1 }
+              row -= 1
+            }
+            f += 1
+          }
+          MediaRecord(id, "video/x-msvideo", b.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  /** One demuxed uncompressed-DIB AVI: dimensions plus the byte
+    * offset of each frame chunk's raster. */
+  private final case class AviStream(w: Int, h: Int,
+                                     frameOffsets: Vector[Int])
+
+  /** REAL RIFF/AVI demux. None is the QUARANTINE outcome: wrong
+    * magic, compressed frame chunks ('00dc' — no codec in this JVM),
+    * a non-BI_RGB or non-24-bit strf, truncated chunks, or no frames.
+    * Walks chunks by declared size with RIFF's word padding and
+    * recurses into LIST bodies, so spec-valid writers that emit
+    * extra chunks (idx1, JUNK, rec-grouped movi) still demux. */
+  private def parseAvi(p: Array[Byte]): Option[AviStream] =
+    try {
+      def u32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      def cc(off: Int): String =
+        new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (p.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") None
+      else {
+        var w = -1; var h = -1; var bitCount = -1; var compression = -1
+        var compressedFrames = false
+        val frames = Vector.newBuilder[Int]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = cc(off)
+            val sz = u32(off + 4)
+            val body = off + 8
+            if (sz < 0 || body + sz > p.length) throw new IllegalArgumentException("truncated chunk")
+            if (id == "LIST") walk(body + 4, body + sz)
+            else if (id == "strf" && sz >= 40) {
+              w = u32(body + 4); h = u32(body + 8)
+              bitCount = (p(body + 14) & 0xff) | ((p(body + 15) & 0xff) << 8)
+              compression = u32(body + 16)
+            } else if (id == "00db") frames += body
+            else if (id == "00dc") compressedFrames = true
+            off = body + sz + (sz & 1) // RIFF chunks pad to word boundary
+          }
+        }
+        walk(12, math.min(p.length, 8 + u32(4)))
+        val fr = frames.result()
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (compressedFrames || w <= 0 || h <= 0 || bitCount != 24 ||
+            compression != 0 || fr.isEmpty ||
+            fr.exists(off => off + stride.toLong * h > p.length)) None
+        else Some(AviStream(w, h, fr))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Red-channel sum of one demuxed frame: bottom-up rows, B-G-R
+    * pixel order, stride-padded — the raster semantics a DIB decode
+    * must honor (and exactly what the closed-form gate certifies). */
+  private def aviFrameRedSum(p: Array[Byte], s: AviStream, k: Int): Long = {
+    val stride = ((s.w * 3 + 3) / 4) * 4
+    val base = s.frameOffsets(k)
+    var sum = 0L
+    var y = 0
+    while (y < s.h) {
+      val rowBase = base + (s.h - 1 - y) * stride
+      var x = 0
+      while (x < s.w) { sum += p(rowBase + 3 * x + 2) & 0xff; x += 1 }
+      y += 1
+    }
+    sum
+  }
+
+  /** REAL video frame sampling (q120): demux the AVI container, count
+    * frames from the actual chunk structure, sample up to `maxFrames`
+    * under the same pinned floor rule as the image samplers
+    * (src = j·n / min(maxFrames, n)), decode each SAMPLED raster only,
+    * and report its dimensions + red-channel sum. Undecodable payloads
+    * quarantine (flatMap skip) — the stance of every codec seam here.
+    * Scale shape: embarrassingly parallel map, no shuffle; only
+    * sampled frames' rasters are ever walked. */
+  def sampleAviFrameMeta(media: Dataset[MediaRecord], maxFrames: Int)
+      : Dataset[MediaFrameMeta] = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseAvi(r.payload).toList.flatMap { s =>
+          val n = s.frameOffsets.length
+          val kk = math.min(maxFrames, n)
+          (0 until kk).map { j =>
+            val src = j * n / kk
+            MediaFrameMeta(r.media_id, j.toLong, src.toLong, n.toLong,
+              s.w.toLong, s.h.toLong, aviFrameRedSum(r.payload, s, src))
+          }
+        }
+      }
+    }
+  }
+
+  /** Gate composition (q120): the q95/q108 frame-sampling gate shape
+    * through the VIDEO container — synthesize DIB AVIs, demux with the
+    * real RIFF walker, decode sampled rasters, hash-check against the
+    * oracle's closed-form recomputation. With GIF, TIFF, and now AVI
+    * all sampling through the same floor rule, the sampler is
+    * certified container-generic across image AND video families. */
+  def sampledAviFrameMetaReport(docs: DataFrame, maxId: Long,
+                                maxFrames: Int): DataFrame =
+    sampleAviFrameMeta(syntheticDibAvis(docs, maxId), maxFrames).toDF()
+      .orderBy("media_id", "frame_idx")
 
   /** Deterministic synthetic PNG payloads keyed off the documents
     * table (the corpus ships no binary tables): doc_id < maxId becomes
@@ -834,9 +1133,12 @@ object Multimodal {
     *    the decode gates use. Compressed codecs the JDK lacks (mp3 —
     *    `UnsupportedAudioFileException`) quarantine via the attempt,
     *    not via label matching.
-    *  - video types and anything else → no codec ships in this
-    *    container (the declared JDK limitation): quarantined
-    *    immediately, counted, never crashed on, never passed through.
+    *  - video types → the RIFF/AVI demux (uncompressed-DIB frames
+    *    decode for real; q120). Codec-needing payloads (mp4, '00dc'
+    *    compressed frames — no video codec ships in a bare JVM) are
+    *    quarantined via the attempt: counted, never crashed on, never
+    *    passed through.
+    *  - anything else → no decoder family: quarantined immediately.
     *
     * Decoded rows carry a POST-decode checksum (image red sum / audio
     * sample sum — values that exist only after real pixel/PCM
@@ -857,6 +1159,14 @@ object Multimodal {
             decodeImage(r.payload).map(redSum)
           else if (r.media_type.startsWith("audio/"))
             parseAudio(r.payload).map(_.sample_sum)
+          else if (r.media_type.startsWith("video/"))
+            // the demux ATTEMPT is real (uncompressed-DIB AVI decodes;
+            // checksum = all frames' red sums); codec-needing payloads
+            // quarantine via the attempt, not via label matching
+            parseAvi(r.payload).map { s =>
+              (0 until s.frameOffsets.length)
+                .foldLeft(0L)((a, k) => a + aviFrameRedSum(r.payload, s, k))
+            }
           else None
         decoded match {
           case Some(ck) => (r.media_type, 1L, 0L, 0L, ck)

@@ -617,6 +617,112 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("real compressed-audio decode: G.711 ulaw/alaw expand bit-exactly; oracle formula == JDK table") {
+    // the oracle-side closed forms must equal the JDK's G.711
+    // decompressor for EVERY code byte — pin the full 256-entry table
+    // for both companding laws against the real converter
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import AudioFormat.Encoding
+    def jdkExpand(enc: AudioFormat.Encoding): Array[Int] = {
+      val code = Array.tabulate[Byte](256)(_.toByte)
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val pcm = AudioSystem.getAudioInputStream(dst,
+        new AudioInputStream(new java.io.ByteArrayInputStream(code), src, 256))
+      val out = pcm.readAllBytes()
+      Array.tabulate(256)(b => (out(2 * b + 1).toInt << 8) | (out(2 * b) & 0xff))
+    }
+    def ulawForm(b: Int): Int = {
+      val x = 255 - b
+      (if (b < 128) -1 else 1) * (((((x & 15) * 2 + 33) << ((x >> 4) & 7)) - 33) * 4)
+    }
+    def alawForm(b: Int): Int = {
+      val x = b ^ 0x55
+      val (e, m) = ((x >> 4) & 7, x & 15)
+      val mag = if (e == 0) 2 * m + 1 else (2 * m + 33) << (e - 1)
+      (if (b >= 128) 1 else -1) * (mag * 8)
+    }
+    val (ju, ja) = (jdkExpand(Encoding.ULAW), jdkExpand(Encoding.ALAW))
+    (0 until 256).foreach { b =>
+      assert(ju(b) == ulawForm(b), s"ulaw code $b")
+      assert(ja(b) == alawForm(b), s"alaw code $b")
+    }
+    // the q121/q122 gate contracts at unit scale: compressed WAV
+    // containers through the SHARED decodeAudioMeta path — container
+    // parsed (bits=8 proves the parse saw the companded format),
+    // samples really decompressed (sums equal the expanded closed form)
+    val um = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticUlawWavs(docs, 10L)).collect()
+    assert(um.length == 10)
+    um.foreach { m =>
+      assert(m.sample_rate == 8000L && m.n_channels == 1L && m.bits == 8L)
+      assert(m.n_samples == m.media_id % 45 + 90)
+      val expected = (0L until m.n_samples)
+        .map(i => ulawForm(((i * 13 + m.media_id * 7) % 256).toInt).toLong).sum
+      assert(m.sample_sum == expected)
+    }
+    val am = Multimodal.decodeAudioMeta(
+      Multimodal.syntheticAlawWavs(docs, 10L)).collect()
+    assert(am.length == 10)
+    am.foreach { m =>
+      assert(m.bits == 8L && m.n_samples == m.media_id % 35 + 70)
+      val expected = (0L until m.n_samples)
+        .map(i => alawForm(((i * 17 + m.media_id * 23) % 256).toInt).toLong).sum
+      assert(m.sample_sum == expected)
+    }
+  }
+
+  test("real video demux: uncompressed-DIB AVI frames decode exactly; compressed/corrupt quarantine") {
+    // the q120 gate contract at unit scale: the RIFF walker must
+    // recover frame counts from chunk structure and rasters from
+    // bottom-up B-G-R stride-padded rows — the closed form is on the
+    // RED channel, so byte-order or row-order bugs cannot pass
+    val metas = Multimodal.sampleAviFrameMeta(
+      Multimodal.syntheticDibAvis(docs, 10L), 3).collect()
+    val byId = metas.groupBy(_.media_id)
+    assert(byId.keySet == (0L until 10L).toSet)
+    byId.foreach { case (id, fs) =>
+      val (w, h, n) = (id % 7 + 6, id % 3 + 3, id % 4 + 2)
+      assert(fs.length == math.min(3L, n))
+      fs.sortBy(_.frame_idx).zipWithIndex.foreach { case (m, j) =>
+        assert(m.n_frames == n && m.width == w && m.height == h)
+        assert(m.src_frame == j * n / math.min(3L, n))
+        val expected = (for (x <- 0L until w; y <- 0L until h)
+          yield (x * 29 + y * 13 + m.src_frame * 37 + id) % 256).sum
+        assert(m.gray_sum == expected, s"avi $id frame $j")
+      }
+    }
+    val s = spark
+    import s.implicits._
+    val valid = Multimodal.syntheticDibAvis(docs, 1L).collect().head.payload
+    // a compressed-frame AVI ('00dc' chunks) needs a codec no bare JVM
+    // has: flip the frame fourccs and the demux must quarantine
+    val compressed = valid.clone()
+    var i = 0
+    while (i + 4 <= compressed.length) {
+      if (compressed(i) == '0' && compressed(i + 1) == '0' &&
+          compressed(i + 2) == 'd' && compressed(i + 3) == 'b')
+        compressed(i + 3) = 'c'
+      i += 1
+    }
+    val junk = Seq(
+      MediaRecord(97L, "video/x-msvideo", compressed, "junk"),
+      MediaRecord(98L, "video/x-msvideo", valid.take(40), "junk"),
+      MediaRecord(99L, "video/x-msvideo", "RIFFjunk".getBytes("UTF-8"), "junk")).toDS()
+    assert(Multimodal.sampleAviFrameMeta(junk, 3).collect().isEmpty)
+    // the quarantine audit's video branch runs the SAME demux attempt:
+    // a valid AVI lands DECODED with an all-frames red-sum checksum,
+    // the hostile ones land quarantined
+    val mixed = Seq(MediaRecord(0L, "video/x-msvideo", valid, "ok")).toDS()
+      .union(junk)
+    val audited = Multimodal.quarantineAudit(mixed).collect()
+    assert(audited.length == 1)
+    assert(audited.head.getLong(2) == 1L && audited.head.getLong(3) == 3L)
+    val allFrames = (for (f <- 0L until 2L; x <- 0L until 6L; y <- 0L until 3L)
+      yield (x * 29 + y * 13 + f * 37) % 256).sum // id=0: w=6,h=3,n=2
+    assert(audited.head.getLong(5) == allFrames)
+  }
+
   test("codec quarantine contract: every row decoded or quarantined, never crashed, never passed") {
     // the q114 gate contract at unit scale: the audit must account for
     // EVERY planted row (n_decoded + n_quarantined == n_total per
