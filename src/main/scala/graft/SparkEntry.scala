@@ -517,6 +517,16 @@ object SparkEntry {
     // complement), fresh closed-form constants.
     "q122_alaw_decode" -> ((s, dir) => Multimodal.decodedAlawMetaReport(
       Corpus.table(s, dir, "documents"), 20L)),
+    // q123: corpus-wide PARAGRAPH-level dedup — the C4/RefinedWeb
+    // boilerplate strip no document-level pass can do. Keeper = the
+    // corpus-wide first occurrence per content key via partial+final
+    // min-struct agg (skew-safe where a row_number window would put
+    // every occurrence of a hot boilerplate key in ONE partition);
+    // docs reassembled from surviving paragraphs in original order,
+    // gated by per-source counts plus a portable hash over the
+    // cleaned texts.
+    "q123_paragraph_dedup" -> ((s, dir) => Dedup.paragraphDedupSummary(
+      Corpus.table(s, dir, "documents"))),
   )
 
   /** The q109 SQL text, GENERATED from Dedup's banding constants
@@ -1595,6 +1605,41 @@ object SparkEntry {
         |             ELSE (2*m + 33) << (e - 1) END) * 8))::BIGINT
         |    AS sample_sum
         |FROM e GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " "),
+    // the same planted paragraph construction (three ⌊n/3⌋ segments +
+    // the Dedup-constant banner/footer — interpolated, defined once),
+    // keep-first by (doc_id, idx) via row_number (fine at oracle
+    // scale; the ENGINE side uses the skew-safe agg), docs rebuilt
+    // from survivors, hashed with the portable 60-bit hash
+    "q123_paragraph_dedup" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, source, tk, len(tk) AS n, len(tk) // 3 AS b1,
+        |    (len(tk) * 2) // 3 AS b2 FROM t),
+        |segs AS (SELECT doc_id, source,
+        |  [array_to_string(tk[1:b1], ' '), array_to_string(tk[b1+1:b2], ' '),
+        |   array_to_string(tk[b2+1:n], ' ')] AS s FROM b),
+        |p1 AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
+        |    THEN [s[1], '${Dedup.ParaBanner}', s[2], s[3]] ELSE s END AS s1
+        |  FROM segs),
+        |p2 AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+        |    THEN list_append(s1, '${Dedup.ParaFooter}') ELSE s1 END AS s2
+        |  FROM p1),
+        |p AS (SELECT doc_id, source, u.i - 1 AS para_idx, s2[u.i] AS para
+        |  FROM p2, unnest(range(1, len(s2) + 1)) AS u(i)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY para
+        |    ORDER BY doc_id, para_idx) AS rn FROM p),
+        |d AS (SELECT doc_id, source, count(*) AS n_paras,
+        |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+        |      ORDER BY para_idx), '') AS cleaned
+        |  FROM r GROUP BY doc_id, source)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_paras)::BIGINT AS paras_total,
+        |  sum(n_kept)::BIGINT AS paras_kept,
+        |  sum(CASE WHEN n_kept < n_paras THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_changed,
+        |  sum(('0x'||substr(sha256(cleaned||'#pd'),1,15))::BIGINT
+        |      % 1000000000)::BIGINT AS cleaned_hash_sum
+        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change

@@ -842,6 +842,88 @@ object Dedup {
       .orderBy("source")
   }
 
+  // ================ paragraph-level (intra-doc unit) dedup ================
+
+  /** Boilerplate strings the q123 fixture plants corpus-wide (a site
+    * banner in every doc_id%3==0 document, a footer in every
+    * doc_id%5==0 one) — the duplicated-across-the-web unit the
+    * paragraph pass exists to strip. */
+  val ParaBanner = "subscribe to our newsletter today"
+  val ParaFooter = "all rights reserved"
+
+  /** Deterministic paragraph structure planted over the documents
+    * table (the corpus text is one line, so the gate constructs the
+    * multi-paragraph shape both engines can recompute): each doc's
+    * tokens split into three contiguous segments (boundaries at
+    * ⌊n/3⌋ and ⌊2n/3⌋), with [[ParaBanner]] inserted at position 1
+    * for doc_id%3==0 and [[ParaFooter]] appended for doc_id%5==0.
+    * Output: one row per (doc_id, source, para_idx, para). */
+  def plantedParagraphs(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val b1 = (n / 3).cast("int")
+    val b2 = (n * 2 / 3).cast("int")
+    val segs = array(
+      array_join(slice(toks, lit(1), b1), " "),
+      array_join(slice(toks, b1 + 1, b2 - b1), " "),
+      array_join(slice(toks, b2 + 1, n - b2), " "))
+    val withBanner = when(col("doc_id") % 3 === 0,
+      concat(slice(segs, 1, 1), array(lit(ParaBanner)), slice(segs, 2, 2)))
+      .otherwise(segs)
+    val withFooter = when(col("doc_id") % 5 === 0,
+      concat(withBanner, array(lit(ParaFooter)))).otherwise(withBanner)
+    docs.select(col("doc_id"), col("source"),
+        posexplode(withFooter).as(Seq("para_idx", "para")))
+  }
+
+  /** Corpus-wide PARAGRAPH-level exact dedup (q123) — the C4/
+    * RefinedWeb-style cleanup no document-level pass can do: a
+    * paragraph occurrence survives iff it is the corpus-wide FIRST
+    * occurrence of its content (ordered by doc_id, then position), so
+    * boilerplate repeated across millions of pages is stripped
+    * everywhere but its first sighting while unique prose is
+    * untouched. Docs are then REASSEMBLED from their surviving
+    * paragraphs in original order.
+    *
+    * Scale shape, deliberately: paragraphs travel as sha256 CONTENT
+    * KEYS (64 bytes regardless of paragraph size); the keeper per key
+    * is a partial+final `min(struct(doc_id, idx))` aggregate — NOT a
+    * row_number window, because a window partition on a boilerplate
+    * key holds ONE ROW PER OCCURRENCE (billions at web scale, all in
+    * one partition = the classic skew cliff), while the agg folds the
+    * same hot key map-side on every input partition. The keeper join
+    * is hash-colocated with the agg (same key ⇒ one Exchange feeds
+    * both sides), and reassembly is one groupBy(doc) over
+    * bounded-size per-doc paragraph lists. */
+  def paragraphDedupSummary(docs: DataFrame): DataFrame = {
+    val paras = plantedParagraphs(docs)
+      .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
+        sha2(col("para"), 256).as("h"))
+    val keepers = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
+    val flagged = paras.join(keepers, "h")
+      .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
+        (col("keeper.doc_id") === col("doc_id") &&
+         col("keeper.para_idx") === col("para_idx")).as("kept"))
+    val perDoc = flagged.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          filter(array_sort(collect_list(
+            struct(col("para_idx"), col("kept"), col("para")))),
+            p => p.getField("kept")),
+          p => p.getField("para")), "\n").as("cleaned"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_paras")).as("paras_total"),
+        sum(col("n_kept")).as("paras_kept"),
+        sum(when(col("n_kept") < col("n_paras"), 1L).otherwise(0L))
+          .as("docs_changed"),
+        sum(hash64Sql(col("cleaned"), "pd") % 1000000000L)
+          .as("cleaned_hash_sum"))
+      .orderBy("source")
+  }
+
   /** Char-n-gram Jaccard pairs within a bounded id window — the
     * verification metric used to audit the LSH tier (all-pairs is
     * restricted to the window; the scale path IS lshNearDupPairs). */

@@ -1032,6 +1032,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(zr.head.getDouble(2) == 0.0 && zr.head.getDouble(3) == 0.0)
   }
 
+  test("paragraph dedup: keep-first across corpus, within-doc dups stripped, hash pins cleaned text") {
+    val s = spark
+    import s.implicits._
+    // d0: %3 and %5 both plant; d1: byte-identical text, no plants —
+    // every organic paragraph is a later occurrence of d0's; d2:
+    // within-doc duplicate segment; d3: planted banner is a later
+    // occurrence of d0's banner, organic paras unique
+    val crafted = Seq(
+      (0L, "s", "a b c d e f g h i"),
+      (1L, "s", "a b c d e f g h i"),
+      (2L, "s", "p q r p q r x y z"),
+      (3L, "s", "u v w m n o j k l")).toDF("doc_id", "source", "text")
+    val row = Dedup.paragraphDedupSummary(crafted).collect().head
+    assert(row.getString(0) == "s")
+    assert(row.getLong(1) == 4L)  // n_docs
+    assert(row.getLong(2) == 15L) // paras: 5 (d0) + 3 + 3 + 4 (d3+banner)
+    assert(row.getLong(3) == 10L) // kept: 5 + 0 + 2 + 3
+    assert(row.getLong(4) == 3L)  // d1, d2, d3 changed
+    // the hash sum pins the REASSEMBLED texts, not just counts —
+    // recompute the portable 60-bit hash over the expected cleaned
+    // docs (d1 collapses to empty; d2 loses its middle segment)
+    val expectedCleaned = Seq(
+      Seq("a b c", Dedup.ParaBanner, "d e f", "g h i", Dedup.ParaFooter)
+        .mkString("\n"),
+      "",
+      "p q r\nx y z",
+      "u v w\nm n o\nj k l")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expectedSum = expectedCleaned.map { c =>
+      val hex = md.digest((c + "#pd").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000000L
+    }.sum
+    assert(row.getLong(5) == expectedSum)
+    // corpus sanity: totals bound the kept count, all sources present
+    val corpus = Dedup.paragraphDedupSummary(docs).collect()
+    assert(corpus.map(_.getLong(1)).sum == docs.count())
+    corpus.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("normalized dedup subsumes raw exact dup groups") {
     val s = spark
     import s.implicits._
