@@ -527,7 +527,51 @@ object SparkEntry {
     // cleaned texts.
     "q123_paragraph_dedup" -> ((s, dir) => Dedup.paragraphDedupSummary(
       Corpus.table(s, dir, "documents"))),
+    // q124: the paragraph tier from pure SQL — the q123 dataflow
+    // (planted segmentation, min-struct keeper, reassembly, portable
+    // hash) in one ad-hoc SQL text generated from the same Dedup
+    // constants. Shares q123's oracle; bit-parity with the Scala path
+    // pinned in SqlSurfaceSpec.
+    "q124_sql_paragraph_dedup" -> ((s, dir) =>
+      QueryRunner.sql(s, dir, sqlParagraphDedup)),
   )
+
+  /** The q124 SQL text, generated from Dedup's paragraph constants so
+    * the SQL surface moves in lockstep with the Scala dataflow (the
+    * q109 discipline). Same skew-safe shape: keeper via partial+final
+    * min(named_struct) aggregate, NOT a row_number window. */
+  private[graft] val sqlParagraphDedup: String =
+    s"""WITH t AS (SELECT doc_id, source, split(text, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id, source, tk, size(tk) AS n, size(tk) div 3 AS b1,
+       |    (size(tk) * 2) div 3 AS b2 FROM t),
+       |segs AS (SELECT doc_id, source, array(
+       |    array_join(slice(tk, 1, b1), ' '),
+       |    array_join(slice(tk, b1 + 1, b2 - b1), ' '),
+       |    array_join(slice(tk, b2 + 1, n - b2), ' ')) AS s FROM b),
+       |p1 AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
+       |    THEN concat(slice(s, 1, 1), array('${Dedup.ParaBanner}'), slice(s, 2, 2))
+       |    ELSE s END AS s1 FROM segs),
+       |p2 AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+       |    THEN concat(s1, array('${Dedup.ParaFooter}')) ELSE s1 END AS s2 FROM p1),
+       |p AS (SELECT doc_id, source, para_idx, para, sha2(para, 256) AS h
+       |  FROM p2 LATERAL VIEW posexplode(s2) t AS para_idx, para),
+       |k AS (SELECT h, min(named_struct('doc_id', doc_id, 'para_idx', para_idx)) AS keeper
+       |  FROM p GROUP BY h),
+       |f AS (SELECT p.doc_id, p.source, p.para_idx, p.para,
+       |    (k.keeper.doc_id = p.doc_id AND k.keeper.para_idx = p.para_idx) AS kept
+       |  FROM p JOIN k ON p.h = k.h),
+       |d AS (SELECT doc_id, source, count(1) AS n_paras,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       |    array_join(transform(filter(array_sort(
+       |      collect_list(struct(para_idx, kept, para))), x -> x.kept),
+       |      x -> x.para), '\\n') AS cleaned
+       |  FROM f GROUP BY doc_id, source)
+       |SELECT source, count(1) AS n_docs, sum(n_paras) AS paras_total,
+       |  sum(n_kept) AS paras_kept,
+       |  sum(CASE WHEN n_kept < n_paras THEN 1 ELSE 0 END) AS docs_changed,
+       |  sum(CAST(conv(substr(sha2(concat(cleaned, '#pd'), 256), 1, 15), 16, 10)
+       |      AS BIGINT) % 1000000000) AS cleaned_hash_sum
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** The q109 SQL text, GENERATED from Dedup's banding constants
     * (bands × rows-per-band slices of the minhash array, the shingle
@@ -1610,8 +1654,15 @@ object SparkEntry {
     // keep-first by (doc_id, idx) via row_number (fine at oracle
     // scale; the ENGINE side uses the skew-safe agg), docs rebuilt
     // from survivors, hashed with the portable 60-bit hash
-    "q123_paragraph_dedup" ->
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    "q123_paragraph_dedup" -> paragraphDedupOracle,
+    // the SQL spelling computes the identical result via the identical
+    // dataflow — one oracle grades both entry paths
+    "q124_sql_paragraph_dedup" -> paragraphDedupOracle,
+  ) ++ oracleSqlTail
+
+  /** DuckDB recomputation shared by q123 and its SQL twin q124. */
+  private lazy val paragraphDedupOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, source, tk, len(tk) AS n, len(tk) // 3 AS b1,
         |    (len(tk) * 2) // 3 AS b2 FROM t),
         |segs AS (SELECT doc_id, source,
@@ -1639,7 +1690,9 @@ object SparkEntry {
         |    AS docs_changed,
         |  sum(('0x'||substr(sha256(cleaned||'#pd'),1,15))::BIGINT
         |      % 1000000000)::BIGINT AS cleaned_hash_sum
-        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  private def oracleSqlTail: Map[String, String] = Map(
     // plain set arithmetic for the Bloom-admission gate: a delta doc
     // (doc_id % 10 != 0) is a dup iff its hash appears among the base
     // (doc_id % 10 = 0) hashes — the Bloom pre-filter must not change

@@ -81,6 +81,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
   }
 
+  test("q124 ad-hoc SQL paragraph dedup == Dedup.paragraphDedupSummary bit-for-bit") {
+    val sql = SparkEntry.queries("q124_sql_paragraph_dedup")(spark, sf)
+    val scala = Dedup.paragraphDedupSummary(Corpus.table(spark, sf, "documents"))
+    assert(rows(sql) == rows(scala))
+    // non-vacuous: the planted banner/footer guarantee removals
+    assert(scala.collect().exists(r => r.getLong(4) > 0L))
+  }
+
   test("q113 ad-hoc SQL as-of join == RelationalOps.purchaseAsofClick bit-for-bit") {
     val sql = SparkEntry.queries("q113_sql_asof_join")(spark, sf)
     val scala = graft.operators.RelationalOps.purchaseAsofClick(spark, sf)
