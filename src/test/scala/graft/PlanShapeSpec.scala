@@ -149,6 +149,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 2)
   }
 
+  test("q123 paragraph dedup: keeper via partial+final agg — NO window over the content key") {
+    val p = plan("q123_paragraph_dedup")
+    // the skew-safe claim: a row_number window would put every
+    // occurrence of a hot boilerplate key in ONE partition; the
+    // min-struct aggregate folds hot keys map-side instead
+    assert(!p.contains("Window"))
+    // the keeper is a struct-min aggregate (SortAggregate partial+
+    // final, the q51 pattern) keyed on the 64-byte content hash
+    assert(p.contains("SortAggregate(key=[h"))
+    // no cartesian anywhere; the keeper join is an equi-join on h
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q54 retention: one event-volume shuffle (user_id collect_set) — no joins, no windows") {
     val p = plan("q54_retention")
     assert(!p.contains("Join"))
