@@ -723,6 +723,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(audited.head.getLong(5) == allFrames)
   }
 
+  test("AVI demux is a real RIFF walker: JUNK chunks, idx1, and rec-grouped movi all demux identically") {
+    // another writer's AVI differs structurally (padding JUNK chunks,
+    // an idx1 index, frames wrapped in 'rec ' LISTs) — rebuild our
+    // fixture into that layout and the walker must produce the SAME
+    // frames; an offset-matcher tuned to our own writer would not
+    val s = spark
+    import s.implicits._
+    val plain = Multimodal.syntheticDibAvis(docs, 3L).collect().sortBy(_.media_id)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def restructure(p: Array[Byte]): Array[Byte] = {
+      // locate hdrl LIST and movi LIST in the original
+      def u32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      val hdrlSz = u32(16) // first LIST after RIFF header
+      val hdrl = java.util.Arrays.copyOfRange(p, 12, 20 + hdrlSz)
+      val moviOff = 20 + hdrlSz
+      val moviSz = u32(moviOff + 4)
+      // frame chunks of the original movi body (after its 'movi' tag)
+      val frames = java.util.Arrays.copyOfRange(
+        p, moviOff + 12, moviOff + 8 + moviSz)
+      val junk = cc("JUNK") ++ le32(12) ++ Array.fill[Byte](12)(0x55)
+      // wrap the frame run in a 'rec ' LIST inside movi
+      val rec = cc("LIST") ++ le32(4 + frames.length) ++ cc("rec ") ++ frames
+      val movi = cc("LIST") ++ le32(4 + rec.length) ++ cc("movi") ++ rec
+      val idx1 = cc("idx1") ++ le32(16) ++ cc("00db") ++ le32(16) ++
+        le32(4) ++ le32(0)
+      val body = cc("AVI ") ++ junk ++ hdrl ++ movi ++ idx1
+      cc("RIFF") ++ le32(body.length) ++ body
+    }
+    val restructured = plain
+      .map(r => MediaRecord(r.media_id, r.media_type,
+        restructure(r.payload), "foreign-writer"))
+      .toSeq.toDS()
+    val a = Multimodal.sampleAviFrameMeta(
+      Multimodal.syntheticDibAvis(docs, 3L), 3).collect()
+      .sortBy(m => (m.media_id, m.frame_idx))
+    val b = Multimodal.sampleAviFrameMeta(restructured, 3).collect()
+      .sortBy(m => (m.media_id, m.frame_idx))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("codec quarantine contract: every row decoded or quarantined, never crashed, never passed") {
     // the q114 gate contract at unit scale: the audit must account for
     // EVERY planted row (n_decoded + n_quarantined == n_total per
