@@ -141,15 +141,22 @@ object StreamingPipeline {
   /** Detach a replay result from its memory-sink table: the sink holds
     * the full output in driver memory for the SESSION lifetime, so a
     * bench rerunning replays would otherwise accumulate one pinned
-    * result set + one /tmp checkpoint dir per invocation. The result
-    * is gate-sized (thousands of rows), so it materializes to a local
-    * relation, the sink view drops, and the checkpoint dir is removed
-    * best-effort. */
+    * result set + one /tmp checkpoint dir per invocation. The collect
+    * is inherent to the memory sink (the rows already live on the
+    * driver); what must NOT be inherited downstream is a one-partition
+    * local relation — at 100× the q80/q116 session output is 9.5 M
+    * rows, and a single-slice detach made every downstream write one
+    * 600 MB task. The detach therefore parallelizes into ~250 k-row
+    * slices (the same wave convention the file staging uses), keeping
+    * each task ~15 MB while small gate results stay one slice. */
   private def materializeAndDropSink(qname: String,
       ckpt: java.nio.file.Path, result: DataFrame): DataFrame = {
     val spark = result.sparkSession
+    val rows = result.collect()
+    val slices = math.max(1, math.min(256, (rows.length + 249999) / 250000))
     val out = spark.createDataFrame(
-      java.util.Arrays.asList(result.collect(): _*), result.schema)
+      spark.sparkContext.parallelize(rows.toIndexedSeq, slices),
+      result.schema)
     spark.catalog.dropTempView(qname)
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
