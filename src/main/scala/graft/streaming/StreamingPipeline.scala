@@ -138,31 +138,63 @@ object StreamingPipeline {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  /** Detach a replay result from its memory-sink table: the sink holds
-    * the full output in driver memory for the SESSION lifetime, so a
-    * bench rerunning replays would otherwise accumulate one pinned
-    * result set + one /tmp checkpoint dir per invocation. The collect
-    * is inherent to the memory sink (the rows already live on the
-    * driver); what must NOT be inherited downstream is a one-partition
-    * local relation — at 100× the q80/q116 session output is 9.5 M
-    * rows, and a single-slice detach made every downstream write one
-    * 600 MB task. The detach therefore parallelizes into ~250 k-row
-    * slices (the same wave convention the file staging uses), keeping
-    * each task ~15 MB while small gate results stay one slice. */
-  private def materializeAndDropSink(qname: String,
-      ckpt: java.nio.file.Path, result: DataFrame): DataFrame = {
-    val spark = result.sparkSession
-    val rows = result.collect()
-    val slices = math.max(1, math.min(256, (rows.length + 249999) / 250000))
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, slices),
-      result.schema)
-    spark.catalog.dropTempView(qname)
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+  }
+
+  /** Pid-scoped lifecycle for replay SINK dirs, following the
+    * graft-fixtures convention (`…_p<pid>` suffix under the shared
+    * root): a shutdown hook removes this process's sink dirs, and the
+    * fixture orphan sweep (SparkEntry.fixturePid) reclaims dirs whose
+    * owning pid died without running its hook. Dirs must be cleaned at
+    * exit, not per-call: the read-back frame is LAZY, so its files
+    * have to outlive the replay invocation. */
+  private lazy val sinkPid: Long = {
+    val pid = ProcessHandle.current().pid()
+    val root = new java.io.File("/root/repo/target/graft-fixtures")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val mine = root.listFiles()
+      if (mine != null) mine.filter(_.getName.endsWith(s"_p$pid"))
+        .foreach(rmTree)
+    }))
+    pid
+  }
+
+  /** Run a replay streaming query through the PRODUCTION parquet file
+    * sink — not the memory sink — and hand back the committed result
+    * as a distributed file read. The memory sink held the full result
+    * in driver memory and surfaced it as a one-partition local
+    * relation, which at 100× (q80/q116 emit 9.5 M sessions) made every
+    * downstream write a single 600 MB task carrying the rows in its
+    * closure. The file sink is the egress a production deployment
+    * uses: executors write their partitions directly, the driver never
+    * materializes the result, and the read-back parallelizes like any
+    * parquet scan (Spark reads exactly the files the sink's
+    * `_spark_metadata` log committed). Each invocation gets a FRESH
+    * pid-scoped dir — the parquet sink appends, so reuse would double
+    * rows on a bench rerun; the checkpoint is deleted eagerly once the
+    * query stops, the gate-sized data dir at process exit. */
+  private def runReplayToFileSink(out: DataFrame, qtag: String,
+      nRows: Long)(feed: org.apache.spark.sql.streaming.StreamingQuery
+        => Unit): DataFrame = {
+    val spark = out.sparkSession
+    val dir = new java.io.File(
+      "/root/repo/target/graft-fixtures",
+      s"${qtag}_sink_" + java.util.UUID.randomUUID().toString
+        .replace("-", "") + s"_p$sinkPid")
+    dir.mkdirs()
+    val data = new java.io.File(dir, "data")
+    val ckpt = new java.io.File(dir, "ckpt")
+    withReplayConf(spark, nRows) {
+      val query = out.writeStream.format("parquet")
+        .option("path", data.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append)
+        .start()
+      try feed(query) finally query.stop()
     }
-    rm(ckpt.toFile)
-    out
+    rmTree(ckpt)
+    spark.read.schema(out.schema).parquet(data.toString)
   }
 
   /** Replay sentinel user id: Long.MinValue, a value the replay REJECTS
@@ -266,33 +298,23 @@ object StreamingPipeline {
       .MemoryStream[(Long, java.sql.Timestamp, Double)]
     val out = sessionize(stream.toDF().toDF("user_id", "ts", "value"),
       gapMinutes)
-    val qname = "q80_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q80")
-    withReplayConf(spark, rows.length.toLong) {
-      val query = out.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-          stream.addData(chunk.toIndexedSeq)
-          query.processAllAvailable()
-        }
-        // two sentinel batches: the first advances max event time, the
-        // second runs with the advanced watermark so timeouts fire
-        val day = 86400000L
-        stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + day), 0.0))
+    runReplayToFileSink(out.toDF(), "q80", rows.length.toLong) { query =>
+      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
         query.processAllAvailable()
-        stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
-        query.processAllAvailable()
-      } finally query.stop()
+      }
+      // two sentinel batches: the first advances max event time, the
+      // second runs with the advanced watermark so timeouts fire
+      val day = 86400000L
+      stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + day), 0.0))
+      query.processAllAvailable()
+      stream.addData((SentinelUser, new java.sql.Timestamp(maxTs + 2 * day), 0.0))
+      query.processAllAvailable()
     }
-    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .where(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("total_value"), 6).as("total_value"))
-      .orderBy("user_id", "session_start"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Gate composition (q116): the q80 parity contract driven through
@@ -325,7 +347,6 @@ object StreamingPipeline {
   def sessionizeFileStream(events: DataFrame, gapMinutes: Int,
                            fixtureDir: String): DataFrame = {
     val spark = events.sparkSession
-    import spark.implicits._
     val projected = events.select(col("user_id"), col("ts"), col("value"))
     require(projected.where(col("user_id") === SentinelUser).isEmpty,
       s"events corpus contains reserved replay sentinel user_id $SentinelUser")
@@ -387,22 +408,13 @@ object StreamingPipeline {
       .option("maxFilesPerTrigger", m)
       .parquet(srcDir.toString)
     val out = sessionize(stream, gapMinutes)
-    val qname = "q116_filestream_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = new java.io.File(root, "ckpt").toPath
-    withReplayConf(spark, nRows) {
-      val query = out.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
+    runReplayToFileSink(out.toDF(), "q116", nRows) { query =>
+      query.processAllAvailable()
     }
-    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .where(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("total_value"), 6).as("total_value"))
-      .orderBy("user_id", "session_start"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Gate composition (q88): the streaming windowed aggregation
@@ -433,31 +445,21 @@ object StreamingPipeline {
     val out = eventsWindowedAgg(
       stream.toDF().toDF("ts", "event_type", "value"),
       window = "1 hour", lateness = "10 minutes")
-    val qname = "q88_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q88")
-    withReplayConf(spark, rows.length.toLong) {
-      val query = out.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-          stream.addData(chunk.toIndexedSeq)
-          query.processAllAvailable()
-        }
-        val day = 86400000L
-        stream.addData((new java.sql.Timestamp(maxTs + day), sentinel, 0.0))
+    runReplayToFileSink(out, "q88", rows.length.toLong) { query =>
+      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
         query.processAllAvailable()
-        stream.addData((new java.sql.Timestamp(maxTs + 2 * day), sentinel, 0.0))
-        query.processAllAvailable()
-      } finally query.stop()
+      }
+      val day = 86400000L
+      stream.addData((new java.sql.Timestamp(maxTs + day), sentinel, 0.0))
+      query.processAllAvailable()
+      stream.addData((new java.sql.Timestamp(maxTs + 2 * day), sentinel, 0.0))
+      query.processAllAvailable()
     }
-    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .where(col("event_type") =!= sentinel)
       .select(col("window_start"), col("event_type"), col("n"),
         round(col("total"), 6).as("total"))
-      .orderBy("window_start", "event_type"))
+      .orderBy("window_start", "event_type")
   }
 
   /** Streaming exact dedup by content hash within the watermark
@@ -537,29 +539,19 @@ object StreamingPipeline {
       .MemoryStream[(Long, java.sql.Timestamp, String)]
     val out = admitStream(stream.toDF().toDF("doc_id", "ts", "text"),
       base, lateness = s"$spanSec seconds")
-    val qname = "q90_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q90")
-    withReplayConf(spark, rows.length.toLong) {
-      val query = out.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        // no sentinel batches needed: dropDuplicatesWithinWatermark is a
-        // stateful FILTER — first arrivals emit in their own micro-batch,
-        // nothing is held back for watermark finalization
-        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-          stream.addData(chunk.iterator.map { case (id, text) =>
-            (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
-          }.toIndexedSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+    runReplayToFileSink(out, "q90", rows.length.toLong) { query =>
+      // no sentinel batches needed: dropDuplicatesWithinWatermark is a
+      // stateful FILTER — first arrivals emit in their own micro-batch,
+      // nothing is held back for watermark finalization
+      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
+        stream.addData(chunk.iterator.map { case (id, text) =>
+          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
+        }.toIndexedSeq)
+        query.processAllAvailable()
+      }
     }
-    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .select(sha2(col("text"), 256).as("h"))
-      .orderBy("h"))
+      .orderBy("h")
   }
 
   /** Gate composition (q105): replay the batch documents table through
@@ -582,25 +574,15 @@ object StreamingPipeline {
       .MemoryStream[(Long, java.sql.Timestamp, String)]
     val out = dedupStream(stream.toDF().toDF("doc_id", "ts", "text"),
       lateness = s"$spanSec seconds")
-    val qname = "q105_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q105")
-    withReplayConf(spark, rows.length.toLong) {
-      val query = out.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-          stream.addData(chunk.iterator.map { case (id, text) =>
-            (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
-          }.toIndexedSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+    runReplayToFileSink(out, "q105", rows.length.toLong) { query =>
+      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
+        stream.addData(chunk.iterator.map { case (id, text) =>
+          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
+        }.toIndexedSeq)
+        query.processAllAvailable()
+      }
     }
-    materializeAndDropSink(qname, ckpt, spark.table(qname)
       .select(sha2(col("text"), 256).as("h"))
-      .orderBy("h"))
+      .orderBy("h")
   }
 }
