@@ -373,4 +373,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.conf.get(key) == before)
     assert(spark.conf.get(retain) == retainBefore)
   }
+
+  test("replay egress is the file sink: result reads from files, " +
+      "never a driver-held local relation") {
+    val spark = SparkTestSession.spark
+    val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val result = StreamingPipeline.dedupStreamReplay(docs)
+    // the memory-sink harness surfaced the result as a LocalTableScan
+    // (driver rows riding every downstream task's closure — 600 MB
+    // tasks at sf10); the file-sink egress must plan as a parquet scan
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), plan.take(500))
+    assert(!plan.contains("LocalTableScan"), plan.take(500))
+    // and it still returns the exact survivor set
+    assert(result.count() ==
+      docs.select(org.apache.spark.sql.functions
+        .sha2(org.apache.spark.sql.functions.col("text"), 256))
+        .distinct().count())
+  }
 }
