@@ -534,6 +534,16 @@ object SparkEntry {
     // pinned in SqlSurfaceSpec.
     "q124_sql_paragraph_dedup" -> ((s, dir) =>
       QueryRunner.sql(s, dir, sqlParagraphDedup)),
+    // q125: compressed-ingest round trip — documents written as JSONL
+    // under gzip (non-splittable: parallelism = file count) AND bzip2
+    // (splittable pure-Java codec), read back through the
+    // explicit-schema contract, content-hashed per codec; the oracle
+    // recomputes both rows from the parquet source (q103's
+    // losslessness pattern on the codec path corpora actually arrive
+    // through)
+    "q125_compressed_ingest" -> ((s, dir) => graft.sources.JsonLines
+      .compressedRoundTripReport(Corpus.table(s, dir, "documents"),
+        fixtureDir("q125", dir), 200L)),
   )
 
   /** The q124 SQL text, generated from Dedup's paragraph constants so
@@ -1658,6 +1668,19 @@ object SparkEntry {
     // the SQL spelling computes the identical result via the identical
     // dataflow — one oracle grades both entry paths
     "q124_sql_paragraph_dedup" -> paragraphDedupOracle,
+    // the compressed round trip's target values, straight from the
+    // parquet source — losslessness through write → compress →
+    // decompress → parse means the two codec rows must agree on
+    // counts, char totals, and the per-text content hash
+    "q125_compressed_ingest" ->
+      """SELECT c.codec, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  sum(('0x'||substr(sha256(text||'#jsonl'),1,15))::BIGINT
+        |      % 1000000000)::BIGINT AS text_hash_sum
+        |FROM documents CROSS JOIN
+        |  (SELECT unnest(['bzip2','gzip']) AS codec) c
+        |WHERE doc_id < 200
+        |GROUP BY c.codec ORDER BY c.codec""".stripMargin.replace("\n", " "),
   ) ++ oracleSqlTail
 
   /** DuckDB recomputation shared by q123 and its SQL twin q124. */

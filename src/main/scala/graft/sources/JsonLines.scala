@@ -104,4 +104,48 @@ object JsonLines {
       if (df.columns.contains(CorruptCol)) df.drop(CorruptCol) else df
     clean.write.mode("overwrite").json(path)
   }
+
+  /** The two compressed-ingest codecs the gate certifies, with their
+    * scale contracts. Raw corpora land compressed at 100 TB — crawl
+    * shards arrive as `.jsonl.gz` — and the codec choice IS a
+    * partitioning decision:
+    *  - gzip: ubiquitous but NOT splittable — one member, one task, so
+    *    scan parallelism equals file count and upstream must shard.
+    *  - bzip2: Hadoop's pure-Java SPLITTABLE codec — a single large
+    *    file still scans in parallel (block-aligned splits).
+    * Both ride the ordinary text-source path; nothing here is custom. */
+  val IngestCodecs: Seq[String] = Seq("bzip2", "gzip")
+
+  /** Gate composition (q125): the compressed-ingest round trip. Writes
+    * documents with doc_id < maxId as JSONL once per codec, reads each
+    * back through the explicit-schema contract, and reports per codec
+    * the row count, char total, and the q103-style per-text content
+    * hash. The oracle recomputes both rows straight from the parquet
+    * source table, so a codec that drops, truncates, re-types, or
+    * mangles bytes anywhere in the write → compress → decompress →
+    * parse path hash-mismatches. Integer columns only cross the JSON
+    * boundary (doubles would re-format); doc_id < maxId keeps the
+    * fixture constant-size at every SF by construction. */
+  def compressedRoundTripReport(docs: DataFrame, dir: String,
+                                maxId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.TextFunctions.hash64
+    val spark = docs.sparkSession
+    val subset = docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val schema = new StructType()
+      .add("doc_id", "long").add("source", "string")
+      .add("n_chars", "long").add("text", "string")
+    IngestCodecs.map { codec =>
+      val path = s"$dir/$codec"
+      subset.write.mode("overwrite").option("compression", codec).json(path)
+      read(spark, path, schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(hash64(col("text"), "jsonl") % 1000000000L)
+            .as("text_hash_sum"))
+        .select(lit(codec).as("codec"), col("n_docs"),
+          col("n_chars_total"), col("text_hash_sum"))
+    }.reduce(_.unionAll(_)).orderBy("codec")
+  }
 }

@@ -100,4 +100,28 @@ class JsonLinesSpec extends AnyFunSuite {
       assert(orig(r.getLong(0)) == r.getString(1))
     }
   }
+
+  test("compressed ingest: gzip and bzip2 JSONL round-trip losslessly " +
+      "and the codecs genuinely apply (q125 contract)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_codec").toString
+    val docs = Corpus.table(spark, "/root/testdata/sf0.001", "documents")
+    val report = JsonLines.compressedRoundTripReport(docs, dir, 100L)
+      .collect()
+    assert(report.map(_.getString(0)).toSeq == Seq("bzip2", "gzip"))
+    // both codecs must agree with each other AND with the source
+    val expectedDocs = docs.where(col("doc_id") < 100).count()
+    report.foreach { r =>
+      assert(r.getLong(1) == expectedDocs, r.toString)
+    }
+    assert(report.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .distinct.length == 1)
+    // the files on disk must actually be compressed members — a codec
+    // option silently ignored would still round-trip
+    def parts(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSeq
+    assert(parts("gzip").nonEmpty && parts("gzip").forall(_.endsWith(".gz")))
+    assert(parts("bzip2").nonEmpty &&
+      parts("bzip2").forall(_.endsWith(".bz2")))
+  }
 }
