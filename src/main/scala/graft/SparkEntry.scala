@@ -544,6 +544,15 @@ object SparkEntry {
     "q125_compressed_ingest" -> ((s, dir) => graft.sources.JsonLines
       .compressedRoundTripReport(Corpus.table(s, dir, "documents"),
         fixtureDir("q125", dir), 200L)),
+    // q126: q123's keeper propagate under PLANTED SKEW — one hot
+    // boilerplate paragraph in 50%+ of all docs. The derived hot-key
+    // salting (Dedup.saltedKeeperFlags) spreads that key over a
+    // (h, salt) join instead of one shuffle partition; the oracle
+    // recomputes the dedup with the hot planting mirrored, so the
+    // salted propagate's RESULTS are hash-gated under the exact
+    // adversarial shape it exists for.
+    "q126_paragraph_dedup_hotkey" -> ((s, dir) =>
+      Dedup.paragraphDedupHotSummary(Corpus.table(s, dir, "documents"))),
   )
 
   /** The q124 SQL text, generated from Dedup's paragraph constants so
@@ -680,7 +689,7 @@ object SparkEntry {
     * keeping within-process reuse (the q78 store is built once per
     * session and probed thereafter); a shutdown hook removes this
     * process's fixtures so repeated runs don't accumulate stores. */
-  private lazy val fixturePid: Long = {
+  private[graft] lazy val fixturePid: Long = {
     val pid = ProcessHandle.current().pid()
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
@@ -1664,10 +1673,13 @@ object SparkEntry {
     // keep-first by (doc_id, idx) via row_number (fine at oracle
     // scale; the ENGINE side uses the skew-safe agg), docs rebuilt
     // from survivors, hashed with the portable 60-bit hash
-    "q123_paragraph_dedup" -> paragraphDedupOracle,
+    "q123_paragraph_dedup" -> paragraphDedupOracle(hot = false),
     // the SQL spelling computes the identical result via the identical
     // dataflow — one oracle grades both entry paths
-    "q124_sql_paragraph_dedup" -> paragraphDedupOracle,
+    "q124_sql_paragraph_dedup" -> paragraphDedupOracle(hot = false),
+    // same recomputation with the hot planting mirrored — grades the
+    // salted keeper propagate under the planted 50%+ skew
+    "q126_paragraph_dedup_hotkey" -> paragraphDedupOracle(hot = true),
     // the compressed round trip's target values, straight from the
     // parquet source — losslessness through write → compress →
     // decompress → parse means the two codec rows must agree on
@@ -1683,8 +1695,9 @@ object SparkEntry {
         |GROUP BY c.codec ORDER BY c.codec""".stripMargin.replace("\n", " "),
   ) ++ oracleSqlTail
 
-  /** DuckDB recomputation shared by q123 and its SQL twin q124. */
-  private lazy val paragraphDedupOracle: String =
+  /** DuckDB recomputation shared by q123, its SQL twin q124, and (with
+    * the hot planting mirrored) the q126 skew gate. */
+  private def paragraphDedupOracle(hot: Boolean): String =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, source, tk, len(tk) AS n, len(tk) // 3 AS b1,
         |    (len(tk) * 2) // 3 AS b2 FROM t),
@@ -1694,9 +1707,14 @@ object SparkEntry {
         |p1 AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
         |    THEN [s[1], '${Dedup.ParaBanner}', s[2], s[3]] ELSE s END AS s1
         |  FROM segs),
-        |p2 AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
-        |    THEN list_append(s1, '${Dedup.ParaFooter}') ELSE s1 END AS s2
+        |p2x AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+        |    THEN list_append(s1, '${Dedup.ParaFooter}') ELSE s1 END AS s2x
         |  FROM p1),
+        |p2 AS (SELECT doc_id, source, ${
+          if (hot)
+            s"CASE WHEN doc_id % 2 = 0 THEN ['${Dedup.ParaHot}'] || s2x ELSE s2x END"
+          else "s2x"
+        } AS s2 FROM p2x),
         |p AS (SELECT doc_id, source, u.i - 1 AS para_idx, s2[u.i] AS para
         |  FROM p2, unnest(range(1, len(s2) + 1)) AS u(i)),
         |r AS (SELECT *, row_number() OVER (PARTITION BY para

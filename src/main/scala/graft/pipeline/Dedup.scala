@@ -851,6 +851,12 @@ object Dedup {
   val ParaBanner = "subscribe to our newsletter today"
   val ParaFooter = "all rights reserved"
 
+  /** The HOT boilerplate the q126 skew fixture plants into every
+    * doc_id%2==0 document (50%+ of the corpus) — a single paragraph
+    * key holding half of all occurrences, the adversarial shape for
+    * the keeper-propagate join. */
+  val ParaHot = "click here to accept cookies and continue"
+
   /** Deterministic paragraph structure planted over the documents
     * table (the corpus text is one line, so the gate constructs the
     * multi-paragraph shape both engines can recompute): each doc's
@@ -858,7 +864,19 @@ object Dedup {
     * ⌊n/3⌋ and ⌊2n/3⌋), with [[ParaBanner]] inserted at position 1
     * for doc_id%3==0 and [[ParaFooter]] appended for doc_id%5==0.
     * Output: one row per (doc_id, source, para_idx, para). */
-  def plantedParagraphs(docs: DataFrame): DataFrame = {
+  def plantedParagraphs(docs: DataFrame): DataFrame =
+    planted(docs, hot = false)
+
+  /** The q126 skew fixture: [[plantedParagraphs]]' structure with
+    * [[ParaHot]] additionally PREPENDED to every doc_id%2==0 document
+    * — one content key now holds ≥50% of the corpus's documents'
+    * worth of occurrences, the planted-hot-key shape that proves the
+    * keeper propagate does not serialize a boilerplate key into one
+    * task. */
+  def plantedParagraphsHot(docs: DataFrame): DataFrame =
+    planted(docs, hot = true)
+
+  private def planted(docs: DataFrame, hot: Boolean): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val b1 = (n / 3).cast("int")
@@ -872,8 +890,96 @@ object Dedup {
       .otherwise(segs)
     val withFooter = when(col("doc_id") % 5 === 0,
       concat(withBanner, array(lit(ParaFooter)))).otherwise(withBanner)
+    val paras =
+      if (!hot) withFooter
+      else when(col("doc_id") % 2 === 0,
+        concat(array(lit(ParaHot)), withFooter)).otherwise(withFooter)
     docs.select(col("doc_id"), col("source"),
-        posexplode(withFooter).as(Seq("para_idx", "para")))
+        posexplode(paras).as(Seq("para_idx", "para")))
+  }
+
+  /** Floor on the hot-key cut: below this many occurrences a key
+    * cannot meaningfully skew a task, whatever the corpus size, so
+    * tiny corpora never pay the salting fan-out. Low enough that unit
+    * tests and the sf0.01 gate exercise the hot path on the planted
+    * boilerplate. */
+  private[graft] val HotKeyFloor = 64L
+
+  /** Keeper propagate with DERIVED hot-key handling — flags every
+    * paragraph occurrence with whether it is the corpus-wide first
+    * (min (doc_id, para_idx)) occurrence of its content key `h`.
+    *
+    * The naive `paras.join(keepers, "h")` routes every occurrence of
+    * one hot boilerplate key to a single shuffle partition — at
+    * billions of occurrences, the classic skew cliff the r12 design
+    * left to AQE. This propagate removes the reliance structurally:
+    *
+    *  - the caller supplies the occurrence count `n` (a driver
+    *    scalar — the corpus-sized-width discipline the embedding
+    *    buckets use; the paragraph summaries derive it from the
+    *    planting's closed form over a doc_id-only pruned scan, so the
+    *    sizing pass costs milliseconds where a paras.count() would
+    *    rebuild every paragraph string), and the hot cut becomes the
+    *    literal `max(HotKeyFloor, n/parts)` (parts = the session's
+    *    shuffle partitioning): a key is hot when it alone would fill
+    *    an average shuffle partition. At most `n/cut ≤ parts` keys
+    *    can qualify, so the hot set is broadcastable BY CONSTRUCTION
+    *    at any corpus size (≤ parts rows of 64-byte keys), not by
+    *    hope — an inexact `n` only nudges the cut, never correctness;
+    *  - key stats (keeper + count) come from a partial+final
+    *    aggregate (hot keys fold map-side, so the stats pass is
+    *    itself skew-immune); the hot and cold branches project the
+    *    SAME aggregate, so its shuffle is planned once and reused;
+    *  - hot occurrences take their keeper from a BROADCAST left join
+    *    (the keeper comes TO them; they never enter a shuffle), and
+    *    get a salt `pmod(hash(doc_id, para_idx), width)` with
+    *    `width = ceil(cnt·parts/n)` capped at parts — proportional
+    *    to how many average partitions the key's occurrences amount
+    *    to;
+    *  - the ONE keeper join runs on (h, salt) against the COLD
+    *    keepers (salt 0): cold occurrences match their keeper there,
+    *    while already-flagged hot occurrences match nothing and
+    *    spread across `width` ~average-sized partitions instead of
+    *    serializing into one task.
+    *
+    * Results are exactly the unsalted join's (PipelineSpec pins
+    * equality and the salt spread); unskewed corpora pay one count
+    * pass and one tiny (usually empty) broadcast, nothing else. */
+  private[graft] def saltedKeeperFlags(paras: DataFrame,
+                                       totalRows: Long): DataFrame = {
+    val parts = paras.sparkSession.sessionState.conf.numShufflePartitions
+      .toLong
+    val n = math.max(1L, totalRows)
+    val cut = math.max(HotKeyFloor, n / parts)
+    val width = least(lit(parts),
+      (col("cnt") * lit(parts) + lit(n - 1)) / lit(n)).cast("int")
+    val keyStats = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"),
+        count(lit(1)).as("cnt"))
+    val hot = keyStats.where(col("cnt") >= cut)
+      .select(col("h"), col("keeper").as("hot_keeper"), width.as("width"))
+    // the cold salt is zero via a NON-FOLDABLE expression: a literal 0
+    // would constant-propagate into a residual `paras.salt = 0` join
+    // CONDITION, demoting the join's distribution key to h alone —
+    // which would route every hot occurrence through the h partition
+    // again, the exact cliff this operator removes
+    val cold = keyStats.where(col("cnt") < cut)
+      .select(col("h"), col("keeper"),
+        pmod(hash(col("h")), lit(1)).as("salt"))
+    paras
+      .join(broadcast(hot), Seq("h"), "left")
+      .withColumn("salt",
+        when(col("width").isNotNull,
+          pmod(hash(col("doc_id"), col("para_idx")), col("width")))
+          .otherwise(lit(0)))
+      .join(cold, Seq("h", "salt"), "left")
+      .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
+        col("salt"),
+        when(col("hot_keeper").isNotNull,
+          col("hot_keeper.doc_id") === col("doc_id") &&
+            col("hot_keeper.para_idx") === col("para_idx"))
+          .otherwise(col("keeper.doc_id") === col("doc_id") &&
+            col("keeper.para_idx") === col("para_idx")).as("kept"))
   }
 
   /** Corpus-wide PARAGRAPH-level exact dedup (q123) — the C4/
@@ -891,20 +997,37 @@ object Dedup {
     * row_number window, because a window partition on a boilerplate
     * key holds ONE ROW PER OCCURRENCE (billions at web scale, all in
     * one partition = the classic skew cliff), while the agg folds the
-    * same hot key map-side on every input partition. The keeper join
-    * is hash-colocated with the agg (same key ⇒ one Exchange feeds
-    * both sides), and reassembly is one groupBy(doc) over
-    * bounded-size per-doc paragraph lists. */
-  def paragraphDedupSummary(docs: DataFrame): DataFrame = {
-    val paras = plantedParagraphs(docs)
+    * same hot key map-side on every input partition. Keeper
+    * propagation runs through [[saltedKeeperFlags]] — hot keys
+    * (derived cut, broadcast-bounded set) spread over a salted
+    * (h, salt) join instead of relying on AQE to split the one
+    * partition holding every occurrence of a boilerplate key.
+    * Reassembly is one groupBy(doc) over bounded-size per-doc
+    * paragraph lists. */
+  def paragraphDedupSummary(docs: DataFrame): DataFrame =
+    paragraphSummaryOf(docs, hot = false)
+
+  /** Gate composition (q126): [[paragraphDedupSummary]]'s dataflow
+    * over the HOT planting — [[ParaHot]] in 50%+ of documents — so
+    * the oracle grades the keeper propagate under real skew and
+    * PipelineSpec pins that the hot key's occurrences spread across
+    * multiple salt partitions. */
+  def paragraphDedupHotSummary(docs: DataFrame): DataFrame =
+    paragraphSummaryOf(docs, hot = true)
+
+  private def paragraphSummaryOf(docs: DataFrame, hot: Boolean): DataFrame = {
+    // paragraph count from the planting's closed form: 3 segments per
+    // doc + the planted residues — a doc_id-only pruned scan
+    val parasPerDoc = lit(3L) +
+      when(col("doc_id") % 3 === 0, 1L).otherwise(0L) +
+      when(col("doc_id") % 5 === 0, 1L).otherwise(0L) +
+      (if (hot) when(col("doc_id") % 2 === 0, 1L).otherwise(0L) else lit(0L))
+    val total: Long = Option(docs.agg(sum(parasPerDoc)).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val paras = planted(docs, hot)
       .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
         sha2(col("para"), 256).as("h"))
-    val keepers = paras.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
-    val flagged = paras.join(keepers, "h")
-      .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
-        (col("keeper.doc_id") === col("doc_id") &&
-         col("keeper.para_idx") === col("para_idx")).as("kept"))
+    val flagged = saltedKeeperFlags(paras, total)
     val perDoc = flagged.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

@@ -892,11 +892,22 @@ object Multimodal {
                                      frameOffsets: Vector[Int])
 
   /** REAL RIFF/AVI demux. None is the QUARANTINE outcome: wrong
-    * magic, compressed frame chunks ('00dc' — no codec in this JVM),
-    * a non-BI_RGB or non-24-bit strf, truncated chunks, or no frames.
+    * magic, compressed frame chunks of the video stream ('NNdc' — no
+    * codec in this JVM), a non-BI_RGB or non-24-bit strf, truncated
+    * chunks, no frames, or MORE THAN ONE video stream (a layout this
+    * single-stream decoder cannot honestly represent; ADVICE r12).
     * Walks chunks by declared size with RIFF's word padding and
     * recurses into LIST bodies, so spec-valid writers that emit
-    * extra chunks (idx1, JUNK, rec-grouped movi) still demux. */
+    * extra chunks (idx1, JUNK, rec-grouped movi) still demux.
+    *
+    * Streams are INDEXED: each 'strl' LIST takes the next stream
+    * number in header order (the AVI spec's numbering), its strh
+    * fccType decides whether its strf is the video format, and frame
+    * chunks bind by their own 'NN' prefix to that stream — so a
+    * foreign multi-stream file (audio stream 0, video stream 1)
+    * demuxes the RIGHT stream's frames instead of mixing an audio
+    * strf with '00db' chunks, and a second video strf quarantines
+    * instead of silently taking last-writer-wins dimensions. */
   private def parseAvi(p: Array[Byte]): Option[AviStream] =
     try {
       def u32(off: Int): Int =
@@ -908,29 +919,48 @@ object Multimodal {
       else {
         var w = -1; var h = -1; var bitCount = -1; var compression = -1
         var compressedFrames = false
+        var nextStream = 0   // strl LISTs number streams in header order
+        var videoStream = -1 // stream index whose strh said 'vids'
+        var videoStrfs = 0   // >1 video format blocks → quarantine
         val frames = Vector.newBuilder[Int]
-        def walk(start: Int, end: Int): Unit = {
+        // two-digit stream prefix of a frame chunk id ('00db', '01wb'…)
+        def streamNo(id: String): Int =
+          if (id(0).isDigit && id(1).isDigit)
+            (id(0) - '0') * 10 + (id(1) - '0')
+          else -1
+        def walk(start: Int, end: Int, streamIdx: Int): Unit = {
           var off = start
+          var fccType: String = null // strh type seen in THIS list body
           while (off + 8 <= end) {
             val id = cc(off)
             val sz = u32(off + 4)
             val body = off + 8
             if (sz < 0 || body + sz > p.length) throw new IllegalArgumentException("truncated chunk")
-            if (id == "LIST") walk(body + 4, body + sz)
-            else if (id == "strf" && sz >= 40) {
+            if (id == "LIST") {
+              if (sz >= 4 && cc(body) == "strl") {
+                val s = nextStream; nextStream += 1
+                walk(body + 4, body + sz, s)
+              } else walk(body + 4, body + sz, -1)
+            }
+            else if (id == "strh" && sz >= 4) fccType = cc(body)
+            else if (id == "strf" && sz >= 40 && fccType == "vids" &&
+                     streamIdx >= 0) {
+              videoStrfs += 1; videoStream = streamIdx
               w = u32(body + 4); h = u32(body + 8)
               bitCount = (p(body + 14) & 0xff) | ((p(body + 15) & 0xff) << 8)
               compression = u32(body + 16)
-            } else if (id == "00db") frames += body
-            else if (id == "00dc") compressedFrames = true
+            } else if (id.endsWith("db") && streamNo(id) == videoStream &&
+                       videoStream >= 0) frames += body
+            else if (id.endsWith("dc") && streamNo(id) == videoStream &&
+                     videoStream >= 0) compressedFrames = true
             off = body + sz + (sz & 1) // RIFF chunks pad to word boundary
           }
         }
-        walk(12, math.min(p.length, 8 + u32(4)))
+        walk(12, math.min(p.length, 8 + u32(4)), -1)
         val fr = frames.result()
         val stride = ((w * 3 + 3) / 4) * 4
-        if (compressedFrames || w <= 0 || h <= 0 || bitCount != 24 ||
-            compression != 0 || fr.isEmpty ||
+        if (compressedFrames || videoStrfs != 1 || w <= 0 || h <= 0 ||
+            bitCount != 24 || compression != 0 || fr.isEmpty ||
             fr.exists(off => off + stride.toLong * h > p.length)) None
         else Some(AviStream(w, h, fr))
       }
@@ -1090,13 +1120,18 @@ object Multimodal {
     * seam, nothing else. */
   def mediaFeatureTopK(docs: DataFrame, maxId: Long, queryId: Long,
                        k: Int): DataFrame = {
-    val feats = extractFeatures(syntheticPngs(docs, maxId)).toDF()
-      .withColumn("ed", transform(col("feature"), x => x.cast("double")))
-      .withColumn("nrm",
-        sqrt(graft.functions.ArrayDot.column(col("ed"), col("ed"))))
-    val q = feats.where(col("media_id") === queryId)
+    // the query row's feature comes from its OWN single-image pass —
+    // featurizing the full corpus on both sides of the cross join
+    // would run every PNG encode+decode twice (once just to extract
+    // the one query row; ADVICE r12)
+    def featurize(d: DataFrame): DataFrame =
+      extractFeatures(syntheticPngs(d, maxId)).toDF()
+        .withColumn("ed", transform(col("feature"), x => x.cast("double")))
+        .withColumn("nrm",
+          sqrt(graft.functions.ArrayDot.column(col("ed"), col("ed"))))
+    val q = featurize(docs.where(col("doc_id") === queryId))
       .select(col("ed").as("q_ed"), col("nrm").as("q_nrm"))
-    feats.where(col("media_id") =!= queryId)
+    featurize(docs.where(col("doc_id") =!= queryId))
       .crossJoin(broadcast(q))
       .select(col("media_id"),
         round(graft.functions.ArrayDot.column(col("ed"), col("q_ed"))

@@ -144,21 +144,15 @@ object StreamingPipeline {
 
   /** Pid-scoped lifecycle for replay SINK dirs, following the
     * graft-fixtures convention (`…_p<pid>` suffix under the shared
-    * root): a shutdown hook removes this process's sink dirs, and the
-    * fixture orphan sweep (SparkEntry.fixturePid) reclaims dirs whose
-    * owning pid died without running its hook. Dirs must be cleaned at
-    * exit, not per-call: the read-back frame is LAZY, so its files
-    * have to outlive the replay invocation. */
-  private lazy val sinkPid: Long = {
-    val pid = ProcessHandle.current().pid()
-    val root = new java.io.File("/root/repo/target/graft-fixtures")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val mine = root.listFiles()
-      if (mine != null) mine.filter(_.getName.endsWith(s"_p$pid"))
-        .foreach(rmTree)
-    }))
-    pid
-  }
+    * root). This IS SparkEntry.fixturePid — one shared initializer, so
+    * first sink use also registers the shutdown hook AND runs the
+    * orphan sweep (dead-pid + age-floor dirs reclaimed); a streaming
+    * process SIGKILL'd before any fixture query no longer leaks its
+    * sink dirs until some later fixture run happens to sweep
+    * (ADVICE r12). Dirs must be cleaned at exit, not per-call: the
+    * read-back frame is LAZY, so its files have to outlive the replay
+    * invocation. */
+  private def sinkPid: Long = graft.SparkEntry.fixturePid
 
   /** Run a replay streaming query through the PRODUCTION parquet file
     * sink — not the memory sink — and hand back the committed result
@@ -178,8 +172,18 @@ object StreamingPipeline {
       nRows: Long)(feed: org.apache.spark.sql.streaming.StreamingQuery
         => Unit): DataFrame = {
     val spark = out.sparkSession
-    val dir = new java.io.File(
-      "/root/repo/target/graft-fixtures",
+    val root = new java.io.File("/root/repo/target/graft-fixtures")
+    // a NEW replay of the same gate supersedes the previous one's
+    // lazily-read sink data (bench min-of-2 consumes run 1 fully
+    // before run 2 starts) — reclaim it now instead of at JVM exit,
+    // so repeated replays don't stack hundreds of MB at sf10
+    // (ADVICE r12)
+    val prev = root.listFiles()
+    if (prev != null) prev
+      .filter(f => f.getName.startsWith(s"${qtag}_sink_") &&
+        f.getName.endsWith(s"_p$sinkPid"))
+      .foreach(rmTree)
+    val dir = new java.io.File(root,
       s"${qtag}_sink_" + java.util.UUID.randomUUID().toString
         .replace("-", "") + s"_p$sinkPid")
     dir.mkdirs()

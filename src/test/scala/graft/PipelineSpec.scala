@@ -1117,6 +1117,53 @@ class PipelineSpec extends AnyFunSuite {
     corpus.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("q126 salted keeper propagate: flags == unsalted reference; hot key spreads over multiple salts") {
+    val s = spark
+    import s.implicits._
+    // hot planting over the real corpus: ParaHot lands in 50% of docs,
+    // far past the derived hot cut at this corpus size
+    val paras = Dedup.plantedParagraphsHot(docs)
+      .select(col("doc_id"), col("source"), col("para_idx"), col("para"),
+        sha2(col("para"), 256).as("h"))
+    val flagged = Dedup.saltedKeeperFlags(paras, paras.count())
+      .select(col("doc_id"), col("para_idx"), col("kept"))
+    // reference: the plain (skew-cliff) keeper join the salting replaced
+    val keepers = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
+    val ref = paras.join(keepers, "h")
+      .select(col("doc_id"), col("para_idx"),
+        (col("keeper.doc_id") === col("doc_id") &&
+         col("keeper.para_idx") === col("para_idx")).as("kept"))
+    assert(flagged.except(ref).isEmpty && ref.except(flagged).isEmpty)
+    // the skew pin needs GENUINE skew relative to this session's 4
+    // shuffle partitions (the cut is avg-partition fill, so the 12%
+    // corpus plant is correctly NOT hot here — it is at the 32-part
+    // gate sessions): craft a frame where one key holds >90% of rows
+    val hotParas = ((0 until 600).map(i =>
+        (i.toLong, "s", 0, Dedup.ParaHot)) ++
+      (0 until 50).map(i => (1000L + i, "s", 1, s"unique paragraph $i")))
+      .toDF("doc_id", "source", "para_idx", "para")
+      .withColumn("h", sha2(col("para"), 256))
+    val skew = Dedup.saltedKeeperFlags(hotParas, 650L)
+    val spread = skew.where(col("para") === Dedup.ParaHot)
+      .agg(countDistinct(col("salt")).as("n_salts"),
+        count(lit(1)).as("n_occ"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .collect().head
+    assert(spread.getLong(1) == 600L)
+    // the hot key's occurrences ride MULTIPLE salt values (multiple
+    // shuffle partitions of the (h, salt) keeper join) — the claim
+    // that a boilerplate key does not serialize into one task
+    assert(spread.getLong(0) > 1L,
+      s"hot key rode ${spread.getLong(0)} salt(s) over ${spread.getLong(1)} occurrences")
+    assert(spread.getLong(2) == 1L, "exactly one keeper survives per key")
+    // cold keys (the unique paragraphs) pay no fan-out: salt 0 only,
+    // and every one of them is its own keeper
+    val coldRows = skew.where(col("para") =!= Dedup.ParaHot).collect()
+    assert(coldRows.length == 50 && coldRows.forall(_.getAs[Int]("salt") == 0)
+      && coldRows.forall(_.getAs[Boolean]("kept")))
+  }
+
   test("normalized dedup subsumes raw exact dup groups") {
     val s = spark
     import s.implicits._

@@ -163,6 +163,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q123/q126 keeper propagate: cold join distributes on (h, salt); hot keepers ride a broadcast") {
+    for (q <- Seq("q123_paragraph_dedup", "q126_paragraph_dedup_hotkey")) {
+      val p = plan(q)
+      // the cold keeper join's DISTRIBUTION keys must include the salt
+      // — a constant-folded `salt = 0` residual condition would demote
+      // the key set to h alone and re-serialize hot keys into one task
+      assert("""Join \[h#\d+, salt#\d+\]""".r.findFirstIn(p).nonEmpty,
+        s"$q: keeper join does not key on (h, salt):\n${p.take(2000)}")
+      // the hot keeper set reaches the paras side by broadcast (never
+      // a shuffle of the occurrences)
+      assert(p.contains("BroadcastHashJoin"), q)
+    }
+  }
+
   test("q54 retention: one event-volume shuffle (user_id collect_set) — no joins, no windows") {
     val p = plan("q54_retention")
     assert(!p.contains("Join"))
