@@ -553,6 +553,16 @@ object SparkEntry {
     // adversarial shape it exists for.
     "q126_paragraph_dedup_hotkey" -> ((s, dir) =>
       Dedup.paragraphDedupHotSummary(Corpus.table(s, dir, "documents"))),
+    // q127: the q116 production ingress under MANY-WAVE arrival —
+    // corpus staged as ~16 mtime-ordered files read one per
+    // micro-batch, with genuinely late files carved [8,4) minutes
+    // before each wave boundary. Exercises incremental watermark
+    // advance + late-file admission on the FileStreamSource path;
+    // Append output must still equal batch sessionization (q41's
+    // oracle verbatim).
+    "q127_filestream_waves" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.sessionizeFileStreamWaves(
+        Corpus.table(s, dir, "events"), 30, fixtureDir("q127", dir))),
   )
 
   /** The q124 SQL text, generated from Dedup's paragraph constants so
@@ -966,6 +976,19 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
     // the file-source streaming spelling shares q41/q80's oracle
     "q116_filestream_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    // the many-wave ingress spelling shares the same batch oracle:
+    // late-but-in-budget files must not change Append output
+    "q127_filestream_waves" ->
       """WITH f AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess

@@ -421,6 +421,128 @@ object StreamingPipeline {
       .orderBy("user_id", "session_start")
   }
 
+  /** Gate composition (q127): the q116 production-ingress contract
+    * under MANY-WAVE arrival — the corpus lands as ~2·nWaves mtime-
+    * ordered files consumed one per micro-batch
+    * (`maxFilesPerTrigger = 1`), so the FileStreamSource path is
+    * exercised with INCREMENTAL watermark advance across ≥ nWaves
+    * data batches and with GENUINELY LATE FILES, not a single batch-0
+    * corpus (the one residual caveat q116 carried).
+    *
+    * Wave construction (one corpus pass, closed-form file routing):
+    * the ts range splits into nWaves contiguous slices; within wave k
+    * the events falling [8 min, 4 min) before the wave's upper
+    * boundary are carved into a LATE file delivered AFTER the wave's
+    * main file. When the late file's batch runs, the watermark is
+    * (max ts seen through the main file) − 10 min < boundary − 8 min
+    * ≤ every late ts, so the late events are admitted — genuinely
+    * out-of-order (the main file already carried ts up to the
+    * boundary) but inside the lateness budget, which is what keeps
+    * Append output equal to the batch sessionization (q41's oracle
+    * verbatim). A late event can never belong to an already-emitted
+    * session either: emission needs end + gap < watermark, and
+    * gap (30 min) > lateness (10 min) puts every admitted ts beyond
+    * such a session's reach. Two far-future sentinel files then ripen
+    * every real session, as in the MemoryStream harness.
+    *
+    * Scale shape: identical to sessionize (one shuffle on user_id,
+    * watermark-bounded state); staging is ONE pass
+    * (`repartition(fileIdx).write.partitionBy(fileIdx)`), gate
+    * plumbing a production deployment replaces with its landing
+    * directory. */
+  def sessionizeFileStreamWaves(events: DataFrame, gapMinutes: Int,
+                                fixtureDir: String,
+                                nWaves: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    val projected = events.select(col("user_id"), col("ts"), col("value"))
+    require(projected.where(col("user_id") === SentinelUser).isEmpty,
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+    val statsRow = projected
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1))).head()
+    val minUs = statsRow.getLong(0)
+    val maxUs = statsRow.getLong(1)
+    val nRows = statsRow.getLong(2)
+    val span = math.max(1L, maxUs - minUs + 1)
+    // a wave narrower than the late window cannot stage a meaningful
+    // late file; shrink the wave count rather than mis-slice (the
+    // gate corpora span days, so this binds only on degenerate input)
+    val lateLoUs = 8L * 60 * 1000000L
+    val lateHiUs = 4L * 60 * 1000000L
+    val w = math.max(1L, math.min(nWaves.toLong, span / (2 * lateLoUs)))
+
+    val root = new java.io.File(fixtureDir)
+    rmTree(root)
+    val srcDir = new java.io.File(root, "in")
+    srcDir.mkdirs()
+
+    // closed-form file routing, all in MICROSECONDS and all in
+    // INTEGER division (`div` — Column./ would go through double):
+    // wave by floor division, so the wave's exclusive upper boundary
+    // is the ceiling form of the same fraction — the two expressions
+    // must agree or boundary events would self-contradict their late
+    // test
+    val staged = new java.io.File(root, "staged")
+    projected
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("wave", least(lit(w - 1),
+        expr(s"((us - ${minUs}L) * ${w}L) div ${span}L")))
+      .withColumn("bHi",
+        expr(s"${minUs}L + ((wave + 1L) * ${span}L + ${w - 1}L) div ${w}L"))
+      .withColumn("fileIdx", (col("wave") * 2 +
+        when(col("us") >= col("bHi") - lateLoUs &&
+          col("us") < col("bHi") - lateHiUs, 1L).otherwise(0L)).cast("int"))
+      .select(col("user_id"), col("ts"), col("value"), col("fileIdx"))
+      .repartition(2 * w.toInt, col("fileIdx"))
+      .write.partitionBy("fileIdx").parquet(staged.toString)
+    val t0 = System.currentTimeMillis() - 3600000L
+    val dataFiles = (0 until 2 * w.toInt).flatMap { idx =>
+      val dir = new java.io.File(staged, s"fileIdx=$idx")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length <= 1,
+        s"wave file $idx staged as ${parts.length} parts") // one task per idx
+      parts.headOption.map { part =>
+        val dest = new java.io.File(srcDir, f"$idx%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(t0 + idx * 20000L),
+          s"cannot set mtime on $dest")
+        dest
+      }
+    }
+    rmTree(staged)
+    require(dataFiles.nonEmpty, "no corpus files staged")
+    import spark.implicits._
+    def sentinel(offset: Long, idx: Int): Unit = {
+      val day = 86400000000L
+      val f = new java.io.File(root, s"sent_$idx")
+      Seq((SentinelUser,
+          new java.sql.Timestamp((maxUs + offset * day) / 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .repartition(1).write.parquet(f.toString)
+      val part = f.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, f"${2 * w.toInt + idx}%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(t0 + (2 * w.toInt + idx) * 20000L),
+        s"cannot set mtime on $dest")
+      rmTree(f)
+    }
+    sentinel(1L, 0); sentinel(2L, 1)
+
+    val stream = spark.readStream
+      .schema(projected.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val out = sessionize(stream, gapMinutes)
+    runReplayToFileSink(out.toDF(), "q127", nRows) { query =>
+      query.processAllAvailable()
+    }
+      .where(col("user_id") =!= SentinelUser)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Gate composition (q88): the streaming windowed aggregation
     * replayed over the batch events table, same harness as
     * sessionizeReplay (ts-ordered chunked MemoryStream feed, two

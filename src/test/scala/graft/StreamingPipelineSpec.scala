@@ -374,6 +374,69 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.conf.get(retain) == retainBefore)
   }
 
+  test("q127 many-wave ingress: >=8 data micro-batches, a genuinely " +
+      "late file admitted, output == batch sessionization") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // deterministic corpus: 20 users, one event every 47 s, with an
+    // hour-long void injected every 200 events so sessions split and
+    // real mid-stream finalizations happen across the waves
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 3000).map { i =>
+      ((i % 20).toLong,
+        new Timestamp(base + i * 47000L + (i / 200) * 3600000L),
+        (i % 7).toDouble)
+    }
+    val ev = rows.toDF("user_id", "ts", "value")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q127").toFile.toString
+    val got = StreamingPipeline
+      .sessionizeFileStreamWaves(ev, 30, dir, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4)))
+      .toSet
+    // driver-side reference sessionization of the same rows
+    val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._2.getTime, e._3)).sorted
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+        case (h :: t, e) if e._1 <= h.head._1 + 30 * 60000L => (e :: h) :: t
+        case (acc, e) => List(e) :: acc
+      }
+      sessions.map { s =>
+        (u, s.map(_._1).min, s.map(_._1).max, s.size.toLong,
+          math.rint(s.map(_._2).sum * 1e6) / 1e6)
+      }
+    }.toSet
+    assert(got == expected)
+    // staged layout: >=8 main-wave files + 2 sentinels, one per
+    // micro-batch (maxFilesPerTrigger = 1) — the incremental-advance
+    // claim is structural, not a single batch-0 corpus
+    val srcDir = new java.io.File(dir, "in")
+    val files = srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet").toInt).sorted
+    val dataFiles = files.dropRight(2)
+    assert(dataFiles.count(_ % 2 == 0) >= 8,
+      s"only ${dataFiles.count(_ % 2 == 0)} main-wave files staged")
+    // at least one late file is nonempty AND out-of-order: its oldest
+    // event precedes the newest event of the already-delivered main
+    // file — the genuinely-late admission the gate exists to exercise
+    def tsRange(idx: Int) = spark.read
+      .parquet(new java.io.File(srcDir, f"$idx%03d.parquet").toString)
+      .agg(org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head()
+    val lateProven = dataFiles.filter(i => i % 2 == 1).exists { i =>
+      val late = tsRange(i)
+      late.getLong(2) > 0L && {
+        val main = tsRange(i - 1)
+        late.getTimestamp(0).before(main.getTimestamp(1))
+      }
+    }
+    assert(lateProven, "no nonempty out-of-order late file staged")
+  }
+
   test("replay egress is the file sink: result reads from files, " +
       "never a driver-held local relation") {
     val spark = SparkTestSession.spark
