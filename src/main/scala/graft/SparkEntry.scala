@@ -563,6 +563,14 @@ object SparkEntry {
     "q127_filestream_waves" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.sessionizeFileStreamWaves(
         Corpus.table(s, dir, "events"), 30, fixtureDir("q127", dir))),
+    // q128: recall@10 ladder for the IVF tier at nProbe ∈ {1,2,4,8} —
+    // q70's audit discipline for the k-means quantizer, so q38's dial
+    // is no longer the only ungraded knob. Gate = the q85 pattern
+    // (exact columns + TRUE-expected monotonicity/endpoint
+    // invariants); the recall curve itself is asserted in
+    // PipelineSpec (k-means values cannot cross engines).
+    "q128_ivf_recall_ladder" -> ((s, dir) => Similarity.ivfRecallAudit(
+      Corpus.table(s, dir, "embeddings"), 10, 8, 100L, Seq(1, 2, 4, 8))),
   )
 
   /** The q124 SQL text, generated from Dedup's paragraph constants so
@@ -999,6 +1007,16 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 6) AS total_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    // IVF recall ladder: the sampled-query count is exact SQL; the
+    // monotonicity and full-probe-endpoint invariants are TRUE
+    // expected (the q85 pattern — k-means recall cannot cross engines)
+    "q128_ivf_recall_ladder" ->
+      """SELECT v.nprobe, q.n_queries, true AS monotone_ok,
+        |  true AS exact_at_full_probe
+        |FROM (VALUES (1), (2), (4), (8)) AS v(nprobe)
+        |CROSS JOIN (SELECT count(*)::BIGINT AS n_queries FROM embeddings
+        |  WHERE vec_id % 100 = 0) q
+        |ORDER BY v.nprobe""".stripMargin.replace("\n", " "),
     // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
     "q39b_dedup_approx_guard" ->
       "SELECT source, count(*) AS n_docs, true AS within_bounds FROM documents GROUP BY source ORDER BY source",

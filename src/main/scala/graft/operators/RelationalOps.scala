@@ -424,19 +424,25 @@ object RelationalOps {
   }
 
   /** Gate composition (q79): the q32 revenue join routed THROUGH the
-    * skew-salting operator — same oracle, so the hash gate pins that
-    * salting returns exactly the plain equi-join's rows while each
-    * order key is spread over `factor` shuffle partitions. The salt
-    * derives from (order key, line number), a per-ROW value: salting
+    * skew operator — same oracle, so the hash gate pins that the
+    * operator returns exactly the plain equi-join's rows. The salt
+    * factor is DERIVED from the observed key distribution (r12 paid a
+    * pinned ×8 explode fan-out — 2.95 s vs q32's 0.63 s — on a corpus
+    * whose hottest order key holds only 7 lines): TPC-H lineitem is
+    * unskewed, so the derivation picks factor 1 and the gate pays the
+    * plain join plus one sizing pass, while a genuinely hot key would
+    * spread over exactly as many partitions as it fills
+    * (SkewAndBucketSpec pins that branch on crafted skew). The salt
+    * basis stays (order key, line number), a per-ROW value: salting
     * on the join key alone would give a hot key one fixed salt and
     * spread nothing. */
-  def saltedRevenueByPriority(spark: SparkSession, sfDir: String,
-                              factor: Int = 8): DataFrame = {
+  def saltedRevenueByPriority(spark: SparkSession,
+                              sfDir: String): DataFrame = {
     val o = Corpus.table(spark, sfDir, "orders")
     val l = Corpus.table(spark, sfDir, "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
-    SkewOps.saltedJoin(l, o, "o_orderkey",
-        struct(col("o_orderkey"), col("l_linenumber")), factor)
+    SkewOps.adaptiveSaltedJoin(l, o, "o_orderkey",
+        struct(col("o_orderkey"), col("l_linenumber")))
       .groupBy(col("o_orderpriority"))
       .agg(
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)

@@ -663,6 +663,127 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Recall@k audit of the IVF tier across a LADDER of nProbe values
+    * (q128) — q70's treatment for the data-adapted quantizer, closing
+    * the one ungraded knob: q38's nProbe dial had only the all-probes
+    * endpoint (q38b) pinned, with no recall measurement in between.
+    * For a sampled query set (vec_id % queryMod == 0), the audit
+    * scores every (query, vector) cosine ONCE, ranks cells per query
+    * by centroid cosine (the exact probe order ivfTopK uses), and
+    * derives the approx top-k for EVERY rung of the ladder from one
+    * shared window pass: a row is in approx(p)'s top-k iff its cell's
+    * probe rank ≤ p and fewer than k better-ranked rows also probe
+    * within p — four conditional running counts over one window sort,
+    * not four re-scored passes.
+    *
+    * The k-means-shaped recall VALUES cannot cross engines, so the
+    * gate follows the q85 pattern — exact columns + TRUE-expected
+    * invariants: per-query hits must be MONOTONE up the ladder
+    * (candidate sets nest, and a true top-k hit can only be displaced
+    * by a better candidate that is itself a hit — provable, so a
+    * violation is an implementation bug, never data), and the full
+    * ladder rung (nProbe = nClusters) must recover the exact top-k
+    * (the q38b endpoint through the probe-rank plumbing). The recall
+    * CURVE itself is asserted and printed in PipelineSpec.
+    *
+    * Scale shape: ground truth is exact on the sample only (the q70
+    * discipline — O(|sample|·corpus) with the sample on a broadcast,
+    * never corpus²); the centroid ranking is nClusters rows per
+    * query; ONE window shuffle on qid. */
+  def ivfRecallAudit(embeddings: DataFrame, k: Int, nClusters: Int,
+                     queryMod: Long, probes: Seq[Int],
+                     seed: Long = 42L): DataFrame = {
+    val base = ivfRecallPerQuery(embeddings, k, nClusters, queryMod,
+      probes, seed)
+    val monoViol = probes.indices.init.map(i =>
+      col(s"hit_$i") > col(s"hit_${i + 1}")).reduce(_ || _)
+    val summary = base.agg(count(lit(1)).as("n_queries"),
+      sum(when(monoViol, 1L).otherwise(0L)).as("mono_viol"),
+      sum(when(col(s"hit_${probes.size - 1}") =!= col("k_eff"), 1L)
+        .otherwise(0L)).as("full_viol"))
+    summary.select(
+        explode(array(probes.map(lit): _*)).as("nprobe"),
+        col("n_queries"),
+        (col("mono_viol") === 0L).as("monotone_ok"),
+        (col("full_viol") === 0L).as("exact_at_full_probe"))
+      .orderBy("nprobe")
+  }
+
+  /** Per-query (k_eff, hit_i per ladder rung) frame shared by the
+    * gate aggregate and the spec's recall curve. */
+  private def ivfRecallPerQuery(embeddings: DataFrame, k: Int,
+      nClusters: Int, queryMod: Long, probes: Seq[Int],
+      seed: Long): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted &&
+      probes.last == nClusters,
+      "probe ladder must be ascending and end at nClusters (the exact endpoint)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val (feat, model) = ivfModel(embeddings, nClusters, seed)
+    val v = withVectorCols(model.transform(feat).drop("features"), 0)
+      .select(col("vec_id"), col("ed"), col("norm"), col("cell"))
+    val q = v.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("q_ed"),
+        col("norm").as("q_norm"))
+    // per-query probe order of every cell — the same (-cos, index)
+    // ranking ivfTopK applies, over the model's nClusters centroids
+    val centDf = model.clusterCenters.toSeq.map(_.toArray).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "c_ed")
+      .withColumn("c_norm",
+        sqrt(graft.functions.ArrayDot.column(col("c_ed"), col("c_ed"))))
+    val probeRank = q.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("cell"),
+        when(col("c_norm") === 0.0 || col("q_norm") === 0.0, lit(-1.0))
+          .otherwise(graft.functions.ArrayDot
+            .column(col("q_ed"), col("c_ed")) /
+            (col("q_norm") * col("c_norm"))).as("ccos"))
+      .withColumn("probe_rank", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))))
+      .select(col("qid"), col("cell"), col("probe_rank"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"),
+          col("q_norm")), 6).as("cos"))
+      .join(broadcast(probeRank), Seq("qid", "cell"))
+    // ONE window sort serves the exact rank and every ladder rung
+    val w = W.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wr = W.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("hits", array(probes.map(p =>
+        (col("probe_rank") <= p &&
+          sum(when(col("probe_rank") <= p, 1L).otherwise(0L)).over(w) <= k)
+          .cast("long")): _*))
+    val perQid = ranked.groupBy(col("qid"))
+      .agg(sum(when(col("rn") <= k, 1L).otherwise(0L)).as("k_eff"),
+        probes.indices.map(i =>
+          sum(when(col("rn") <= k, element_at(col("hits"), i + 1))
+            .otherwise(0L)).as(s"hit_$i")): _*)
+    // every sampled query must appear even with zero candidates
+    q.select(col("qid"))
+      .join(perQid, Seq("qid"), "left")
+      .na.fill(0L)
+  }
+
+  /** Per-probe recall curve for the spec's eyes (not gated — the
+    * values are k-means-shaped): average hits/k_eff per ladder rung. */
+  private[graft] def ivfRecallCurve(embeddings: DataFrame, k: Int,
+      nClusters: Int, queryMod: Long, probes: Seq[Int],
+      seed: Long = 42L): Seq[(Int, Double)] = {
+    val perQ = ivfRecallPerQuery(embeddings, k, nClusters, queryMod,
+      probes, seed)
+    probes.indices.map { i =>
+      val r = perQ.select(
+        avg(when(col("k_eff") > 0,
+          col(s"hit_$i").cast("double") / col("k_eff")))).head()
+      (probes(i), if (r.isNullAt(0)) 1.0 else r.getDouble(0))
+    }
+  }
+
   /** Int8 scalar-quantization error profile per label — the compression
     * audit run before shipping vectors to an ANN index (4× smaller than
     * float32; is the recall cost acceptable?). Each vector is quantized

@@ -1274,6 +1274,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 IVF recall ladder: per-query monotone, exact at the full-probe endpoint, curve in bounds") {
+    val probes = Seq(1, 2, 4, 8)
+    val audit = Similarity.ivfRecallAudit(embs, 10, 8, 5L, probes).collect()
+    assert(audit.length == probes.length)
+    assert(audit.map(_.getInt(0)).toSeq == probes)
+    audit.foreach { r =>
+      assert(r.getLong(1) > 0L, "no sampled queries")
+      assert(r.getBoolean(2), "per-query monotonicity violated")
+      assert(r.getBoolean(3), "full-probe rung != exact top-k")
+    }
+    // the curve the gate cannot carry (k-means-shaped): nondecreasing
+    // up the ladder, exactly 1.0 at the all-probes endpoint
+    val curve = Similarity.ivfRecallCurve(embs, 10, 8, 5L, probes)
+    info(s"IVF recall@10 curve: ${curve.map { case (p, r) => s"nProbe=$p:${"%.3f".format(r)}" }.mkString(", ")}")
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a, s"average recall decreased up the ladder: $curve")
+    }
+    assert(curve.last._2 == 1.0, s"endpoint recall ${curve.last._2} != 1.0")
+  }
+
   test("knn label audit: accuracy bounds hold; perfect clusters score 1.0") {
     val s = spark
     import s.implicits._

@@ -27,6 +27,32 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("adaptive salt factor: 1 on the unskewed corpus, proportional under crafted skew, parity both ways") {
+    val s = spark
+    import s.implicits._
+    val lineitem = Corpus.table(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    // TPC-H's hottest order key holds 7 lines — far under an average
+    // partition, so the derivation must pick the PLAIN join
+    assert(SkewOps.derivedSaltFactor(lineitem, "o_orderkey") == 1)
+    // crafted skew: one key holding ~94% of rows across this
+    // session's 4 shuffle partitions must derive the full spread...
+    val skewed = ((0 until 600).map(i => (42L, i.toLong)) ++
+      (0 until 40).map(i => (100L + i, i.toLong)))
+      .toDF("k", "row_id")
+    val f = SkewOps.derivedSaltFactor(skewed, "k")
+    assert(f == 4, s"derived factor $f for a 94%-hot key over 4 partitions")
+    // ...and the salted branch still returns exactly the plain join
+    val dim = (Seq(42L) ++ (0 until 40).map(i => 100L + i))
+      .map(k => (k, s"label_$k")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val adaptive = SkewOps.adaptiveSaltedJoin(skewed, dim, "k",
+        struct(col("k"), col("row_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(adaptive == plain)
+  }
+
   test("bucketed tables join without an exchange (q32's at-scale shape)") {
     val s = spark
     import s.implicits._
