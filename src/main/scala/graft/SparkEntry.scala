@@ -571,6 +571,15 @@ object SparkEntry {
     // PipelineSpec (k-means values cannot cross engines).
     "q128_ivf_recall_ladder" -> ((s, dir) => Similarity.ivfRecallAudit(
       Corpus.table(s, dir, "embeddings"), 10, 8, 100L, Seq(1, 2, 4, 8))),
+    // q129: the quarantine-RATE guard — q114 counts outcomes, this
+    // row CONTRACTS them: eight families on disjoint id ranges (the
+    // q114 classes + AVI and both G.711 laws, every codec the JVM
+    // really ships), each all-or-nothing by construction, with a
+    // Spark-side TRUE-expected rate flag that flips the moment a
+    // decodable family starts quarantining or a codec-less one starts
+    // "decoding".
+    "q129_quarantine_rate_guard" -> ((s, dir) =>
+      Multimodal.quarantineRateGuard(Corpus.table(s, dir, "documents"))),
   )
 
   /** The q124 SQL text, generated from Dedup's paragraph constants so
@@ -1007,6 +1016,31 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 6) AS total_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    // quarantine-rate guard: per-family counts recomputed from the
+    // disjoint id ranges (q114's arithmetic pattern); the rate flag is
+    // TRUE expected — Spark computes it from its own observed decode
+    // outcomes, so a codec regression hash-mismatches
+    "q129_quarantine_rate_guard" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100)
+        |SELECT * FROM (
+        |SELECT 'avi_dib' AS family, count(*)::BIGINT AS n_total,
+        |  count(*)::BIGINT AS n_decoded, 0::BIGINT AS n_quarantined,
+        |  true AS decode_rate_ok FROM ids WHERE id >= 40 AND id < 60
+        |UNION ALL SELECT 'g711_alaw_wav', count(*)::BIGINT,
+        |  count(*)::BIGINT, 0::BIGINT, true FROM ids WHERE id >= 80
+        |UNION ALL SELECT 'g711_ulaw_wav', count(*)::BIGINT,
+        |  count(*)::BIGINT, 0::BIGINT, true FROM ids WHERE id >= 60 AND id < 80
+        |UNION ALL SELECT 'mp4_codecless', count(*)::BIGINT, 0::BIGINT,
+        |  count(*)::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 4
+        |UNION ALL SELECT 'mpeg_codecless', count(*)::BIGINT, 0::BIGINT,
+        |  count(*)::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 3
+        |UNION ALL SELECT 'png_corrupt', count(*)::BIGINT, 0::BIGINT,
+        |  count(*)::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 1
+        |UNION ALL SELECT 'png_valid', count(*)::BIGINT, count(*)::BIGINT,
+        |  0::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 0
+        |UNION ALL SELECT 'wav_pcm', count(*)::BIGINT, count(*)::BIGINT,
+        |  0::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 2
+        |) ORDER BY family""".stripMargin.replace("\n", " "),
     // IVF recall ladder: the sampled-query count is exact SQL; the
     // monotonicity and full-probe-endpoint invariants are TRUE
     // expected (the q85 pattern — k-means recall cannot cross engines)

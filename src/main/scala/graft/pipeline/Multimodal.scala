@@ -1184,7 +1184,22 @@ object Multimodal {
     * scan, then ONE partial+final aggregate on the low-cardinality
     * media_type — no joins, no data shuffle (only per-type partials
     * move). */
-  def quarantineAudit(media: Dataset[MediaRecord]): DataFrame = {
+  def quarantineAudit(media: Dataset[MediaRecord]): DataFrame =
+    decodeOutcomes(media)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("dec")).cast("long").as("n_decoded"),
+        sum(col("quar")).cast("long").as("n_quarantined"),
+        sum(col("qbytes")).cast("long").as("quarantined_bytes"),
+        sum(col("ck")).cast("long").as("decoded_checksum"))
+
+  /** Per-payload decode outcome — the classify map the audit (q114)
+    * and the rate guard (q129) both aggregate. Each payload routes to
+    * the decoder family its DECLARED media type names; the decode is
+    * genuinely ATTEMPTED (never label-matched), and the outcome
+    * carries a post-decode checksum (decoded) or the byte count
+    * (quarantined). */
+  private def decodeOutcomes(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -1204,17 +1219,12 @@ object Multimodal {
             }
           else None
         decoded match {
-          case Some(ck) => (r.media_type, 1L, 0L, 0L, ck)
-          case None => (r.media_type, 0L, 1L, r.payload.length.toLong, 0L)
+          case Some(ck) => (r.media_id, r.media_type, 1L, 0L, 0L, ck)
+          case None =>
+            (r.media_id, r.media_type, 0L, 1L, r.payload.length.toLong, 0L)
         }
       }
-    }.toDF("media_type", "dec", "quar", "qbytes", "ck")
-      .groupBy("media_type")
-      .agg(count(lit(1)).as("n_total"),
-        sum(col("dec")).cast("long").as("n_decoded"),
-        sum(col("quar")).cast("long").as("n_quarantined"),
-        sum(col("qbytes")).cast("long").as("quarantined_bytes"),
-        sum(col("ck")).cast("long").as("decoded_checksum"))
+    }.toDF("media_id", "media_type", "dec", "quar", "qbytes", "ck")
   }
 
   /** Mixed-media fixture set for the quarantine gate: five
@@ -1275,6 +1285,51 @@ object Multimodal {
     * checksum from the residue classes. */
   def quarantineAuditReport(docs: DataFrame, maxId: Long): DataFrame =
     quarantineAudit(mixedMediaFixtures(docs, maxId)).orderBy("media_type")
+
+  /** Quarantine-RATE guard (q129) — the contract-level invariant q114
+    * does not state: a DECODABLE family must never start quarantining
+    * (a codec regression would otherwise read as quieter counts in
+    * some future fixture change), and a codec-less family must never
+    * start "decoding" (a byte-echoing stub would read as louder
+    * ones). Eight families plant on DISJOINT id ranges — the q114
+    * residue classes on [0,40) plus the three families q114 omitted
+    * and the JVM genuinely decodes: DIB AVIs on [40,60), G.711 µ-law
+    * on [60,80), A-law on [80,100) — and each family's expected rate
+    * is all-or-nothing BY CONSTRUCTION, so `decode_rate_ok` is
+    * Spark-side TRUE-expected: it flips, and the gate hash-mismatches,
+    * the moment any real codec path silently breaks. Counts are also
+    * oracle-recomputed arithmetically from the id ranges (q114's
+    * pattern). Scale shape: the same classify map + one small
+    * aggregate; no joins, no data shuffle. */
+  def quarantineRateGuard(docs: DataFrame): DataFrame = {
+    def slice(lo: Long, hi: Long) =
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+    val media = mixedMediaFixtures(slice(0, 40), 40L)
+      .union(syntheticDibAvis(slice(40, 60), 60L))
+      .union(syntheticUlawWavs(slice(60, 80), 80L))
+      .union(syntheticAlawWavs(slice(80, 100), 100L))
+    val family = when(col("media_id") >= 80, "g711_alaw_wav")
+      .when(col("media_id") >= 60, "g711_ulaw_wav")
+      .when(col("media_id") >= 40, "avi_dib")
+      .when(col("media_id") % 5 === 0, "png_valid")
+      .when(col("media_id") % 5 === 1, "png_corrupt")
+      .when(col("media_id") % 5 === 2, "wav_pcm")
+      .when(col("media_id") % 5 === 3, "mpeg_codecless")
+      .otherwise("mp4_codecless")
+    val decodable =
+      Seq("png_valid", "wav_pcm", "avi_dib", "g711_ulaw_wav", "g711_alaw_wav")
+    decodeOutcomes(media)
+      .withColumn("family", family)
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("dec")).cast("long").as("n_decoded"),
+        sum(col("quar")).cast("long").as("n_quarantined"))
+      .withColumn("decode_rate_ok",
+        when(col("family").isin(decodable: _*),
+          col("n_decoded") === col("n_total"))
+          .otherwise(col("n_decoded") === 0L))
+      .orderBy("family")
+  }
 
   /** Byte-level metadata summary — pure column expressions, and the
     * correctness-observable face of the binary plumbing: payload length

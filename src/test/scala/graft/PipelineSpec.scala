@@ -1274,6 +1274,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 quarantine-rate guard: eight families, every rate flag TRUE, decodable families nonempty") {
+    val rows = Multimodal.quarantineRateGuard(docs).collect()
+    val byFamily = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byFamily.keySet == Set("avi_dib", "g711_alaw_wav",
+      "g711_ulaw_wav", "mp4_codecless", "mpeg_codecless", "png_corrupt",
+      "png_valid", "wav_pcm"))
+    byFamily.foreach { case (f, (total, dec, quar, ok)) =>
+      assert(total > 0L, s"$f planted nothing")
+      assert(dec + quar == total, f)
+      assert(ok, s"$f rate flag flipped: decoded $dec of $total")
+    }
+    // the flag is computed from OBSERVED outcomes, so the all-or-
+    // nothing split must be real: decodable families fully decoded,
+    // codec-less ones fully quarantined
+    assert(byFamily("avi_dib")._2 == byFamily("avi_dib")._1)
+    assert(byFamily("mp4_codecless")._3 == byFamily("mp4_codecless")._1)
+  }
+
   test("q128 IVF recall ladder: per-query monotone, exact at the full-probe endpoint, curve in bounds") {
     val probes = Seq(1, 2, 4, 8)
     val audit = Similarity.ivfRecallAudit(embs, 10, 8, 5L, probes).collect()
