@@ -174,7 +174,8 @@ object Bench {
         "q38_ivf_topk", "q38b_ivf_exact", "q67_minhash_audit",
         "q29_cosine_near_dups", "q58_embedding_dedup", "q73_cluster_sizes",
         "q78_ivf_store_probe", "q82_cluster_keep_best",
-        "q94_multiprobe_exact", "q99_band_store_dedup")
+        "q94_multiprobe_exact", "q99_band_store_dedup",
+        "q128_ivf_recall_ladder")
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // cold = first timed run at sfDir (indexes/caches unbuilt), warm =

@@ -533,7 +533,7 @@ object SparkEntry {
     // constants. Shares q123's oracle; bit-parity with the Scala path
     // pinned in SqlSurfaceSpec.
     "q124_sql_paragraph_dedup" -> ((s, dir) =>
-      QueryRunner.sql(s, dir, sqlParagraphDedup)),
+      QueryRunner.sql(s, dir, sqlParagraphDedupText(hot = false))),
     // q125: compressed-ingest round trip — documents written as JSONL
     // under gzip (non-splittable: parallelism = file count) AND bzip2
     // (splittable pure-Java codec), read back through the
@@ -580,13 +580,22 @@ object SparkEntry {
     // "decoding".
     "q129_quarantine_rate_guard" -> ((s, dir) =>
       Multimodal.quarantineRateGuard(Corpus.table(s, dir, "documents"))),
+    // q130: q126's skew fixture from pure SQL — the q124/q109 lockstep
+    // discipline for the newest tier variant (the SQL spelling keeps
+    // the plain keeper join; AQE's skew split owns that path). Shares
+    // q126's oracle.
+    "q130_sql_paragraph_dedup_hot" -> ((s, dir) =>
+      QueryRunner.sql(s, dir, sqlParagraphDedupText(hot = true))),
   )
 
-  /** The q124 SQL text, generated from Dedup's paragraph constants so
-    * the SQL surface moves in lockstep with the Scala dataflow (the
-    * q109 discipline). Same skew-safe shape: keeper via partial+final
-    * min(named_struct) aggregate, NOT a row_number window. */
-  private[graft] val sqlParagraphDedup: String =
+  /** The q124 (and, with the hot planting, q130) SQL text, generated
+    * from Dedup's paragraph constants so the SQL surface moves in
+    * lockstep with the Scala dataflow (the q109 discipline). Same
+    * skew-safe keeper: partial+final min(named_struct) aggregate, NOT
+    * a row_number window; the SQL spelling keeps the plain keeper
+    * join (AQE's skew split applies there), while the Scala operator
+    * carries the derived-salt propagate. */
+  private[graft] def sqlParagraphDedupText(hot: Boolean): String =
     s"""WITH t AS (SELECT doc_id, source, split(text, ' ') AS tk FROM documents),
        |b AS (SELECT doc_id, source, tk, size(tk) AS n, size(tk) div 3 AS b1,
        |    (size(tk) * 2) div 3 AS b2 FROM t),
@@ -597,8 +606,13 @@ object SparkEntry {
        |p1 AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
        |    THEN concat(slice(s, 1, 1), array('${Dedup.ParaBanner}'), slice(s, 2, 2))
        |    ELSE s END AS s1 FROM segs),
-       |p2 AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
-       |    THEN concat(s1, array('${Dedup.ParaFooter}')) ELSE s1 END AS s2 FROM p1),
+       |p2x AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+       |    THEN concat(s1, array('${Dedup.ParaFooter}')) ELSE s1 END AS s2x FROM p1),
+       |p2 AS (SELECT doc_id, source, ${
+         if (hot)
+           s"CASE WHEN doc_id % 2 = 0 THEN concat(array('${Dedup.ParaHot}'), s2x) ELSE s2x END"
+         else "s2x"
+       } AS s2 FROM p2x),
        |p AS (SELECT doc_id, source, para_idx, para, sha2(para, 256) AS h
        |  FROM p2 LATERAL VIEW posexplode(s2) t AS para_idx, para),
        |k AS (SELECT h, min(named_struct('doc_id', doc_id, 'para_idx', para_idx)) AS keeper
@@ -1755,6 +1769,8 @@ object SparkEntry {
     // same recomputation with the hot planting mirrored — grades the
     // salted keeper propagate under the planted 50%+ skew
     "q126_paragraph_dedup_hotkey" -> paragraphDedupOracle(hot = true),
+    // the SQL spelling of the skew fixture — one oracle grades both
+    "q130_sql_paragraph_dedup_hot" -> paragraphDedupOracle(hot = true),
     // the compressed round trip's target values, straight from the
     // parquet source — losslessness through write → compress →
     // decompress → parse means the two codec rows must agree on

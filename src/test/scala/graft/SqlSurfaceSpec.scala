@@ -89,6 +89,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(scala.collect().exists(r => r.getLong(4) > 0L))
   }
 
+  test("q130 ad-hoc SQL hot-planted paragraph dedup == Dedup.paragraphDedupHotSummary bit-for-bit") {
+    // the SQL spelling keeps the plain keeper join; the Scala path
+    // runs the derived-salt propagate — results must be identical
+    val sql = SparkEntry.queries("q130_sql_paragraph_dedup_hot")(spark, sf)
+    val scala = Dedup.paragraphDedupHotSummary(
+      Corpus.table(spark, sf, "documents"))
+    assert(rows(sql) == rows(scala))
+    // non-vacuous: the 50% hot plant guarantees removals everywhere
+    assert(scala.collect().forall(r => r.getLong(4) > 0L))
+  }
+
   test("q113 ad-hoc SQL as-of join == RelationalOps.purchaseAsofClick bit-for-bit") {
     val sql = SparkEntry.queries("q113_sql_asof_join")(spark, sf)
     val scala = graft.operators.RelationalOps.purchaseAsofClick(spark, sf)
