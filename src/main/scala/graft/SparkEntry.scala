@@ -586,6 +586,12 @@ object SparkEntry {
     // q126's oracle.
     "q130_sql_paragraph_dedup_hot" -> ((s, dir) =>
       QueryRunner.sql(s, dir, sqlParagraphDedupText(hot = true))),
+    // q131: the salted dataflow itself, oracle-gated — q79's adaptive
+    // derivation rightly picks the plain join on unskewed TPC-H, so
+    // this row forces the factor and keeps the explode/salt machinery
+    // hash-gated on real corpus data at every SF (q32's oracle).
+    "q131_salted_join_forced" -> ((s, dir) =>
+      RelationalOps.saltedRevenueByPriorityForced(s, dir)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -884,6 +890,12 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    // the forced-salt spelling grades against the identical oracle
+    "q131_salted_join_forced" ->
+      """SELECT o_orderpriority, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
     // one UNION ALL branch per gate pattern — same RE2-subset regexes,
     // so Java regex and DuckDB RE2 count identical matches
     "q81_pattern_scan" ->
@@ -995,41 +1007,13 @@ object SparkEntry {
     // streaming Append output == batch sessionization — q41's oracle
     // verbatim
     "q80_streaming_sessionize" ->
-      """WITH f AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 6) AS total_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+      sessionizeOracle,
     // the file-source streaming spelling shares q41/q80's oracle
     "q116_filestream_sessionize" ->
-      """WITH f AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 6) AS total_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+      sessionizeOracle,
     // the many-wave ingress spelling shares the same batch oracle:
     // late-but-in-budget files must not change Append output
-    "q127_filestream_waves" ->
-      """WITH f AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 6) AS total_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+    "q127_filestream_waves" -> sessionizeOracle,
     // quarantine-rate guard: per-family counts recomputed from the
     // disjoint id ranges (q114's arithmetic pattern); the rate flag is
     // TRUE expected — Spark computes it from its own observed decode
@@ -1156,16 +1140,7 @@ object SparkEntry {
     // exact at both engines' timestamp precisions); session membership
     // is tie-order-independent (equal timestamps always co-session)
     "q41_sessionize" ->
-      """WITH f AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 6) AS total_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+      sessionizeOracle,
     // quantile_cont == Spark percentile(): both exact sort-based with
     // linear interpolation
     "q42_doc_quantiles" ->
@@ -1785,6 +1760,22 @@ object SparkEntry {
         |WHERE doc_id < 200
         |GROUP BY c.codec ORDER BY c.codec""".stripMargin.replace("\n", " "),
   ) ++ oracleSqlTail
+
+  /** The batch gap-sessionization oracle shared by q41 and its three
+    * streaming spellings (q80 MemoryStream replay, q116 single-wave
+    * file ingress, q127 many-wave file ingress) — ONE text, so a gap
+    * or rounding tweak cannot silently diverge the four gates. */
+  private lazy val sessionizeOracle: String =
+    """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
 
   /** DuckDB recomputation shared by q123, its SQL twin q124, and (with
     * the hot planting mirrored) the q126 skew gate. */

@@ -776,12 +776,14 @@ object Similarity {
       seed: Long = 42L): Seq[(Int, Double)] = {
     val perQ = ivfRecallPerQuery(embeddings, k, nClusters, queryMod,
       probes, seed)
-    probes.indices.map { i =>
-      val r = perQ.select(
-        avg(when(col("k_eff") > 0,
-          col(s"hit_$i").cast("double") / col("k_eff")))).head()
-      (probes(i), if (r.isNullAt(0)) 1.0 else r.getDouble(0))
-    }
+    // ONE action for every rung — per-rung .head() calls would re-run
+    // the whole scored cross-join + window pass once per probe value
+    val aggs = probes.indices.map(i =>
+      avg(when(col("k_eff") > 0,
+        col(s"hit_$i").cast("double") / col("k_eff"))).as(s"r_$i"))
+    val row = perQ.agg(aggs.head, aggs.tail: _*).head()
+    probes.indices.map(i =>
+      (probes(i), if (row.isNullAt(i)) 1.0 else row.getDouble(i)))
   }
 
   /** Int8 scalar-quantization error profile per label — the compression

@@ -173,16 +173,18 @@ object StreamingPipeline {
         => Unit): DataFrame = {
     val spark = out.sparkSession
     val root = new java.io.File("/root/repo/target/graft-fixtures")
-    // a NEW replay of the same gate supersedes the previous one's
-    // lazily-read sink data (bench min-of-2 consumes run 1 fully
-    // before run 2 starts) — reclaim it now instead of at JVM exit,
-    // so repeated replays don't stack hundreds of MB at sf10
-    // (ADVICE r12)
-    val prev = root.listFiles()
-    if (prev != null) prev
+    // Repeated replays of the same gate must not stack hundreds of MB
+    // of sink data until JVM exit (ADVICE r12) — but the PREVIOUS
+    // invocation's parquet may still back a live lazily-read frame
+    // (its result is consumed only after this method returns), so the
+    // reclaim keeps the NEWEST prior dir and deletes only older ones:
+    // at most two dirs per gate ever exist, and a frame held across
+    // one newer replay of the same gate stays readable.
+    val prev = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s"${qtag}_sink_") &&
         f.getName.endsWith(s"_p$sinkPid"))
-      .foreach(rmTree)
+      .sortBy(_.lastModified())
+    prev.dropRight(1).foreach(rmTree)
     val dir = new java.io.File(root,
       s"${qtag}_sink_" + java.util.UUID.randomUUID().toString
         .replace("-", "") + s"_p$sinkPid")
@@ -355,6 +357,8 @@ object StreamingPipeline {
     require(projected.where(col("user_id") === SentinelUser).isEmpty,
       s"events corpus contains reserved replay sentinel user_id $SentinelUser")
     val statsRow = projected.agg(max(col("ts")), count(lit(1))).head()
+    require(statsRow.getLong(1) > 0L,
+      "events corpus is empty — nothing to stage or sessionize")
     val maxTs = statsRow.getTimestamp(0).getTime
     val nRows = statsRow.getLong(1)
 
@@ -460,6 +464,8 @@ object StreamingPipeline {
     val statsRow = projected
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
         count(lit(1))).head()
+    require(statsRow.getLong(2) > 0L,
+      "events corpus is empty — nothing to stage or sessionize")
     val minUs = statsRow.getLong(0)
     val maxUs = statsRow.getLong(1)
     val nRows = statsRow.getLong(2)

@@ -383,6 +383,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q131 forced-salt join: the join key carries the salt; no cartesian anywhere") {
+    val p = plan("q131_salted_join_forced")
+    assert(p.contains("_salt"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q81 pattern scan: ONE corpus scan for all patterns — no joins, explode not re-scan") {
     val p = plan("q81_pattern_scan")
     assert(!p.contains("Join"))
