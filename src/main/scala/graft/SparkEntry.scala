@@ -262,24 +262,27 @@ object SparkEntry {
     // dims broadcast, one fact-spine shuffle join (plan-pinned)
     "q87_nation_year_revenue" -> ((s, dir) =>
       RelationalOps.nationYearRevenue(s, dir)),
-    // q88: streaming windowed agg replayed over the batch events table
-    // — the watermark+window pipeline's own parity gate next to q80
+    // q88: streaming windowed agg fed over the batch events table
+    // through the PRODUCTION readStream file path (r14 — no driver
+    // collect in the feed) — the watermark+window pipeline's own
+    // parity gate next to q80
     "q88_streaming_windowed_agg" -> ((s, dir) =>
-      graft.streaming.StreamingPipeline.windowedAggReplay(
-        Corpus.table(s, dir, "events"))),
+      graft.streaming.StreamingPipeline.windowedAggFileStream(
+        Corpus.table(s, dir, "events"), fixtureDir("q88", dir))),
     // q89: the CONTROL-plane streaming parity gate — playbook user
     // specs streamed through ContinuousReconcile emit the same golden
     // statements as the q15 batch replay's user steps
-    "q89_streaming_reconcile" -> ((s, _) =>
-      graft.streaming.ContinuousReconcile.replayTranscript(s)),
+    "q89_streaming_reconcile" -> ((s, dir) =>
+      graft.streaming.ContinuousReconcile.replayTranscript(
+        s, fixtureDir("q89", dir))),
     // q90: the streaming ingest-admission front door (admitStream:
     // stream-static anti join vs the base's hash projection, then
     // bounded-state within-stream dedup) replayed over the documents
     // table — output is the admitted content-hash SET, whose oracle is
     // the batch admission semantics (q68's construction) verbatim
     "q90_streaming_admission" -> ((s, dir) =>
-      graft.streaming.StreamingPipeline.admitStreamReplay(
-        Corpus.table(s, dir, "documents"), 10L)),
+      graft.streaming.StreamingPipeline.admitStreamFileFeed(
+        Corpus.table(s, dir, "documents"), 10L, fixtureDir("q90", dir))),
     // q91: REAL pixel resize behind the codec seam — synthesize PNGs,
     // decode → nearest-neighbor resample to 9×6 (pinned integer
     // sampling rule) → PNG re-encode → decode the RESIZED bytes; the
@@ -289,8 +292,9 @@ object SparkEntry {
     // q92: the control-plane streaming gate's GRANTS path (q89's twin
     // for EP3) — playbook grant specs streamed through the grants-path
     // writer must emit the q15 batch replay's golden grant statements
-    "q92_streaming_grants" -> ((s, _) =>
-      graft.streaming.ContinuousReconcile.replayGrantsTranscript(s)),
+    "q92_streaming_grants" -> ((s, dir) =>
+      graft.streaming.ContinuousReconcile.replayGrantsTranscript(
+        s, fixtureDir("q92", dir))),
     // q93: the PII presets (TextScrub.PiiPresets) exercised end-to-end
     // on planted emails/ips/phones derived in closed form from doc_id;
     // the oracle recomputes hit counts arithmetically (independent
@@ -387,8 +391,8 @@ object SparkEntry {
     // isolates dedupStream itself) — kept hash set == the corpus's
     // distinct content hashes
     "q105_streaming_dedup" -> ((s, dir) =>
-      graft.streaming.StreamingPipeline.dedupStreamReplay(
-        Corpus.table(s, dir, "documents"))),
+      graft.streaming.StreamingPipeline.dedupStreamFileFeed(
+        Corpus.table(s, dir, "documents"), fixtureDir("q105", dir))),
     // q106/q107: the pipeline tier through the PURE-SQL surface
     // (VERDICT r10 item 3). q106 goes through a registered table-level
     // entry point — the view's plan IS Dedup.exactDedupSummary, no

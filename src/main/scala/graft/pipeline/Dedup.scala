@@ -951,8 +951,10 @@ object Dedup {
       .toLong
     val n = math.max(1L, totalRows)
     val cut = math.max(HotKeyFloor, n / parts)
+    // integer ceiling via SQL `div` — Column `/` is double division and
+    // could round the ceiling off by one at extreme cnt*parts magnitudes
     val width = least(lit(parts),
-      (col("cnt") * lit(parts) + lit(n - 1)) / lit(n)).cast("int")
+      expr(s"(cnt * ${parts}L + ${n - 1}L) div ${n}L")).cast("int")
     val keyStats = paras.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"),
         count(lit(1)).as("cnt"))

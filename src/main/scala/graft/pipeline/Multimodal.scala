@@ -1318,12 +1318,22 @@ object Multimodal {
       .otherwise("mp4_codecless")
     val decodable =
       Seq("png_valid", "wav_pcm", "avi_dib", "g711_ulaw_wav", "g711_alaw_wav")
-    decodeOutcomes(media)
+    // left-join onto a literal eight-family spine so an undersized corpus
+    // (some doc_id slice empty → groupBy yields no group) still emits all
+    // eight rows with zero counts, matching the oracle's UNION ALL shape
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spine = Seq("avi_dib", "g711_alaw_wav", "g711_ulaw_wav",
+      "mp4_codecless", "mpeg_codecless", "png_corrupt", "png_valid",
+      "wav_pcm").toDF("family")
+    val agg = decodeOutcomes(media)
       .withColumn("family", family)
       .groupBy("family")
       .agg(count(lit(1)).as("n_total"),
         sum(col("dec")).cast("long").as("n_decoded"),
         sum(col("quar")).cast("long").as("n_quarantined"))
+    spine.join(agg, Seq("family"), "left")
+      .na.fill(0L, Seq("n_total", "n_decoded", "n_quarantined"))
       .withColumn("decode_rate_ok",
         when(col("family").isin(decodable: _*),
           col("n_decoded") === col("n_total"))

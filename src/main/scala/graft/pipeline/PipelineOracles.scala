@@ -7,7 +7,10 @@ package graft.pipeline
   * hashes match bit-for-bit. The portable-hash identity
   *   Spark  cast(conv(substr(sha2(x,256),1,15),16,10) AS BIGINT)
   *   DuckDB ('0x'||substr(sha256(x),1,15))::BIGINT
-  * is verified in .claude/skills/verify/SKILL.md.
+  * holds because both sides take the first 15 hex digits (60 bits) of the
+  * same SHA-256 and parse them base-16 into a non-negative BIGINT; it is
+  * pinned bit-for-bit in GraftExtensionsSpec ("portable hash spelling")
+  * and exercised end-to-end by every hash-gated q16–q28 oracle run.
   */
 object PipelineOracles {
 

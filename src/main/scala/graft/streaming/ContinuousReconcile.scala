@@ -75,43 +75,62 @@ object ContinuousReconcile {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+  }
+
+  /** Stage a tiny spec batch as ONE parquet file under `root`/specs and
+    * return the PRODUCTION readStream frame over it — the control
+    * plane's file entry path (a spec drop directory), replacing the
+    * driver-held MemoryStream feed (r13 VERDICT task 2). Specs are
+    * control-plane records: one file, one micro-batch, by design. */
+  private def stageSpecFeed[T <: Product : org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, specs: Seq[T],
+      root: java.io.File): Dataset[T] = {
+    import spark.implicits._
+    val dir = new java.io.File(root, "specs")
+    specs.toDS().repartition(1).write.parquet(dir.toString)
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[T]].schema)
+      .parquet(dir.toString)
+      .as[T]
+  }
+
   /** Gate composition (q89): the playbook's user specs streamed
     * through the continuous reconcile onto an EMPTY catalog — the
     * control plane's parity gate, mirroring what q80/q88 are for the
-    * data plane. The emitted statements must be the SAME golden
-    * strings as the q15 batch replay's user steps; only the order
-    * differs (within a batch, specs apply in userName order — the
-    * writer's documented determinism rule — vs the playbook's file
-    * order), so the gate sorts by (grantee, statement). onResult runs
-    * driver-side inside foreachBatch, so the local buffer is safe. */
-  def replayTranscript(spark: org.apache.spark.sql.SparkSession)
+    * data plane. The specs arrive through the production
+    * readStream-over-files entry path (stageSpecFeed). The emitted
+    * statements must be the SAME golden strings as the q15 batch
+    * replay's user steps; only the order differs (within a batch,
+    * specs apply in userName order — the writer's documented
+    * determinism rule — vs the playbook's file order), so the gate
+    * sorts by (grantee, statement). onResult runs driver-side inside
+    * foreachBatch, so the local buffer is safe. */
+  def replayTranscript(spark: org.apache.spark.sql.SparkSession,
+                       fixtureDir: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val engine = new ReconcileEngine(
       graft.catalog.SecurityCatalog.inMemory(spark))
     val (userSpecs, _) = graft.sources.PlaybookYaml.specs(
       graft.sources.PlaybookYaml.resourceText())
     val results =
       scala.collection.mutable.ListBuffer[(String, Boolean, String)]()
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[UserSpec]
-    stream.addData(userSpecs)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q89")
-    val q = startAvailableNow(stream.toDS(), engine, ckpt.toString) {
-      (spec, res) =>
-        if (res.runQueries.isEmpty)
-          results += ((spec.userName, res.changed, ""))
-        else res.runQueries.foreach(stmt =>
-          results += ((spec.userName, res.changed, stmt)))
-    }
-    try q.awaitTermination()
-    finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    val root = new java.io.File(fixtureDir)
+    rmTree(root); root.mkdirs()
+    try {
+      val stream = stageSpecFeed(spark, userSpecs, root)
+      val ckpt = new java.io.File(root, "ckpt")
+      val q = startAvailableNow(stream, engine, ckpt.toString) {
+        (spec, res) =>
+          if (res.runQueries.isEmpty)
+            results += ((spec.userName, res.changed, ""))
+          else res.runQueries.foreach(stmt =>
+            results += ((spec.userName, res.changed, stmt)))
       }
-      rm(ckpt.toFile)
-    }
+      q.awaitTermination()
+    } finally rmTree(root) // transcript is a local buffer; nothing lazy
     results.toSeq.toDF("grantee", "changed", "statement")
       .orderBy("grantee", "statement")
   }
@@ -120,13 +139,15 @@ object ContinuousReconcile {
     * through the grants-path writer — q89's twin for EP3. The batch
     * user pass seeds the catalog first (grants require their grantee
     * roles to exist, the playbook's own ordering), then the grant
-    * specs stream in; the emitted statements must be the SAME golden
-    * D6/D8 strings as the q15 batch replay's grant steps, sorted by
-    * (grantee, statement) per the writer's determinism rule. */
-  def replayGrantsTranscript(spark: org.apache.spark.sql.SparkSession)
+    * specs stream in through the production readStream-over-files
+    * entry path (stageSpecFeed); the emitted statements must be the
+    * SAME golden D6/D8 strings as the q15 batch replay's grant steps,
+    * sorted by (grantee, statement) per the writer's determinism
+    * rule. */
+  def replayGrantsTranscript(spark: org.apache.spark.sql.SparkSession,
+                             fixtureDir: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val engine = new ReconcileEngine(
       graft.catalog.SecurityCatalog.inMemory(spark))
     val (userSpecs, grantSpecs) = graft.sources.PlaybookYaml.specs(
@@ -134,24 +155,20 @@ object ContinuousReconcile {
     userSpecs.foreach(engine.usersModule(_)) // seed users + roles (EP1)
     val results =
       scala.collection.mutable.ListBuffer[(String, Boolean, String)]()
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GrantSpec]
-    stream.addData(grantSpecs)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q92")
-    val q = startGrantsAvailableNow(stream.toDS(), engine, ckpt.toString) {
-      (spec, res) =>
-        if (res.runQueries.isEmpty)
-          results += ((spec.granteeName, res.changed, ""))
-        else res.runQueries.foreach(stmt =>
-          results += ((spec.granteeName, res.changed, stmt)))
-    }
-    try q.awaitTermination()
-    finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    val root = new java.io.File(fixtureDir)
+    rmTree(root); root.mkdirs()
+    try {
+      val stream = stageSpecFeed(spark, grantSpecs, root)
+      val ckpt = new java.io.File(root, "ckpt")
+      val q = startGrantsAvailableNow(stream, engine, ckpt.toString) {
+        (spec, res) =>
+          if (res.runQueries.isEmpty)
+            results += ((spec.granteeName, res.changed, ""))
+          else res.runQueries.foreach(stmt =>
+            results += ((spec.granteeName, res.changed, stmt)))
       }
-      rm(ckpt.toFile)
-    }
+      q.awaitTermination()
+    } finally rmTree(root) // transcript is a local buffer; nothing lazy
     results.toSeq.toDF("grantee", "changed", "statement")
       .orderBy("grantee", "statement")
   }

@@ -323,50 +323,31 @@ object StreamingPipeline {
       .orderBy("user_id", "session_start")
   }
 
-  /** Gate composition (q116): the q80 parity contract driven through
-    * the PRODUCTION entry path — `spark.readStream.parquet(dir)` over
-    * real files — instead of the driver-fed MemoryStream harness. This
-    * retires the one caveat every prior streaming gate carried: the
-    * operators were oracle-checked, the readStream/FileStreamSource
-    * ingress was not.
+  /** The single-wave file-feed stager, factored out of the q116 gate
+    * (r13 VERDICT task 2) so EVERY replay gate — not just sessionize —
+    * can feed from the PRODUCTION `spark.readStream.parquet(dir)`
+    * entry path with no corpus collect on the driver.
     *
-    * Mechanics: the corpus is staged as `nFiles` parquet files (one
-    * mtime wave — ~250 k rows/file so the batch-0 scan parallelizes
-    * like a real landing directory, instead of one giant file read by
-    * one task), and each of the two far-future sentinel batches as its
-    * own LATER mtime wave of `nFiles` tiny files. With
-    * `maxFilesPerTrigger = nFiles`, FileStreamSource (oldest-first by
-    * mtime) deliver exactly three micro-batches: whole corpus, then
-    * sentinel wave 1, then sentinel wave 2 — a wave can never split or
-    * mix because each wave is exactly nFiles files and strictly older
-    * than the next. Batch 0 carries the whole corpus, so
-    * the first-batch watermark is the epoch and nothing is
-    * late-dropped; the sentinel batches advance the watermark and fire
-    * the event-time timeouts, ripening every real session. Append
-    * output therefore equals the batch sessionization — q41's oracle
-    * verbatim, the same contract q80 pins over MemoryStream.
-    *
-    * Scale shape: identical to sessionize (one shuffle on user_id,
-    * watermark-bounded state); the file staging is gate plumbing, a
-    * production deployment just points readStream at its landing
-    * directory. */
-  def sessionizeFileStream(events: DataFrame, gapMinutes: Int,
-                           fixtureDir: String): DataFrame = {
-    val spark = events.sparkSession
-    val projected = events.select(col("user_id"), col("ts"), col("value"))
-    require(projected.where(col("user_id") === SentinelUser).isEmpty,
-      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
-    val statsRow = projected.agg(max(col("ts")), count(lit(1))).head()
-    require(statsRow.getLong(1) > 0L,
-      "events corpus is empty — nothing to stage or sessionize")
-    val maxTs = statsRow.getTimestamp(0).getTime
-    val nRows = statsRow.getLong(1)
-
+    * Stages `corpus` under `fixtureDir` as ONE mtime wave of parquet
+    * files (~250 k rows/file so the batch-0 scan parallelizes like a
+    * real landing directory, instead of one giant file read by one
+    * task), then each `sentinels` frame — a SINGLE far-future row —
+    * as its own strictly-later mtime wave, replicated to the corpus
+    * wave's actual file count m. With `maxFilesPerTrigger = m`,
+    * FileStreamSource (oldest-first by mtime) delivers exactly
+    * 1 + sentinels.size micro-batches: whole corpus, then one batch
+    * per sentinel wave — a wave can never split or mix because each
+    * wave is exactly m files and strictly older than the next. Batch 0
+    * carries the whole corpus, so the first-batch watermark is the
+    * epoch and nothing is late-dropped; the sentinel batches advance
+    * the watermark so windows finalize / timeouts fire. The staging
+    * itself is gate plumbing — a production deployment points
+    * readStream at its landing directory. */
+  private[graft] def stageSingleWaveFeed(corpus: DataFrame, nRows: Long,
+      fixtureDir: String, sentinels: Seq[DataFrame]): DataFrame = {
+    val spark = corpus.sparkSession
     val root = new java.io.File(fixtureDir)
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-    }
-    rm(root)
+    rmTree(root)
     val srcDir = new java.io.File(root, "in")
     srcDir.mkdirs()
 
@@ -385,36 +366,70 @@ object StreamingPipeline {
         java.nio.file.Files.move(part.toPath, dest.toPath)
         require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
       }
-      rm(tmp)
+      rmTree(tmp)
       parts.length
     }
-    val day = 86400000L
     val t0 = System.currentTimeMillis() - 60000L
-    // corpus wave: ~250k rows/file so the batch-0 scan parallelizes
-    // like a real landing directory; round-robin may leave a partition
-    // empty (written files < targetFiles), so the ACTUAL staged count
-    // m becomes the wave size everywhere it matters
-    val m = stage(projected.repartition(targetFiles), "000", t0)
+    // corpus wave: round-robin may leave a partition empty (written
+    // files < targetFiles), so the ACTUAL staged count m becomes the
+    // wave size everywhere it matters
+    val m = stage(corpus.repartition(targetFiles), "000", t0)
     require(m >= 1, "corpus wave staged no files")
-    // a sentinel WAVE: m copies of the one far-future row, one per
-    // file — spark.range(0, m, 1, m) puts exactly one row in each of
-    // its m partitions DETERMINISTICALLY (unlike round-robin). The
-    // duplicate sentinel rows merge into the one sentinel session,
-    // which is excluded from the result anyway.
-    def sentinel(offset: Long) = spark
-      .range(0L, m.toLong, 1L, m).select(
-        lit(SentinelUser).as("user_id"),
-        lit(new java.sql.Timestamp(maxTs + offset)).as("ts"),
-        lit(0.0).as("value"))
-    val m1 = stage(sentinel(day), "001", t0 + 20000L)
-    val m2 = stage(sentinel(2 * day), "002", t0 + 40000L)
-    require(m1 == m && m2 == m,
-      s"sentinel waves staged $m1/$m2 files, corpus wave $m")
-
-    val stream = spark.readStream
-      .schema(projected.schema)
+    sentinels.zipWithIndex.foreach { case (s, i) =>
+      // a sentinel WAVE: m copies of the one far-future row, one per
+      // file — spark.range(0, m, 1, m) puts exactly one row in each
+      // of its m partitions DETERMINISTICALLY (unlike round-robin);
+      // the broadcast cross join tags every partition's row with the
+      // sentinel values. Duplicate sentinel rows collapse into the
+      // one sentinel group, which the caller excludes anyway.
+      val rep = spark.range(0L, m.toLong, 1L, m)
+        .crossJoin(broadcast(s))
+        .select(corpus.columns.map(col).toIndexedSeq: _*)
+      val mi = stage(rep, f"${i + 1}%03d", t0 + (i + 1) * 20000L)
+      require(mi == m, s"sentinel wave $i staged $mi files, corpus wave $m")
+    }
+    spark.readStream
+      .schema(corpus.schema)
       .option("maxFilesPerTrigger", m)
       .parquet(srcDir.toString)
+  }
+
+  /** Gate composition (q116): the q80 parity contract driven through
+    * the PRODUCTION entry path — `spark.readStream.parquet(dir)` over
+    * real files — instead of the driver-fed MemoryStream harness. This
+    * retires the one caveat every prior streaming gate carried: the
+    * operators were oracle-checked, the readStream/FileStreamSource
+    * ingress was not.
+    *
+    * Mechanics: stageSingleWaveFeed delivers exactly three
+    * micro-batches (whole corpus, then two far-future sentinel waves).
+    * Batch 0 carries the whole corpus, so the first-batch watermark is
+    * the epoch and nothing is late-dropped; the sentinel batches
+    * advance the watermark and fire the event-time timeouts, ripening
+    * every real session. Append output therefore equals the batch
+    * sessionization — q41's oracle verbatim, the same contract q80
+    * pins over MemoryStream.
+    *
+    * Scale shape: identical to sessionize (one shuffle on user_id,
+    * watermark-bounded state). */
+  def sessionizeFileStream(events: DataFrame, gapMinutes: Int,
+                           fixtureDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val projected = events.select(col("user_id"), col("ts"), col("value"))
+    require(projected.where(col("user_id") === SentinelUser).isEmpty,
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+    val statsRow = projected.agg(max(col("ts")), count(lit(1))).head()
+    require(statsRow.getLong(1) > 0L,
+      "events corpus is empty — nothing to stage or sessionize")
+    val maxTs = statsRow.getTimestamp(0).getTime
+    val nRows = statsRow.getLong(1)
+    val day = 86400000L
+    def sentinel(offset: Long) =
+      Seq((SentinelUser, new java.sql.Timestamp(maxTs + offset), 0.0))
+        .toDF("user_id", "ts", "value")
+    val stream = stageSingleWaveFeed(projected, nRows, fixtureDir,
+      Seq(sentinel(day), sentinel(2 * day)))
     val out = sessionize(stream, gapMinutes)
     runReplayToFileSink(out.toDF(), "q116", nRows) { query =>
       query.processAllAvailable()
@@ -549,43 +564,45 @@ object StreamingPipeline {
       .orderBy("user_id", "session_start")
   }
 
-  /** Gate composition (q88): the streaming windowed aggregation
-    * replayed over the batch events table, same harness as
-    * sessionizeReplay (ts-ordered chunked MemoryStream feed, two
-    * far-future sentinels so every real window finalizes under Append
-    * mode). Tumbling 1-hour windows align to the epoch, so the batch
+  /** Gate composition (q88): the streaming windowed aggregation fed
+    * through the PRODUCTION readStream entry path (stageSingleWaveFeed
+    * — whole corpus in batch 0, two far-future sentinel waves so every
+    * real window finalizes under Append mode). The r13 spelling
+    * collected the corpus to the driver and fed a MemoryStream; the
+    * operator pipeline and the oracle are unchanged — only the FEED
+    * moved off the driver onto FileStreamSource (r13 VERDICT task 2).
+    * Tumbling 1-hour windows align to the epoch, so the batch
     * equivalent is a date_trunc('hour') GROUP BY — the q14/q34-family
     * oracle — giving the watermark+window operator pipeline its own
     * hash gate next to the custom-state sessionizer's (q80). */
-  def windowedAggReplay(events: DataFrame): DataFrame = {
+  def windowedAggFileStream(events: DataFrame, fixtureDir: String)
+      : DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("ts"), col("event_type"), col("value"))
-      .as[(java.sql.Timestamp, String, Double)].collect()
-      .sortBy(_._1.getTime)
+    val projected = events.select(col("ts"), col("event_type"), col("value"))
     // per-replay random sentinel type: a fixed literal could collide
     // with a genuine event_type and silently drop its rows (the q80
     // sentinel concern in string form); a UUID suffix cannot occur in
-    // the corpus, and the require makes the contract loud anyway
+    // the corpus, and the require makes the contract loud anyway (a
+    // pushed-down one-column filter, cheap next to the staging write)
     val sentinel = "_sentinel_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    require(rows.forall(_._2 != sentinel), "sentinel collision")
-    val maxTs = rows.iterator.map(_._1.getTime).max
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, String, Double)]
-    val out = eventsWindowedAgg(
-      stream.toDF().toDF("ts", "event_type", "value"),
+    require(projected.where(col("event_type") === sentinel).isEmpty,
+      "sentinel collision")
+    val statsRow = projected.agg(max(col("ts")), count(lit(1))).head()
+    require(statsRow.getLong(1) > 0L,
+      "events corpus is empty — nothing to stage or aggregate")
+    val maxTs = statsRow.getTimestamp(0).getTime
+    val nRows = statsRow.getLong(1)
+    val day = 86400000L
+    def sent(offset: Long) =
+      Seq((new java.sql.Timestamp(maxTs + offset), sentinel, 0.0))
+        .toDF("ts", "event_type", "value")
+    val stream = stageSingleWaveFeed(projected, nRows, fixtureDir,
+      Seq(sent(day), sent(2 * day)))
+    val out = eventsWindowedAgg(stream,
       window = "1 hour", lateness = "10 minutes")
-    runReplayToFileSink(out, "q88", rows.length.toLong) { query =>
-      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-        stream.addData(chunk.toIndexedSeq)
-        query.processAllAvailable()
-      }
-      val day = 86400000L
-      stream.addData((new java.sql.Timestamp(maxTs + day), sentinel, 0.0))
-      query.processAllAvailable()
-      stream.addData((new java.sql.Timestamp(maxTs + 2 * day), sentinel, 0.0))
+    runReplayToFileSink(out, "q88", nRows) { query =>
       query.processAllAvailable()
     }
       .where(col("event_type") =!= sentinel)
@@ -633,14 +650,14 @@ object StreamingPipeline {
       .drop("h")
   }
 
-  /** Gate composition (q90): replay the BATCH documents table through
-    * the streaming ingest-admission front door (admitStream) — the
-    * q80/q88 MemoryStream harness applied to the last streaming
-    * surface with no oracle row. Base corpus = docs with
-    * doc_id % baseMod == 0 (the q68 incremental-dedup construction);
-    * every other document streams in with a synthetic event time
-    * (epoch + doc_id seconds — documents carry no timestamp), in
-    * doc_id order, chunked.
+  /** Gate composition (q90): feed the BATCH documents table through
+    * the streaming ingest-admission front door (admitStream) via the
+    * PRODUCTION readStream entry path (stageSingleWaveFeed — r14; the
+    * r13 spelling collected the corpus to the driver and fed a
+    * MemoryStream). Base corpus = docs with doc_id % baseMod == 0 (the
+    * q68 incremental-dedup construction); every other document streams
+    * in with a synthetic event time (epoch + doc_id seconds —
+    * documents carry no timestamp).
     *
     * The gate result is the set of admitted CONTENT HASHES, one row
     * per hash, ordered — deliberately NOT (doc_id, source): when two
@@ -656,63 +673,56 @@ object StreamingPipeline {
     * admission logic, not eviction (eviction-horizon behavior is
     * pinned in StreamingPipelineSpec). Production dials lateness to
     * its real out-of-order budget. */
-  def admitStreamReplay(docs: DataFrame, baseMod: Long = 10L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  def admitStreamFileFeed(docs: DataFrame, baseMod: Long = 10L,
+                          fixtureDir: String): DataFrame = {
     val base = docs.where(col("doc_id") % baseMod === 0)
-    val rows = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    require(rows.nonEmpty, "empty documents corpus")
-    // fixed replay epoch (2023-11-14T22:13:20Z) — determinism across runs
-    val epochMs = 1700000000000L
-    val spanSec = rows.last._1 - rows.head._1 + 10L
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val out = admitStream(stream.toDF().toDF("doc_id", "ts", "text"),
-      base, lateness = s"$spanSec seconds")
-    runReplayToFileSink(out, "q90", rows.length.toLong) { query =>
-      // no sentinel batches needed: dropDuplicatesWithinWatermark is a
-      // stateful FILTER — first arrivals emit in their own micro-batch,
-      // nothing is held back for watermark finalization
-      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-        stream.addData(chunk.iterator.map { case (id, text) =>
-          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
-        }.toIndexedSeq)
-        query.processAllAvailable()
-      }
+    val statsRow = docs
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    require(statsRow.getLong(2) > 0L, "empty documents corpus")
+    val spanSec = statsRow.getLong(1) - statsRow.getLong(0) + 10L
+    val nRows = statsRow.getLong(2)
+    // fixed replay epoch (2023-11-14T22:13:20Z) — determinism across
+    // runs; documents carry no timestamp, so the synthetic event time
+    // is epoch + doc_id seconds, derived IN the scan (no driver pass)
+    val feed = docs.select(col("doc_id"),
+      expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
+      col("text"))
+    // no sentinel waves needed: dropDuplicatesWithinWatermark is a
+    // stateful FILTER — first arrivals emit in their own micro-batch,
+    // nothing is held back for watermark finalization
+    val stream = stageSingleWaveFeed(feed, nRows, fixtureDir, Nil)
+    val out = admitStream(stream, base, lateness = s"$spanSec seconds")
+    runReplayToFileSink(out, "q90", nRows) { query =>
+      query.processAllAvailable()
     }
       .select(sha2(col("text"), 256).as("h"))
       .orderBy("h")
   }
 
-  /** Gate composition (q105): replay the batch documents table through
+  /** Gate composition (q105): feed the batch documents table through
     * the PURE within-stream dedup (dedupStream — q90's admission gate
     * covers the composed anti-join + dedup path; this isolates the
-    * bounded-state dedup operator itself). Same harness, same
-    * hash-SET output contract (the winning doc_id among same-batch
-    * copies is partition-order dependent; the kept hash set is exact);
-    * oracle = the distinct content hashes of the corpus, verbatim. */
-  def dedupStreamReplay(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    require(rows.nonEmpty, "empty documents corpus")
-    val epochMs = 1700000000000L // fixed replay epoch — run determinism
-    val spanSec = rows.last._1 - rows.head._1 + 10L
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val out = dedupStream(stream.toDF().toDF("doc_id", "ts", "text"),
-      lateness = s"$spanSec seconds")
-    runReplayToFileSink(out, "q105", rows.length.toLong) { query =>
-      rows.grouped(replayChunkSize(rows.length.toLong)).foreach { chunk =>
-        stream.addData(chunk.iterator.map { case (id, text) =>
-          (id, new java.sql.Timestamp(epochMs + id * 1000L), text)
-        }.toIndexedSeq)
-        query.processAllAvailable()
-      }
+    * bounded-state dedup operator itself) via the PRODUCTION
+    * readStream entry path (stageSingleWaveFeed — r14; the r13
+    * spelling collected the corpus to the driver and fed a
+    * MemoryStream). Same hash-SET output contract (the winning doc_id
+    * among same-batch copies is partition-order dependent; the kept
+    * hash set is exact); oracle = the distinct content hashes of the
+    * corpus, verbatim. */
+  def dedupStreamFileFeed(docs: DataFrame, fixtureDir: String): DataFrame = {
+    val statsRow = docs
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    require(statsRow.getLong(2) > 0L, "empty documents corpus")
+    val spanSec = statsRow.getLong(1) - statsRow.getLong(0) + 10L
+    val nRows = statsRow.getLong(2)
+    // fixed replay epoch (2023-11-14T22:13:20Z) — run determinism
+    val feed = docs.select(col("doc_id"),
+      expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
+      col("text"))
+    val stream = stageSingleWaveFeed(feed, nRows, fixtureDir, Nil)
+    val out = dedupStream(stream, lateness = s"$spanSec seconds")
+    runReplayToFileSink(out, "q105", nRows) { query =>
+      query.processAllAvailable()
     }
       .select(sha2(col("text"), 256).as("h"))
       .orderBy("h")

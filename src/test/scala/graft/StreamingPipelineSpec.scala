@@ -336,7 +336,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
       "documents")
-    val streamed = StreamingPipeline.admitStreamReplay(docs, 10L)
+    val streamed = StreamingPipeline.admitStreamFileFeed(docs, 10L,
+        java.nio.file.Files.createTempDirectory("graft_q90t").toString)
       .collect().map(_.getString(0)).toSeq
     val batch = docs.select(sha2(col("text"), 256).as("h")).distinct()
       .join(docs.where(col("doc_id") % 10 === 0)
@@ -369,7 +370,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // the replay-only retention override must not linger)
     val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
       "documents")
-    StreamingPipeline.dedupStreamReplay(docs).collect()
+    StreamingPipeline.dedupStreamFileFeed(docs,
+      java.nio.file.Files.createTempDirectory("graft_q105c").toString)
+      .collect()
     assert(spark.conf.get(key) == before)
     assert(spark.conf.get(retain) == retainBefore)
   }
@@ -437,12 +440,67 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(lateProven, "no nonempty out-of-order late file staged")
   }
 
+  test("single-wave stager: streaming FILE-source feed (no MemoryStream), " +
+      "wave layout, sentinel replication") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val corpus = (0 until 10).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), i.toDouble))
+      .toDF("user_id", "ts", "value")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stager").toString
+    val sentinel = Seq((-1L, ts("2024-01-05 00:00:00"), 0.0))
+      .toDF("user_id", "ts", "value")
+    val stream = StreamingPipeline.stageSingleWaveFeed(
+      corpus, 10L, dir, Seq(sentinel))
+    // the FEED pin (r13 VERDICT task 2): the gate's source is the
+    // production FileStreamSource over the staged landing dir — a
+    // streaming relation whose source is FileSource, not MemoryStream
+    assert(stream.isStreaming)
+    val rel = stream.queryExecution.analyzed.toString
+    assert(rel.contains("FileSource"), rel.take(300))
+    assert(!rel.contains("MemoryStream"), rel.take(300))
+    // staged layout: corpus wave 000_* then the sentinel wave 001_*
+    // replicated to the corpus wave's file count, strictly later mtime
+    val files = new java.io.File(dir, "in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val corpusWave = files.filter(_.getName.startsWith("000_"))
+    val sentWave = files.filter(_.getName.startsWith("001_"))
+    assert(corpusWave.nonEmpty && sentWave.length == corpusWave.length)
+    assert(corpusWave.map(_.lastModified()).max <
+      sentWave.map(_.lastModified()).min)
+    // sentinel wave: one replicated row per file
+    assert(spark.read.parquet(sentWave.map(_.toString).toIndexedSeq: _*)
+      .where($"user_id" === -1L).count() == sentWave.length)
+  }
+
+  test("q88 file feed: production ingress, output == batch hourly agg") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q88t").toString
+    val got = StreamingPipeline.windowedAggFileStream(ev, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val want = ev.groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("replay egress is the file sink: result reads from files, " +
       "never a driver-held local relation") {
     val spark = SparkTestSession.spark
     val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
       "documents")
-    val result = StreamingPipeline.dedupStreamReplay(docs)
+    val result = StreamingPipeline.dedupStreamFileFeed(docs,
+      java.nio.file.Files.createTempDirectory("graft_q105e").toString)
     // the memory-sink harness surfaced the result as a LocalTableScan
     // (driver rows riding every downstream task's closure — 600 MB
     // tasks at sf10); the file-sink egress must plan as a parquet scan
