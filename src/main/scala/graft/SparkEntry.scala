@@ -572,9 +572,13 @@ object SparkEntry {
     // is no longer the only ungraded knob. Gate = the q85 pattern
     // (exact columns + TRUE-expected monotonicity/endpoint
     // invariants); the recall curve itself is asserted in
-    // PipelineSpec (k-means values cannot cross engines).
-    "q128_ivf_recall_ladder" -> ((s, dir) => Similarity.ivfRecallAudit(
-      Corpus.table(s, dir, "embeddings"), 10, 8, 100L, Seq(1, 2, 4, 8))),
+    // PipelineSpec (k-means values cannot cross engines). The query
+    // sample is corpus-SIZED (≤512 by construction — sizedQueryMod,
+    // recomputed identically by the oracle), not a pinned mod whose
+    // broadcast would grow linearly with the corpus.
+    "q128_ivf_recall_ladder" -> ((s, dir) =>
+      Similarity.ivfRecallAuditSized(
+        Corpus.table(s, dir, "embeddings"), 10, 8, Seq(1, 2, 4, 8))),
     // q129: the quarantine-RATE guard — q114 counts outcomes, this
     // row CONTRACTS them: eight families on disjoint id ranges (the
     // q114 classes + AVI and both G.711 laws, every codec the JVM
@@ -585,11 +589,16 @@ object SparkEntry {
     "q129_quarantine_rate_guard" -> ((s, dir) =>
       Multimodal.quarantineRateGuard(Corpus.table(s, dir, "documents"))),
     // q130: q126's skew fixture from pure SQL — the q124/q109 lockstep
-    // discipline for the newest tier variant (the SQL spelling keeps
-    // the plain keeper join; AQE's skew split owns that path). Shares
-    // q126's oracle.
+    // discipline for the newest tier variant. The hot spelling carries
+    // a STATIC (h, salt) keeper join (the q131 forced-salt pattern in
+    // SQL): AQE's skew split measurably CANNOT own this path — the
+    // keeper aggregate rides the join's own h-shuffle, so
+    // OptimizeSkewedJoin's Sort+Shuffle child pattern never matches
+    // (ceiling pinned in PlanShapeSpec). Shares q126's oracle.
     "q130_sql_paragraph_dedup_hot" -> ((s, dir) =>
-      QueryRunner.sql(s, dir, sqlParagraphDedupText(hot = true))),
+      QueryRunner.sql(s, dir,
+        sqlParagraphDedupText(hot = true,
+          saltFactor = graft.pipeline.Dedup.SqlSaltFactor))),
     // q131: the salted dataflow itself, oracle-gated — q79's adaptive
     // derivation rightly picks the plain join on unskewed TPC-H, so
     // this row forces the factor and keeps the explode/salt machinery
@@ -602,10 +611,25 @@ object SparkEntry {
     * from Dedup's paragraph constants so the SQL surface moves in
     * lockstep with the Scala dataflow (the q109 discipline). Same
     * skew-safe keeper: partial+final min(named_struct) aggregate, NOT
-    * a row_number window; the SQL spelling keeps the plain keeper
-    * join (AQE's skew split applies there), while the Scala operator
-    * carries the derived-salt propagate. */
-  private[graft] def sqlParagraphDedupText(hot: Boolean): String =
+    * a row_number window.
+    *
+    * The keeper JOIN is the tier's skew point, and — measured, not
+    * assumed (r13 VERDICT task 3) — AQE cannot rescue the plain
+    * spelling: the keeper aggregate reuses the join's h-shuffle, so
+    * the join's build child is Agg←Sort←Shuffle, not the
+    * Sort←Shuffle shape OptimizeSkewedJoin requires, and the hot key
+    * serializes into one task no matter the thresholds (ceiling
+    * pinned in PlanShapeSpec). `saltFactor > 1` therefore emits the
+    * static salted spelling: keepers replicate over a salt spine
+    * (LATERAL VIEW explode(sequence)) and the join keys on
+    * (h, salt), spreading a hot key over `saltFactor` partitions at
+    * the cost of a saltFactor× keeper-side replicate — the classic
+    * declarative salting trade, next to which the Scala operator's
+    * derived hot/cold split (q126) is the cheaper adaptive path.
+    * `saltFactor = 1` keeps the plain join for unskewed corpora
+    * (q124), mirroring the q79-adaptive/q131-forced pairing. */
+  private[graft] def sqlParagraphDedupText(hot: Boolean,
+                                           saltFactor: Int = 1): String =
     s"""WITH t AS (SELECT doc_id, source, split(text, ' ') AS tk FROM documents),
        |b AS (SELECT doc_id, source, tk, size(tk) AS n, size(tk) div 3 AS b1,
        |    (size(tk) * 2) div 3 AS b2 FROM t),
@@ -627,9 +651,19 @@ object SparkEntry {
        |  FROM p2 LATERAL VIEW posexplode(s2) t AS para_idx, para),
        |k AS (SELECT h, min(named_struct('doc_id', doc_id, 'para_idx', para_idx)) AS keeper
        |  FROM p GROUP BY h),
-       |f AS (SELECT p.doc_id, p.source, p.para_idx, p.para,
-       |    (k.keeper.doc_id = p.doc_id AND k.keeper.para_idx = p.para_idx) AS kept
-       |  FROM p JOIN k ON p.h = k.h),
+       |${
+         if (saltFactor > 1)
+           s"""ks AS (SELECT h, keeper, salt FROM k
+              |  LATERAL VIEW explode(sequence(0, ${saltFactor - 1})) sp AS salt),
+              |f AS (SELECT p.doc_id, p.source, p.para_idx, p.para,
+              |    (ks.keeper.doc_id = p.doc_id AND ks.keeper.para_idx = p.para_idx) AS kept
+              |  FROM p JOIN ks ON p.h = ks.h
+              |    AND CAST(pmod(p.doc_id + p.para_idx, $saltFactor) AS INT) = ks.salt),""".stripMargin
+         else
+           """f AS (SELECT p.doc_id, p.source, p.para_idx, p.para,
+             |    (k.keeper.doc_id = p.doc_id AND k.keeper.para_idx = p.para_idx) AS kept
+             |  FROM p JOIN k ON p.h = k.h),""".stripMargin
+       }
        |d AS (SELECT doc_id, source, count(1) AS n_paras,
        |    sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
        |    array_join(transform(filter(array_sort(
@@ -1043,15 +1077,20 @@ object SparkEntry {
         |UNION ALL SELECT 'wav_pcm', count(*)::BIGINT, count(*)::BIGINT,
         |  0::BIGINT, true FROM ids WHERE id < 40 AND id % 5 = 2
         |) ORDER BY family""".stripMargin.replace("\n", " "),
-    // IVF recall ladder: the sampled-query count is exact SQL; the
-    // monotonicity and full-probe-endpoint invariants are TRUE
-    // expected (the q85 pattern — k-means recall cannot cross engines)
+    // IVF recall ladder: the sampled-query count is exact SQL — the
+    // oracle recomputes the derived queryMod (ceil(n/512), the
+    // sizedQueryMod identity) from count(*), keeping the sizing in
+    // lockstep at any scale; the monotonicity and full-probe-endpoint
+    // invariants are TRUE expected (the q85 pattern — k-means recall
+    // cannot cross engines)
     "q128_ivf_recall_ladder" ->
       """SELECT v.nprobe, q.n_queries, true AS monotone_ok,
         |  true AS exact_at_full_probe
         |FROM (VALUES (1), (2), (4), (8)) AS v(nprobe)
-        |CROSS JOIN (SELECT count(*)::BIGINT AS n_queries FROM embeddings
-        |  WHERE vec_id % 100 = 0) q
+        |CROSS JOIN (
+        |  SELECT count(*)::BIGINT AS n_queries FROM embeddings
+        |  WHERE vec_id % (SELECT greatest(1, (count(*) + 511) // 512)
+        |                  FROM embeddings) = 0) q
         |ORDER BY v.nprobe""".stripMargin.replace("\n", " "),
     // HLL guard: exact columns + the in-bounds invariant (TRUE expected)
     "q39b_dedup_approx_guard" ->

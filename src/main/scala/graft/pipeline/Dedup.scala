@@ -905,6 +905,17 @@ object Dedup {
     * boilerplate. */
   private[graft] val HotKeyFloor = 64L
 
+  /** Static salt factor for the SQL spelling of the hot paragraph
+    * tier (q130). The declarative tier cannot derive a factor from
+    * the data the way [[saltedKeeperFlags]] does, and AQE's skew
+    * split measurably never fires on the keeper join (the keeper
+    * aggregate reuses the join's h-shuffle — PlanShapeSpec pins the
+    * ceiling), so the SQL text replicates keepers over this many
+    * salt values and joins on (h, salt). At cluster scale pick
+    * ~parallelism; 8 keeps the test-scale replicate honest while
+    * still spreading the planted 50% hot key over 8 tasks. */
+  private[graft] val SqlSaltFactor = 8
+
   /** Keeper propagate with DERIVED hot-key handling — flags every
     * paragraph occurrence with whether it is the corpus-wide first
     * (min (doc_id, para_idx)) occurrence of its content key `h`.

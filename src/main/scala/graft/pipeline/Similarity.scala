@@ -689,7 +689,9 @@ object Similarity {
     * Scale shape: ground truth is exact on the sample only (the q70
     * discipline — O(|sample|·corpus) with the sample on a broadcast,
     * never corpus²); the centroid ranking is nClusters rows per
-    * query; ONE window shuffle on qid. */
+    * query; ONE window shuffle on qid. Prefer [[ivfRecallAuditSized]]
+    * for corpus-facing callers — a caller-pinned queryMod makes the
+    * broadcast sample grow linearly with the corpus. */
   def ivfRecallAudit(embeddings: DataFrame, k: Int, nClusters: Int,
                      queryMod: Long, probes: Seq[Int],
                      seed: Long = 42L): DataFrame = {
@@ -707,6 +709,31 @@ object Similarity {
         (col("mono_viol") === 0L).as("monotone_ok"),
         (col("full_viol") === 0L).as("exact_at_full_probe"))
       .orderBy("nprobe")
+  }
+
+  /** Audit-sample sizing: the smallest queryMod that keeps the
+    * sampled query set (vec_id % mod == 0 over dense 0..n-1 ids) at
+    * or under `targetQueries` — ceil(n / target), integer-exact so a
+    * DuckDB oracle recomputes the identical mod from count(*) (the
+    * oracleSizedNBits discipline applied to the audit's broadcast:
+    * sample ≤ target by construction at ANY corpus size, where a
+    * caller-pinned mod grows the broadcast linearly; r13 VERDICT
+    * task 5). Bound proof: mod·target ≥ n ⇒ ceil(n/mod) ≤ target. */
+  def sizedQueryMod(corpusVectors: Long, targetQueries: Long = 512L): Long = {
+    require(corpusVectors > 0 && targetQueries > 0)
+    math.max(1L, (corpusVectors + targetQueries - 1) / targetQueries)
+  }
+
+  /** [[ivfRecallAudit]] with the queryMod DERIVED from the corpus via
+    * [[sizedQueryMod]] — one partial+final count (a driver scalar by
+    * design, the corpus-sized-width discipline), so the query-sample
+    * broadcast is bounded by construction at every scale. */
+  def ivfRecallAuditSized(embeddings: DataFrame, k: Int, nClusters: Int,
+                          probes: Seq[Int], targetQueries: Long = 512L,
+                          seed: Long = 42L): DataFrame = {
+    val n = embeddings.select(count(lit(1))).head().getLong(0)
+    ivfRecallAudit(embeddings, k, nClusters,
+      sizedQueryMod(n, targetQueries), probes, seed)
   }
 
   /** Per-query (k_eff, hit_i per ladder rung) frame shared by the

@@ -1313,6 +1313,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(curve.last._2 == 1.0, s"endpoint recall ${curve.last._2} != 1.0")
   }
 
+  test("sizedQueryMod: sample bounded by target at any corpus size; oracle-identity arithmetic") {
+    // the bound that makes the audit broadcast safe by construction:
+    // for dense 0..n-1 ids, |{i : i % mod == 0}| = ceil(n/mod) ≤ target
+    def sample(n: Long, mod: Long): Long = (n + mod - 1) / mod
+    for (n <- Seq(1L, 7L, 511L, 512L, 513L, 2000L, 20000L, 200000L,
+        1L << 40); t <- Seq(1L, 100L, 512L, 2048L)) {
+      val mod = Similarity.sizedQueryMod(n, t)
+      assert(sample(n, mod) <= t, s"n=$n t=$t mod=$mod")
+      // and never over-thins: one step finer would break the bound
+      // (mod is the SMALLEST such value), except at the mod=1 floor
+      if (mod > 1L) assert(sample(n, mod - 1) > t, s"n=$n t=$t mod=$mod")
+    }
+    // the exact values the q128 oracle recomputes as (n + 511) // 512
+    assert(Similarity.sizedQueryMod(2000L) == 4L)
+    assert(Similarity.sizedQueryMod(200000L) == 391L)
+    assert(Similarity.sizedQueryMod(100L) == 1L)
+  }
+
   test("knn label audit: accuracy bounds hold; perfect clusters score 1.0") {
     val s = spark
     import s.implicits._

@@ -530,4 +530,74 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q130 SQL paragraph tier: the AQE skew-split ceiling, and the salted spelling that answers it") {
+    // r13 stated "AQE's skew split owns the SQL keeper join" without
+    // evidence (VERDICT task 3). Measured here: it does NOT — the
+    // keeper aggregate rides the join's own h-shuffle, so the join's
+    // build child is Agg←Sort←ShuffleStage, never the Sort←ShuffleStage
+    // shape OptimizeSkewedJoin pattern-matches, and the planted 50%
+    // hot key serializes into one task at ANY threshold. Part 1 pins
+    // that ceiling by running the PLAIN hot spelling under maximally
+    // permissive skew confs and asserting no split happened (if a
+    // Spark upgrade starts splitting, this fails and the static salt
+    // can be retired). Part 2 pins the shipped answer: q130's salted
+    // spelling keys the keeper join on (h, salt), so the hot key
+    // spreads over SqlSaltFactor partitions by construction.
+    val s = spark
+    val sfDir = "/root/testdata/sf0.01"
+    QueryRunner.init(s, sfDir)
+    val confs = Seq(
+      // 100 TB posture: the corpus-wide keeper side is NOT broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the 256MB/5x-median defaults to the ~100 KB hot partition
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // skew split granularity is map-output chunks: a hot reduce
+      // partition can only split across the map tasks that produced
+      // it, so stage the corpus over 16 partitions the way a real
+      // landing directory's many files would arrive (sf0.01 ships as
+      // one tiny file = one map task = unsplittable for that reason
+      // alone, which would make part 1 vacuous)
+      graft.sources.Corpus.table(s, sfDir, "documents")
+        .repartition(16).createOrReplaceTempView("documents")
+
+      // part 1 — the ceiling: plain join, permissive thresholds, no split
+      val plain = s.sql(SparkEntry.sqlParagraphDedupText(hot = true))
+      plain.collect() // AQE decides from runtime stats — must materialize
+      val pPlain = plain.queryExecution.executedPlan.toString
+      assert(pPlain.contains("isFinalPlan=true"), pPlain.take(500))
+      assert("""SortMergeJoin \[h#\d+\], \[h#\d+\]""".r
+        .findFirstIn(pPlain).nonEmpty, pPlain.take(2000))
+      assert(!pPlain.contains("skew=true"),
+        "AQE now splits the plain keeper join — revisit the static salt:\n" +
+          pPlain.take(2000))
+
+      // part 2 — the answer: the salted spelling distributes on (h, salt)
+      val salted = s.sql(SparkEntry.sqlParagraphDedupText(hot = true,
+        saltFactor = graft.pipeline.Dedup.SqlSaltFactor))
+      salted.collect()
+      val pSalt = salted.queryExecution.executedPlan.toString
+      assert("""SortMergeJoin \[h#\d+, [^\]]+\], \[h#\d+, salt#\d+\]""".r
+        .findFirstIn(pSalt).nonEmpty,
+        s"salted spelling does not key the keeper join on (h, salt):\n" +
+          pSalt.take(3000))
+      // and the two spellings agree bit-for-bit on the planted corpus
+      assert(plain.collect().toSeq == salted.collect().toSeq)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      // restore the plain corpus view for later tests on this session
+      graft.sources.Corpus.table(s, sfDir, "documents")
+        .createOrReplaceTempView("documents")
+    }
+  }
 }
