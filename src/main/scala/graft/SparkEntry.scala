@@ -605,6 +605,15 @@ object SparkEntry {
     // hash-gated on real corpus data at every SF (q32's oracle).
     "q131_salted_join_forced" -> ((s, dir) =>
       RelationalOps.saltedRevenueByPriorityForced(s, dir)),
+    // q132: watermarked stream-stream INTERVAL join (r14 — the one
+    // Structured Streaming operator family not yet gated):
+    // click→purchase attribution over the production file-feed
+    // ingress; a purchase matches every same-user click in the
+    // preceding 30 minutes. Oracle = the identical batch interval
+    // join + per-user rollup in SQL.
+    "q132_stream_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.clickPurchaseJoinFileFeed(
+        Corpus.table(s, dir, "events"), 30, fixtureDir("q132", dir))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -995,6 +1004,17 @@ object SparkEntry {
         |  count(*) AS n, round(sum(value), 6) AS total
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin.replace("\n", " "),
+    // stream-stream interval join: the batch spelling of the same
+    // attribution join, per-user rollup (q88's round-6 double-sum
+    // convention on the value column)
+    "q132_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  round(sum(p.value), 6) AS purchase_total
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

@@ -474,6 +474,51 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .where($"user_id" === -1L).count() == sentWave.length)
   }
 
+  test("q132 stream-stream interval join: output == batch interval join; state bounded by watermark") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q132t").toString
+    val got = StreamingPipeline.clickPurchaseJoinFileFeed(ev, 30, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("value")), 6).as("purchase_total"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want)
+    // the state-cleanup contract: a watermark + event-time interval
+    // condition lets Spark evict both sides' join state — the
+    // streaming plan must carry watermarks on BOTH sides, and the
+    // join must be the symmetric-hash stream-stream join, keyed on
+    // the user equality (never a cartesian over the time range)
+    val stream = StreamingPipeline.stageSingleWaveFeed(
+      ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")),
+      ev.count(),
+      java.nio.file.Files.createTempDirectory("graft_q132p").toString,
+      Nil)
+    val joined = StreamingPipeline.clickPurchaseJoin(
+      stream.where(col("event_type") === "click"),
+      stream.where(col("event_type") === "purchase"), 30)
+    val analyzed = joined.queryExecution.analyzed.toString
+    assert(analyzed.sliding("EventTimeWatermark".length)
+      .count(_ == "EventTimeWatermark") == 2, analyzed.take(1500))
+    assert(joined.isStreaming)
+  }
+
   test("q88 file feed: production ingress, output == batch hourly agg") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
