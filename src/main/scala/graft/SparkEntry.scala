@@ -614,6 +614,13 @@ object SparkEntry {
     "q132_stream_stream_join" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.clickPurchaseJoinFileFeed(
         Corpus.table(s, dir, "events"), 30, fixtureDir("q132", dir))),
+    // q133: the LEFT OUTER spelling — unmatched clicks emit their
+    // null-extended row only after the watermark finalizes them, so
+    // this gates the join's state-eviction/finalization path (two
+    // both-sided sentinel waves advance the global watermark).
+    "q133_stream_outer_join" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.clickPurchaseLeftJoinFileFeed(
+        Corpus.table(s, dir, "events"), 30, fixtureDir("q133", dir))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1013,6 +1020,18 @@ object SparkEntry {
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
+    // left-outer twin: unmatched clicks keep their row with a zero
+    // contribution; n_matched counts the genuinely joined pairs
+    "q133_stream_outer_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  count(p.ts) AS n_matched,
+        |  round(sum(coalesce(p.value, 0)), 6) AS purchase_total
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);

@@ -651,7 +651,8 @@ object StreamingPipeline {
     * users bound state by the time window, not their event count. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         windowMinutes: Int,
-                        lateness: String = "10 minutes"): DataFrame = {
+                        lateness: String = "10 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
@@ -664,7 +665,7 @@ object StreamingPipeline {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("user_id"), col("c_ts"), col("c_id"),
         col("p_ts"), col("p_value"))
   }
@@ -695,6 +696,64 @@ object StreamingPipeline {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("p_value")), 6).as("purchase_total"))
+      .orderBy("user_id")
+  }
+
+  /** Gate composition (q133): the LEFT OUTER spelling of the
+    * stream-stream interval join — the semantics q132's inner join
+    * cannot reach. An unmatched click emits its null-extended row only
+    * once the watermark proves no future purchase can still match
+    * (c_ts + window + lateness has passed), i.e. this gate exercises
+    * the WATERMARK-FINALIZATION path of the join's state machine, not
+    * just pair completion. Two far-future sentinel waves (a click AND
+    * a purchase each, so BOTH sides' event-time maxima — and hence the
+    * query's global watermark, their min — advance) push every real
+    * click past its horizon: wave 1 advances max event time, wave 2
+    * runs with the advanced watermark so the evicted state emits. The
+    * sentinel user is the reserved SentinelUser, rejected in the input
+    * and excluded from the rollup (the q80 discipline).
+    *
+    * Oracle: the batch LEFT JOIN with the identical interval
+    * condition — exact because batch 0 carries the whole corpus (no
+    * late drops) and the sentinels finalize everything, so Append
+    * output = matched pairs ∪ null-extended unmatched clicks
+    * verbatim. */
+  def clickPurchaseLeftJoinFileFeed(events: DataFrame, windowMinutes: Int,
+                                    fixtureDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val projected = events.select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val nRows = projected.count()
+    require(nRows > 0L, "events corpus is empty — nothing to join")
+    require(projected.where(col("user_id") === SentinelUser).isEmpty,
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+    val maxTs =
+      projected.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val day = 86400000L
+    def sentinelWave(offsetMs: Long): DataFrame = {
+      import spark.implicits._
+      Seq(
+        (-1L, new java.sql.Timestamp(maxTs + offsetMs), SentinelUser,
+          "click", 0.0),
+        (-2L, new java.sql.Timestamp(maxTs + offsetMs), SentinelUser,
+          "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    val stream = stageSingleWaveFeed(projected, nRows, fixtureDir,
+      Seq(sentinelWave(day), sentinelWave(2 * day)))
+    val out = clickPurchaseJoin(
+      stream.where(col("event_type") === "click"),
+      stream.where(col("event_type") === "purchase"),
+      windowMinutes, joinType = "leftOuter")
+    runReplayToFileSink(out, "q133", nRows) { query =>
+      query.processAllAvailable()
+    }
+      .where(col("user_id") =!= SentinelUser)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("p_ts")).as("n_matched"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 6)
+          .as("purchase_total"))
       .orderBy("user_id")
   }
 

@@ -519,6 +519,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(joined.isStreaming)
   }
 
+  test("q133 left-outer stream-stream join: watermark-finalized nulls == batch left join") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q133t").toString
+    val got = StreamingPipeline.clickPurchaseLeftJoinFileFeed(ev, 30, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("p_ts")).as("n_matched"),
+        round(sum(coalesce(col("value"), lit(0.0))), 6)
+          .as("purchase_total"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    // the gate must exercise BOTH emission paths of the outer join's
+    // state machine: completed pairs (match in-batch) and
+    // watermark-finalized null rows (no purchase within the window) —
+    // otherwise it degenerates into q132
+    assert(got.exists(_._3 > 0L), "no matched pairs in the corpus")
+    assert(got.exists(r => r._3 < r._2),
+      "every click matched — the finalization path was not exercised")
+  }
+
   test("q88 file feed: production ingress, output == batch hourly agg") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
