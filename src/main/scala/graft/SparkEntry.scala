@@ -621,6 +621,17 @@ object SparkEntry {
     "q133_stream_outer_join" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.clickPurchaseLeftJoinFileFeed(
         Corpus.table(s, dir, "events"), 30, fixtureDir("q133", dir))),
+    // q134: benchmark decontamination — 13-gram train/eval overlap on
+    // the natural corpus (hash-split eval stand-in; hits ride the
+    // corpus's genuine near-dup pairs)
+    "q134_decontamination" -> ((s, dir) =>
+      Dedup.decontaminationReport(Corpus.table(s, dir, "documents"))),
+    // q135: the planted twin — [[DeconBanner]] prepended to a hash
+    // split of docs on BOTH sides, so every source exercises the hit
+    // path (the q123/q126 planted-fixture discipline)
+    "q135_decontamination_planted" -> ((s, dir) =>
+      Dedup.decontaminationReport(Corpus.table(s, dir, "documents"),
+        plantBanner = true)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1034,6 +1045,11 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
+    // 13-gram decontamination, natural corpus: same '#dc' 60-bit
+    // shingle hash and '#eval' split hash as the Spark side
+    "q134_decontamination" -> deconOracleSql(plant = false),
+    // planted twin: the banner CASE is mirrored verbatim
+    "q135_decontamination_planted" -> deconOracleSql(plant = true),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -1896,6 +1912,36 @@ object SparkEntry {
         |  sum(('0x'||substr(sha256(cleaned||'#pd'),1,15))::BIGINT
         |      % 1000000000)::BIGINT AS cleaned_hash_sum
         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The q134/q135 oracle: 13-gram train/eval contamination with the
+    * identical '#eval' split, '#plant' planting, and '#dc' shingle
+    * hashes as `Dedup.decontaminationReport`. k = 13 → a shingle at
+    * token i spans t[i:i+12]; range(1, len-11) enumerates exactly
+    * len-12 start positions and is empty for short docs (DuckDB range
+    * never runs backward, matching the Spark-side size guard). */
+  private def deconOracleSql(plant: Boolean): String =
+    s"""WITH b AS (SELECT doc_id, source, ${
+          if (plant)
+            "CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#plant'),1,15))::BIGINT % 4 = 0 " +
+              s"THEN '${Dedup.DeconBanner} ' || text ELSE text END"
+          else "text"
+        } AS text,
+        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#eval'),1,15))::BIGINT % 20 = 0 AS is_eval
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, is_eval, string_split(text, ' ') AS t FROM b),
+        |sh AS (SELECT doc_id, source, is_eval, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 11), i -> ('0x'||substr(sha256(
+        |    array_to_string(t[i:i+12], ' ')||'#dc'),1,15))::BIGINT))) AS g FROM tk),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval),
+        |hits AS (SELECT s.doc_id, s.source, count(*) AS n_hit
+        |  FROM sh s JOIN ev USING (g) WHERE NOT s.is_eval GROUP BY 1, 2),
+        |tr AS (SELECT source, count(*) AS n_train FROM b WHERE NOT is_eval GROUP BY source),
+        |hs AS (SELECT source, count(*) AS n_cont, sum(n_hit) AS pairs FROM hits GROUP BY source)
+        |SELECT t.source, n_train::BIGINT AS n_train_docs,
+        |  coalesce(n_cont, 0)::BIGINT AS n_contaminated,
+        |  coalesce(pairs, 0)::BIGINT AS n_hit_pairs,
+        |  round(coalesce(n_cont, 0)::DOUBLE / n_train, 6) AS contamination_frac
+        |FROM tr t LEFT JOIN hs USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(
     // plain set arithmetic for the Bloom-admission gate: a delta doc

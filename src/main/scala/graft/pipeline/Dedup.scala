@@ -596,6 +596,74 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** The fixed 16-token contamination banner the PLANTED gate (q135)
+    * prepends: 16 tokens guarantee at least one pure-banner 13-gram,
+    * and planted train docs share it with planted eval docs. */
+  val DeconBanner: String =
+    "[[DeconBanner]] zero one two three four five six seven eight " +
+      "nine ten eleven twelve thirteen fourteen"
+
+  /** Benchmark decontamination — the train/eval n-gram overlap check a
+    * training-data pipeline runs before anything ships to a trainer: a
+    * TRAINING document is contaminated if any of its distinct k-token
+    * shingles (k = 13, the published decontamination convention) also
+    * occurs in the held-out EVAL suite. Eval stand-in = docs with
+    * hash64(doc_id, "eval") % evalMod == 0 (a hash split, not a raw
+    * modulo — doc_id ranges correlate with source). With
+    * `plantBanner`, docs with hash64(doc_id, "plant") % 4 == 0 get
+    * [[Dedup.DeconBanner]] prepended on BOTH sides of the split
+    * (mirrored verbatim in the oracle), so the hit path is exercised
+    * at strength on every source instead of riding the corpus's one
+    * or two natural near-dup pairs.
+    *
+    * Returns per-source: train docs, contaminated docs, hit
+    * (doc, shingle) pairs, contamination fraction — reported over a
+    * per-source spine from the TRAIN split so a source with zero hits
+    * still emits its row.
+    *
+    * Scale shape: shingles travel as 60-bit hashes, never text; the
+    * contamination test is one LEFT SEMI join of train (doc, hash)
+    * pairs against the eval suite's distinct hashes — in production
+    * the eval side is a benchmark suite (thousands of docs), so AQE
+    * broadcasts it and the train side never reshuffles; here the
+    * stand-in eval is corpus/evalMod and the join degrades gracefully
+    * to a shuffle of 8-byte keys. Nothing is all-pairs; doc-level
+    * rollups happen after the semi-join prune. */
+  def decontaminationReport(docs: DataFrame, k: Int = 13,
+                            evalMod: Long = 20L,
+                            plantBanner: Boolean = false): DataFrame = {
+    val planted =
+      if (!plantBanner) docs.select(col("doc_id"), col("source"), col("text"))
+      else docs.select(col("doc_id"), col("source"),
+        when(hash64(col("doc_id").cast("string"), "plant") % 4 === 0,
+          concat(lit(DeconBanner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val base = graft.sources.Corpus.fanOutSmallScan(planted)
+      .withColumn("is_eval",
+        hash64(col("doc_id").cast("string"), "eval") % evalMod === 0)
+    val evalHashes = base.where(col("is_eval"))
+      .select(explode(shingleHashes(col("text"), k, "dc")).as("g"))
+      .distinct()
+    val trainPairs = base.where(!col("is_eval"))
+      .select(col("doc_id"), col("source"),
+        explode(shingleHashes(col("text"), k, "dc")).as("g"))
+    val hits = trainPairs.join(evalHashes, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("n_hit")).as("n_hit_pairs"))
+    base.where(!col("is_eval"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
+      .join(hits, Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated", "n_hit_pairs"))
+      .select(col("source"), col("n_train_docs"), col("n_contaminated"),
+        col("n_hit_pairs"),
+        round(col("n_contaminated").cast("double") / col("n_train_docs"), 6)
+          .as("contamination_frac"))
+      .orderBy("source")
+  }
+
   /** Incremental (delta-vs-base) dedup summary: the admission gate a
     * production pipeline runs on every NEW batch of documents against
     * the standing corpus — the asymmetric form of dedup that the

@@ -1208,6 +1208,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s2") == 0.0) // disjoint vocabulary shares nothing
   }
 
+  test("decontamination: a train doc sharing a 13-gram with an eval doc is flagged") {
+    val s = spark
+    import s.implicits._
+    // recover the deterministic '#eval' hash split for ids 0..59 so the
+    // crafted corpus can place the shared text on a known eval/train pair
+    val ids = (0L until 60L).toDF("doc_id")
+    val evalIds = ids.where(
+      TextFunctions.hash64($"doc_id".cast("string"), "eval") % 20 === 0)
+      .as[Long].collect().toSet
+    assert(evalIds.nonEmpty && evalIds.size < 60)
+    val evalId = evalIds.min
+    val trainId = (0L until 60L).find(!evalIds.contains(_)).get
+    val shared =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    assert(shared.split(" ").length == 13)
+    val df = (0L until 60L).map { i =>
+      val text = if (i == evalId || i == trainId) shared
+      else (0 to 12).map(j => s"u${i}t$j").mkString(" ") // unique 13-gram
+      (i, text, s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val rows = Dedup.decontaminationReport(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-source spine complete even where nothing hit
+    assert(rows.map(_._1).toSeq == Seq("s0", "s1", "s2"))
+    assert(rows.map(_._2).sum == 60L - evalIds.size)
+    // exactly the one crafted train doc is contaminated, via one shingle
+    assert(rows.map(_._3).sum == 1L && rows.map(_._4).sum == 1L)
+    val hitSource = s"s${trainId % 3}"
+    assert(rows.find(_._1 == hitSource).get._3 == 1L)
+  }
+
+  test("decontamination: planting is monotone — banner adds hits, never removes") {
+    // prepending the banner preserves every original shingle on both
+    // sides, so each source's contaminated count can only grow
+    val nat = Dedup.decontaminationReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pl = Dedup.decontaminationReport(docs, plantBanner = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nat.keySet == pl.keySet)
+    nat.foreach { case (src, (nTrain, nCont)) =>
+      assert(pl(src)._1 == nTrain, s"$src train split changed")
+      assert(pl(src)._2 >= nCont, s"$src lost hits under planting")
+    }
+    // the planting must actually bite: strictly more contamination overall
+    assert(pl.values.map(_._2).sum > nat.values.map(_._2).sum)
+  }
+
   test("CC local fast path == distributed min-label loop on the same graph") {
     // explicit maxIter routes to the iterative distributed loop; the
     // default takes the union-find fast path — both must agree exactly
