@@ -603,13 +603,18 @@ object Dedup {
     "[[DeconBanner]] zero one two three four five six seven eight " +
       "nine ten eleven twelve thirteen fourteen"
 
-  /** Benchmark decontamination — the train/eval n-gram overlap check a
-    * training-data pipeline runs before anything ships to a trainer: a
-    * TRAINING document is contaminated if any of its distinct k-token
-    * shingles (k = 13, the published decontamination convention) also
-    * occurs in the held-out EVAL suite. Eval stand-in = docs with
-    * hash64(doc_id, "eval") % evalMod == 0 (a hash split, not a raw
-    * modulo — doc_id ranges correlate with source). With
+  /** Benchmark decontamination at the PUBLISHED 13-gram convention —
+    * the strict-tier complement to `Curation.decontaminationSummary`
+    * (q44, 3-gram: a sensitive screen where any shared phrase flags)
+    * and `Curation.contaminatedEvalDocs` (q74, the eval-side detail).
+    * 3-gram overlap is mostly benign phrase collision; shipping
+    * decisions key off long-n-gram overlap, so this tier reports what
+    * actually blocks a training run: a TRAINING document is
+    * contaminated if any of its distinct k-token shingles (k = 13)
+    * also occurs in the held-out EVAL suite. Eval stand-in = docs with
+    * hash64(doc_id, "eval") % evalMod == 0 — a HASH split where q44
+    * keeps the raw modulo, because doc_id ranges correlate with source
+    * and a 13-gram tier needs hits spread across sources. With
     * `plantBanner`, docs with hash64(doc_id, "plant") % 4 == 0 get
     * [[Dedup.DeconBanner]] prepended on BOTH sides of the split
     * (mirrored verbatim in the oracle), so the hit path is exercised
