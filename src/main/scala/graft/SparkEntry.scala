@@ -632,6 +632,13 @@ object SparkEntry {
     "q135_decontamination_planted" -> ((s, dir) =>
       Dedup.decontaminationReport(Corpus.table(s, dir, "documents"),
         plantBanner = true)),
+    // q136: int8 scalar-quantized SEARCH recall@10 — the q70 audit
+    // discipline applied to the ANN tier's memory lever; recall
+    // values hash-match the oracle (asymmetric/ADC scoring, the q63
+    // quantization identity)
+    "q136_int8_recall" -> ((s, dir) =>
+      Similarity.int8RecallAuditSized(Corpus.table(s, dir, "embeddings"),
+        10)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1532,6 +1539,8 @@ object SparkEntry {
       PO.incrementalDedup(10L, 0.8).replace("\n", " "),
     "q70_bucket_recall" ->
       PO.bucketRecallAudit(10, 4, 100L).replace("\n", " "),
+    "q136_int8_recall" ->
+      PO.int8RecallAudit(10, 256L).replace("\n", " "),
     "q71_knn_label_audit" ->
       PO.knnLabelAuditAuto(5, 125L).replace("\n", " "),
     // integer-only burst rule (n*28 > 5*trail7, the 1.25x WARN dial) —

@@ -393,6 +393,50 @@ object PipelineOracles {
        |FROM ex LEFT JOIN bk ON qid = bqid AND vec_id = bvec
        |GROUP BY qid ORDER BY qid""".stripMargin
 
+  /** Mirrors Similarity.int8RecallAuditSized: the q63 quantization
+    * rule (round half-away-from-zero onto the int8 lattice, zero
+    * vector quantizes to itself), sequential-order double folds for
+    * every dot product, both rankings on (rounded score desc, vec_id),
+    * and the query mod derived from the SAME corpus count with integer
+    * ceiling — so the recall values themselves hash-match. */
+  def int8RecallAudit(k: Int, targetQueries: Long): String =
+    s"""WITH qm AS (SELECT greatest(1,
+       |    (count(*) + ${targetQueries - 1}) // $targetQueries) AS m
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS ed
+       |  FROM embeddings),
+       |mm AS (SELECT vec_id, ed,
+       |  list_max(list_transform(ed, v -> abs(v))) AS max_abs,
+       |  sqrt(list_reduce(list_transform(ed, v -> v * v), (x, y) -> x + y)) AS norm
+       |  FROM b),
+       |r AS (SELECT vec_id, ed, norm, CASE WHEN max_abs = 0 THEN ed
+       |    ELSE list_transform(ed,
+       |      v -> round(v * (127.0/max_abs)) / (127.0/max_abs)) END AS rec
+       |  FROM mm),
+       |r2 AS (SELECT vec_id, ed, norm, rec,
+       |  sqrt(list_reduce(list_transform(rec, v -> v * v), (x, y) -> x + y)) AS rec_norm
+       |  FROM r),
+       |q AS (SELECT vec_id AS qid, ed AS q_ed, norm AS q_norm FROM r2
+       |  WHERE vec_id % (SELECT m FROM qm) = 0),
+       |scored AS (SELECT qid, vec_id,
+       |  round(list_reduce(list_transform(range(1, len(ed)+1),
+       |    i -> ed[i] * q_ed[i]), (x, y) -> x + y) / (norm * q_norm), 6) AS cos,
+       |  round(list_reduce(list_transform(range(1, len(rec)+1),
+       |    i -> rec[i] * q_ed[i]), (x, y) -> x + y) / (rec_norm * q_norm), 6) AS qcos
+       |  FROM r2, q WHERE vec_id <> qid),
+       |ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) x WHERE rn <= $k),
+       |qt AS (SELECT qid AS bqid, vec_id AS bvec FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rn
+       |  FROM scored) y WHERE rn <= $k)
+       |SELECT qid,
+       |  sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  round(sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN qt ON qid = bqid AND vec_id = bvec
+       |GROUP BY qid ORDER BY qid""".stripMargin
+
   def bucketKnnJoin(k: Int, nBits: Int): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),

@@ -849,6 +849,77 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Recall@k audit of int8 scalar-quantized SEARCH — the memory lever
+    * of the ANN tier (4× smaller vectors = 4× more corpus per executor
+    * before the scan spills), measured the q70 way: for a sampled
+    * query set, the exact float top-k is ground truth and the top-k
+    * ranked by the QUANTIZED score is the candidate. Scoring is
+    * asymmetric (the SQ8/ADC convention): stored vectors are quantized
+    * per-vector to the int8 lattice (q63's round(v·127/maxAbs) rule)
+    * and reconstructed, queries stay float — so this audit reports the
+    * no-rescore floor; a production tier rescores its top-R exactly
+    * and recall can only improve from here.
+    *
+    * Exactness across engines: the quantization round is half-away-
+    * from-zero in both (the q63 identity), reconstruction and both
+    * dot folds are sequential-order double arithmetic (ArrayDot ==
+    * list_reduce), and both rankings order by (rounded score desc,
+    * vec_id) — so recall VALUES hash-match, not just invariants.
+    *
+    * Scale shape: the q70 discipline — ground truth exact on the
+    * sample only, sample rides a broadcast sized by [[sizedQueryMod]]
+    * (never caller-pinned); both top-k sides are ≤ k·|sample| rows so
+    * the hit-check join broadcasts by construction. */
+  def int8RecallAudit(embeddings: DataFrame, k: Int,
+                      queryMod: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val maxAbs = array_max(transform(col("ed"), x => abs(x)))
+    val s = lit(127.0) / maxAbs
+    // zero vector: quantizes to itself (the q63 guard) — scale would
+    // be infinite and round(0·inf) NaN-poisons the fold otherwise
+    val rec = when(maxAbs === 0.0, col("ed"))
+      .otherwise(transform(col("ed"), x => round(x * s, 0) / s))
+    val v = withVectorCols(embeddings, 0)
+      .select(col("vec_id"), col("ed"), col("norm"), rec.as("rec"))
+      .withColumn("rec_norm",
+        sqrt(graft.functions.ArrayDot.column(col("rec"), col("rec"))))
+    val q = v.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("q_ed"),
+        col("norm").as("q_norm"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(pairCosine(col("ed"), col("q_ed"), col("norm"),
+          col("q_norm")), 6).as("cos"),
+        round(pairCosine(col("rec"), col("q_ed"), col("rec_norm"),
+          col("q_norm")), 6).as("qcos"))
+    val wx = W.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val wq = W.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    val exact = scored
+      .withColumn("rn", row_number().over(wx)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val quant = scored
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= k)
+      .select(col("qid").as("bqid"), col("vec_id").as("bvec"))
+    exact
+      .join(broadcast(quant),
+        col("qid") === col("bqid") && col("vec_id") === col("bvec"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("bvec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k_eff"), 6).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** [[int8RecallAudit]] with the queryMod derived from the corpus —
+    * the [[ivfRecallAuditSized]] discipline. */
+  def int8RecallAuditSized(embeddings: DataFrame, k: Int,
+                           targetQueries: Long = 256L): DataFrame = {
+    val n = embeddings.select(count(lit(1))).head().getLong(0)
+    int8RecallAudit(embeddings, k, sizedQueryMod(n, targetQueries))
+  }
+
   /** Embedding-norm profile per label: count, min/max and exact median
     * of the L2 norm — the sanity report run before any cosine tier
     * (un-normalized or zero vectors surface here first). Per-row norms

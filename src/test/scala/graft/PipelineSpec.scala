@@ -1077,6 +1077,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(zr.head.getDouble(2) == 0.0 && zr.head.getDouble(3) == 0.0)
   }
 
+  test("int8 search recall: lattice vectors recover exact top-k; corpus recall sane") {
+    val s = spark
+    import s.implicits._
+    // vectors with INTEGER components and maxAbs exactly 127: the
+    // scale is 127.0/127.0 == 1.0 exactly, so round(v·1)/1 == v and
+    // the quantized ranking IS the exact ranking — recall must be 1.0
+    // for every query (provable, not probabilistic)
+    val rnd = new scala.util.Random(0x1BADB002)
+    val lattice = (0L until 40L).map { i =>
+      val v = Array.fill(8)((rnd.nextInt(231) - 115).toFloat)
+      v(rnd.nextInt(8)) = if (rnd.nextBoolean()) 127f else -127f
+      (i, v, "l")
+    }.toDF("vec_id", "embedding", "label")
+    val perfect = Similarity.int8RecallAudit(lattice, 5, 4L).collect()
+    assert(perfect.nonEmpty)
+    perfect.foreach { r =>
+      assert(r.getDouble(2) == 1.0, s"qid ${r.getLong(0)}: ${r.getDouble(2)}")
+    }
+    // the real corpus: sized sample nonempty, recall in [0,1], and the
+    // no-rescore floor is useful (mean well above chance: k/corpus)
+    val rows = Similarity.int8RecallAuditSized(embs, 10).collect()
+    assert(rows.nonEmpty)
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    val mean = recalls.sum / recalls.length
+    info(f"int8 SQ recall@10 mean over ${rows.length} queries: $mean%.4f")
+    assert(mean > 0.5, f"no-rescore floor collapsed: $mean%.4f")
+  }
+
   test("paragraph dedup: keep-first across corpus, within-doc dups stripped, hash pins cleaned text") {
     val s = spark
     import s.implicits._
