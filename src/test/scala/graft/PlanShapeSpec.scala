@@ -259,6 +259,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("q135 13-gram decontamination: hit test is a semi-join of 8-byte hashes — no cartesian, no BNLJ") {
+    val p = plan("q135_decontamination_planted")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // shingles hash scan-side through the native kernel — only 8-byte
+    // hashes reach the join, never shingle text
+    assert(p.contains("hash_tokens("))
+  }
+
+  test("q136 int8 recall: query sample rides a broadcast; hit-check join broadcasts too") {
+    val p = plan("q136_int8_recall")
+    // the scored pass attaches the sample via broadcast (the q70
+    // shape) — never a shuffled cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q61 normalized dedup: hash aggregates over 64-byte hash keys — no join, no sort-agg") {
     val p = plan("q61_normalized_dedup")
     assert(!p.contains("Join"))
