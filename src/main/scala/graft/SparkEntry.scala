@@ -639,6 +639,12 @@ object SparkEntry {
     "q136_int8_recall" -> ((s, dir) =>
       Similarity.int8RecallAuditSized(Corpus.table(s, dir, "embeddings"),
         10)),
+    // q137: the interval join through the MANY-wave ingress — pairs
+    // complete across micro-batches from join state (q132 gates the
+    // single-batch path; same oracle, different state machine path)
+    "q137_stream_join_waves" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.clickPurchaseJoinWaves(
+        Corpus.table(s, dir, "events"), 30, fixtureDir("q137", dir))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1050,6 +1056,16 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, ts, value FROM events
         |           WHERE event_type = 'purchase') p
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
+    // the many-wave spelling completes the SAME pairs from join state
+    // across micro-batches — q132's batch oracle verbatim
+    "q137_stream_join_waves" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  round(sum(p.value), 6) AS purchase_total
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id AND p.ts >= c.ts
         |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin.replace("\n", " "),
     // 13-gram decontamination, natural corpus: same '#dc' 60-bit

@@ -477,21 +477,35 @@ object StreamingPipeline {
     * (`repartition(fileIdx).write.partitionBy(fileIdx)`), gate
     * plumbing a production deployment replaces with its landing
     * directory. */
-  def sessionizeFileStreamWaves(events: DataFrame, gapMinutes: Int,
-                                fixtureDir: String,
-                                nWaves: Int = 8): DataFrame = {
-    val spark = events.sparkSession
-    val projected = events.select(col("user_id"), col("ts"), col("value"))
-    require(projected.where(col("user_id") === SentinelUser).isEmpty,
-      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+  /** The many-wave generalization of [[stageSingleWaveFeed]], factored
+    * out of the q127 gate so any replay can ride an INCREMENTAL
+    * FileStreamSource ingress: `projected` is staged as up to `nWaves`
+    * event-time-ordered files (closed-form integer-µs routing — wave
+    * by floor division, the wave's exclusive upper boundary the
+    * ceiling form of the SAME fraction, so boundary events can never
+    * self-contradict their late test), each wave followed by a LATE
+    * file carrying its [8, 4)-minute-before-boundary band; then each
+    * `sentinels(maxUs)` frame as its own strictly-later file. With
+    * `maxFilesPerTrigger = 1`, every file is one micro-batch, so the
+    * watermark advances incrementally and genuinely late rows are
+    * admitted inside the lateness budget.
+    *
+    * No-late-drop argument (holds for EVERY consumer with lateness
+    * ≥ 10 min): when wave k's late file is consumed, the watermark is
+    * at most (wave k's max event time) − 10 min ≈ boundary_k − 10 min,
+    * and the late band starts at boundary_k − 8 min > that — so no
+    * staged row is ever behind the watermark on arrival. */
+  private[graft] def stageManyWaveFeed(projected: DataFrame, tsCol: String,
+      fixtureDir: String, nWaves: Int,
+      sentinels: Long => Seq[DataFrame]): DataFrame = {
+    val spark = projected.sparkSession
     val statsRow = projected
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      .agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))),
         count(lit(1))).head()
     require(statsRow.getLong(2) > 0L,
-      "events corpus is empty — nothing to stage or sessionize")
+      "corpus is empty — nothing to stage")
     val minUs = statsRow.getLong(0)
     val maxUs = statsRow.getLong(1)
-    val nRows = statsRow.getLong(2)
     val span = math.max(1L, maxUs - minUs + 1)
     // a wave narrower than the late window cannot stage a meaningful
     // late file; shrink the wave count rather than mis-slice (the
@@ -506,14 +520,11 @@ object StreamingPipeline {
     srcDir.mkdirs()
 
     // closed-form file routing, all in MICROSECONDS and all in
-    // INTEGER division (`div` — Column./ would go through double):
-    // wave by floor division, so the wave's exclusive upper boundary
-    // is the ceiling form of the same fraction — the two expressions
-    // must agree or boundary events would self-contradict their late
-    // test
+    // INTEGER division (`div` — Column./ would go through double)
     val staged = new java.io.File(root, "staged")
+    val outCols = projected.columns.map(col).toIndexedSeq
     projected
-      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("us", unix_micros(col(tsCol)))
       .withColumn("wave", least(lit(w - 1),
         expr(s"((us - ${minUs}L) * ${w}L) div ${span}L")))
       .withColumn("bHi",
@@ -521,7 +532,7 @@ object StreamingPipeline {
       .withColumn("fileIdx", (col("wave") * 2 +
         when(col("us") >= col("bHi") - lateLoUs &&
           col("us") < col("bHi") - lateHiUs, 1L).otherwise(0L)).cast("int"))
-      .select(col("user_id"), col("ts"), col("value"), col("fileIdx"))
+      .select(outCols :+ col("fileIdx"): _*)
       .repartition(2 * w.toInt, col("fileIdx"))
       .write.partitionBy("fileIdx").parquet(staged.toString)
     val t0 = System.currentTimeMillis() - 3600000L
@@ -541,14 +552,9 @@ object StreamingPipeline {
     }
     rmTree(staged)
     require(dataFiles.nonEmpty, "no corpus files staged")
-    import spark.implicits._
-    def sentinel(offset: Long, idx: Int): Unit = {
-      val day = 86400000000L
+    sentinels(maxUs).zipWithIndex.foreach { case (s, idx) =>
       val f = new java.io.File(root, s"sent_$idx")
-      Seq((SentinelUser,
-          new java.sql.Timestamp((maxUs + offset * day) / 1000L), 0.0))
-        .toDF("user_id", "ts", "value")
-        .repartition(1).write.parquet(f.toString)
+      s.repartition(1).write.parquet(f.toString)
       val part = f.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dest = new java.io.File(srcDir, f"${2 * w.toInt + idx}%03d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
@@ -556,12 +562,28 @@ object StreamingPipeline {
         s"cannot set mtime on $dest")
       rmTree(f)
     }
-    sentinel(1L, 0); sentinel(2L, 1)
-
-    val stream = spark.readStream
+    spark.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
+  }
+
+  def sessionizeFileStreamWaves(events: DataFrame, gapMinutes: Int,
+                                fixtureDir: String,
+                                nWaves: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val projected = events.select(col("user_id"), col("ts"), col("value"))
+    require(projected.where(col("user_id") === SentinelUser).isEmpty,
+      s"events corpus contains reserved replay sentinel user_id $SentinelUser")
+    val nRows = projected.count()
+    val day = 86400000000L
+    val stream = stageManyWaveFeed(projected, "ts", fixtureDir, nWaves,
+      maxUs => Seq(1L, 2L).map { offset =>
+        Seq((SentinelUser,
+            new java.sql.Timestamp((maxUs + offset * day) / 1000L), 0.0))
+          .toDF("user_id", "ts", "value")
+      })
     val out = sessionize(stream, gapMinutes)
     runReplayToFileSink(out.toDF(), "q127", nRows) { query =>
       query.processAllAvailable()
@@ -691,6 +713,46 @@ object StreamingPipeline {
       stream.where(col("event_type") === "purchase"),
       windowMinutes)
     runReplayToFileSink(out, "q132", nRows) { query =>
+      query.processAllAvailable()
+    }
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("p_value")), 6).as("purchase_total"))
+      .orderBy("user_id")
+  }
+
+  /** Gate composition (q137): the stream-stream interval join driven
+    * through the MANY-wave ingress — the cross-micro-batch pair path
+    * q132's single wave cannot reach. With the corpus split over ≥8
+    * event-time-ordered waves (one per micro-batch), a click arriving
+    * in wave k joins purchases arriving in LATER waves from join
+    * state, so this gates what the symmetric hash join exists to do:
+    * carry per-key state across micro-batches and complete pairs
+    * incrementally.
+    *
+    * Exactness: no staged row is ever behind the watermark on arrival
+    * (the [[stageManyWaveFeed]] [8,4)-minute carve vs the 10-minute
+    * lateness budget), and a click may only be evicted once the
+    * watermark passes c_ts + window — but any still-unseen matching
+    * purchase has p_ts ≤ c_ts + window, and every arriving row is
+    * ahead of the watermark, so the purchase must arrive while the
+    * click is still in state. Hence Append output == the batch
+    * interval join verbatim (q132's oracle), with no sentinel waves:
+    * inner-join emission needs no finalization. */
+  def clickPurchaseJoinWaves(events: DataFrame, windowMinutes: Int,
+                             fixtureDir: String,
+                             nWaves: Int = 8): DataFrame = {
+    val projected = events.select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val nRows = projected.count()
+    require(nRows > 0L, "events corpus is empty — nothing to join")
+    val stream = stageManyWaveFeed(projected, "ts", fixtureDir, nWaves,
+      _ => Nil)
+    val out = clickPurchaseJoin(
+      stream.where(col("event_type") === "click"),
+      stream.where(col("event_type") === "purchase"),
+      windowMinutes)
+    runReplayToFileSink(out, "q137", nRows) { query =>
       query.processAllAvailable()
     }
       .groupBy(col("user_id"))

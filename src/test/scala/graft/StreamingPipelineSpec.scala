@@ -556,6 +556,65 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "every click matched — the finalization path was not exercised")
   }
 
+  test("q137 many-wave join: pairs complete across micro-batches; output == batch join") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted corpus: one event every 47 s for ~39 h, two users with
+    // interleaved click/click/purchase/purchase runs — each click
+    // pairs with ~9 same-user purchases inside the 30-min window, so
+    // pairs straddle every wave boundary (proven below, not assumed)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, new Timestamp(base + i * 47000L), (i % 2).toLong,
+        if ((i / 2) % 2 == 0) "click" else "purchase", (i % 7).toDouble)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q137t").toString
+    val got = StreamingPipeline.clickPurchaseJoinWaves(ev, 30, dir, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("value")), 6).as("purchase_total"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want)
+    // PROVE the cross-batch path fired: recompute the stager's
+    // closed-form wave routing and find a matched pair whose click
+    // and purchase land in different waves — that pair can only have
+    // completed from carried join state
+    val minUs = base * 1000L
+    val maxUs = (base + 2999L * 47000L) * 1000L
+    val span = maxUs - minUs + 1
+    val w = 8L
+    def wave(tsMs: Long): Long =
+      math.min(w - 1, ((tsMs * 1000L - minUs) * w) / span)
+    val crossWave = for {
+      (ci, cts, cu, "click", _) <- rows
+      (pi, pts, pu, "purchase", _) <- rows
+      if pu == cu && pts.getTime >= cts.getTime &&
+        pts.getTime <= cts.getTime + 30 * 60000L &&
+        wave(pts.getTime) != wave(cts.getTime)
+    } yield (ci, pi)
+    assert(crossWave.nonEmpty,
+      "crafted corpus has no wave-straddling pair — the test is vacuous")
+    // and the staging really was many waves, one file per micro-batch
+    val files = new java.io.File(dir, "in").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"only ${files.length} files staged")
+  }
+
   test("q88 file feed: production ingress, output == batch hourly agg") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
