@@ -224,13 +224,14 @@ object SparkEntry {
     // operator — same oracle as q32, pinning salted == plain
     "q79_salted_join" -> ((s, dir) =>
       RelationalOps.saltedRevenueByPriority(s, dir)),
-    // q80: the STREAMING sessionizer replayed over the batch events
-    // table (MemoryStream → flatMapGroupsWithState → memory sink) —
-    // Append output must equal batch sessionization, so it shares
-    // q41's oracle: first oracle-checked streaming data-plane coverage
-    "q80_streaming_sessionize" -> ((s, dir) =>
-      graft.streaming.StreamingPipeline.sessionizeReplay(
-        Corpus.table(s, dir, "events"), 30)),
+    // q80 (RETIRED as a gate, r14 VERDICT task 4): the MemoryStream
+    // replay twin of the streaming sessionizer was the last
+    // corpus-to-driver data feed on the gate surface. The parity
+    // contract it gated lives on through the PRODUCTION ingress
+    // (q116: FileStreamSource, same q41 oracle; q127: many-wave), and
+    // the MemoryStream spelling itself stays exercised as a
+    // spec-only harness (StreamingPipelineSpec asserts
+    // sessionizeReplay == batch sessionization).
     // q81: pattern-scan audit (the PII-scrub sizing report) — one scan
     // for all patterns; gate patterns match the corpus (the PII presets
     // are unit-tested on planted strings — the synthetic corpus
@@ -645,6 +646,13 @@ object SparkEntry {
     "q137_stream_join_waves" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.clickPurchaseJoinWaves(
         Corpus.table(s, dir, "events"), 30, fixtureDir("q137", dir))),
+    // q138: the EVAL-side detail of the 13-gram tier — which benchmark
+    // items are compromised and how badly (q74's treatment at the
+    // published convention; r14 VERDICT task 6). Planted spelling so
+    // every source exercises the hit path at every SF.
+    "q138_contaminated_evals13" -> ((s, dir) =>
+      Dedup.contaminatedEvalDocs13(Corpus.table(s, dir, "documents"),
+        plantBanner = true)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1073,6 +1081,9 @@ object SparkEntry {
     "q134_decontamination" -> deconOracleSql(plant = false),
     // planted twin: the banner CASE is mirrored verbatim
     "q135_decontamination_planted" -> deconOracleSql(plant = true),
+    // eval-side detail at 13-gram: same CTEs as q135, joined inner
+    // and rolled up per eval doc
+    "q138_contaminated_evals13" -> deconEvalDetailSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -1120,11 +1131,9 @@ object SparkEntry {
         |  sum(CASE WHEN n >= 30 AND dups * 100 <= n * 40 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pass_all
         |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
-    // streaming Append output == batch sessionization — q41's oracle
-    // verbatim
-    "q80_streaming_sessionize" ->
-      sessionizeOracle,
-    // the file-source streaming spelling shares q41/q80's oracle
+    // the file-source streaming spelling: Append output == batch
+    // sessionization, q41's oracle verbatim (q80's former gate — the
+    // MemoryStream twin is spec-only since r15)
     "q116_filestream_sessionize" ->
       sessionizeOracle,
     // the many-wave ingress spelling shares the same batch oracle:
@@ -1944,7 +1953,7 @@ object SparkEntry {
     * token i spans t[i:i+12]; range(1, len-11) enumerates exactly
     * len-12 start positions and is empty for short docs (DuckDB range
     * never runs backward, matching the Spark-side size guard). */
-  private def deconOracleSql(plant: Boolean): String =
+  private def deconShingleCtes(plant: Boolean): String =
     s"""WITH b AS (SELECT doc_id, source, ${
           if (plant)
             "CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#plant'),1,15))::BIGINT % 4 = 0 " +
@@ -1956,7 +1965,10 @@ object SparkEntry {
         |tk AS (SELECT doc_id, source, is_eval, string_split(text, ' ') AS t FROM b),
         |sh AS (SELECT doc_id, source, is_eval, unnest(list_distinct(list_transform(
         |    range(1, len(t) - 11), i -> ('0x'||substr(sha256(
-        |    array_to_string(t[i:i+12], ' ')||'#dc'),1,15))::BIGINT))) AS g FROM tk),
+        |    array_to_string(t[i:i+12], ' ')||'#dc'),1,15))::BIGINT))) AS g FROM tk)""".stripMargin
+
+  private def deconOracleSql(plant: Boolean): String =
+    s"""${deconShingleCtes(plant)},
         |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval),
         |hits AS (SELECT s.doc_id, s.source, count(*) AS n_hit
         |  FROM sh s JOIN ev USING (g) WHERE NOT s.is_eval GROUP BY 1, 2),
@@ -1967,6 +1979,19 @@ object SparkEntry {
         |  coalesce(pairs, 0)::BIGINT AS n_hit_pairs,
         |  round(coalesce(n_cont, 0)::DOUBLE / n_train, 6) AS contamination_frac
         |FROM tr t LEFT JOIN hs USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The q138 oracle: same b/tk/sh CTEs as q135 (planted), joined
+    * INNER eval×train on the shingle hash and rolled up per eval doc —
+    * distinct counts, so duplicate (eval, train) shingle matches
+    * collapse exactly as the Spark side's count_distinct does. */
+  private def deconEvalDetailSql: String =
+    s"""${deconShingleCtes(plant = true)}
+        |SELECT e.doc_id AS eval_doc, e.source,
+        |  count(DISTINCT t.doc_id)::BIGINT AS n_train_docs,
+        |  count(DISTINCT e.g)::BIGINT AS n_hit_shingles
+        |FROM sh e JOIN sh t USING (g)
+        |WHERE e.is_eval AND NOT t.is_eval
+        |GROUP BY 1, 2 ORDER BY eval_doc""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(
     // plain set arithmetic for the Bloom-admission gate: a delta doc

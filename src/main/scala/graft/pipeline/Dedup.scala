@@ -637,15 +637,7 @@ object Dedup {
   def decontaminationReport(docs: DataFrame, k: Int = 13,
                             evalMod: Long = 20L,
                             plantBanner: Boolean = false): DataFrame = {
-    val planted =
-      if (!plantBanner) docs.select(col("doc_id"), col("source"), col("text"))
-      else docs.select(col("doc_id"), col("source"),
-        when(hash64(col("doc_id").cast("string"), "plant") % 4 === 0,
-          concat(lit(DeconBanner + " "), col("text")))
-          .otherwise(col("text")).as("text"))
-    val base = graft.sources.Corpus.fanOutSmallScan(planted)
-      .withColumn("is_eval",
-        hash64(col("doc_id").cast("string"), "eval") % evalMod === 0)
+    val base = deconBase(docs, evalMod, plantBanner)
     val evalHashes = base.where(col("is_eval"))
       .select(explode(shingleHashes(col("text"), k, "dc")).as("g"))
       .distinct()
@@ -667,6 +659,63 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_train_docs"), 6)
           .as("contamination_frac"))
       .orderBy("source")
+  }
+
+  /** The q134/q135/q138 corpus prep, shared so the train/eval split
+    * and the banner planting cannot drift between the per-source
+    * rollup and the per-eval-doc detail: optional [[DeconBanner]]
+    * prepend on hash64(doc_id, "plant") % 4 == 0, then the
+    * hash64(doc_id, "eval") % evalMod eval flag. */
+  private def deconBase(docs: DataFrame, evalMod: Long,
+                        plantBanner: Boolean): DataFrame = {
+    val planted =
+      if (!plantBanner) docs.select(col("doc_id"), col("source"), col("text"))
+      else docs.select(col("doc_id"), col("source"),
+        when(hash64(col("doc_id").cast("string"), "plant") % 4 === 0,
+          concat(lit(DeconBanner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    graft.sources.Corpus.fanOutSmallScan(planted)
+      .withColumn("is_eval",
+        hash64(col("doc_id").cast("string"), "eval") % evalMod === 0)
+  }
+
+  /** EVAL-side detail of the 13-gram tier (q138) — q74's treatment at
+    * the published decontamination convention, completing the pair
+    * r14 VERDICT task 6 asked for: [[decontaminationReport]] (q134/
+    * q135) rolls contamination up per training SOURCE (how dirty is
+    * the corpus); this reports per EVAL document (which benchmark
+    * items are compromised, and how badly) — the view an eval owner
+    * reads to decide whether an item must be dropped from the suite.
+    * Same split, same planting, same "dc" shingle hashes as the
+    * rollup, by construction (shared [[deconBase]]).
+    *
+    * Returns one row per CONTAMINATED eval doc (q74's convention —
+    * clean items stay silent): distinct training docs sharing at
+    * least one 13-gram, and distinct compromised shingles.
+    *
+    * Scale shape: the same single equi-join of 8-byte hashes as the
+    * rollup — eval side broadcast-sized in production (a benchmark
+    * suite), train side never reshuffles wide; the join output is
+    * O(true contamination) pairs, and both distinct-counts aggregate
+    * AFTER that prune. A corpus-universal boilerplate shingle is the
+    * one skew risk; 13-gram specificity makes it unlikely, and the
+    * q74 `maxShingleDf` pre-filter is the dial if a real corpus
+    * disagrees. */
+  def contaminatedEvalDocs13(docs: DataFrame, k: Int = 13,
+                             evalMod: Long = 20L,
+                             plantBanner: Boolean = false): DataFrame = {
+    val base = deconBase(docs, evalMod, plantBanner)
+    val evalPairs = base.where(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("source"),
+        explode(shingleHashes(col("text"), k, "dc")).as("g"))
+    val trainPairs = base.where(!col("is_eval"))
+      .select(col("doc_id").as("train_doc"),
+        explode(shingleHashes(col("text"), k, "dc")).as("g"))
+    evalPairs.join(trainPairs, Seq("g"))
+      .groupBy(col("eval_doc"), col("source"))
+      .agg(count_distinct(col("train_doc")).as("n_train_docs"),
+        count_distinct(col("g")).as("n_hit_shingles"))
+      .orderBy("eval_doc")
   }
 
   /** Incremental (delta-vs-base) dedup summary: the admission gate a

@@ -154,6 +154,12 @@ object StreamingPipeline {
     * invocation. */
   private def sinkPid: Long = graft.SparkEntry.fixturePid
 
+  /** Minimum age before a superseded replay sink dir may be deleted:
+    * a lazily-held result frame younger than this can never have its
+    * parquet reclaimed out from under it, however many newer replays
+    * of the same gate run in the meantime (r14 VERDICT task 7). */
+  private[graft] val SinkReclaimAgeMs: Long = 10L * 60L * 1000L
+
   /** Run a replay streaming query through the PRODUCTION parquet file
     * sink — not the memory sink — and hand back the committed result
     * as a distributed file read. The memory sink held the full result
@@ -169,13 +175,16 @@ object StreamingPipeline {
     * rows on a bench rerun; the checkpoint is deleted eagerly once the
     * query stops, the gate-sized data dir at process exit.
     *
-    * CALLER CONTRACT (ADVICE r13): the returned frame is lazy and its
-    * files survive at most ONE newer replay of the same gate — the
-    * reclaim below keeps only the newest prior sink dir. Consume (or
-    * persist) a gate's result before invoking that gate a third time;
-    * a frame held across two newer replays reads deleted parquet.
-    * Every in-repo caller (Verify, Bench, the specs) consumes each
-    * result before re-invoking its gate, so the window never binds. */
+    * CALLER CONTRACT (ADVICE r13, age-gated r15): the returned frame
+    * is lazy; its files survive at least ONE newer replay of the same
+    * gate AND at least [[SinkReclaimAgeMs]] (10 min) of wall clock
+    * regardless of replay count — the reclaim below keeps the newest
+    * prior sink dir unconditionally and deletes an older one only
+    * once it has aged past the window. Consume (or persist) a gate's
+    * result within 10 minutes if the gate may replay twice more in
+    * the meantime. Every in-repo caller (Verify, Bench, the specs)
+    * consumes each result before re-invoking its gate, so neither
+    * bound ever binds. */
   private def runReplayToFileSink(out: DataFrame, qtag: String,
       nRows: Long)(feed: org.apache.spark.sql.streaming.StreamingQuery
         => Unit): DataFrame = {
@@ -185,14 +194,17 @@ object StreamingPipeline {
     // of sink data until JVM exit (ADVICE r12) — but the PREVIOUS
     // invocation's parquet may still back a live lazily-read frame
     // (its result is consumed only after this method returns), so the
-    // reclaim keeps the NEWEST prior dir and deletes only older ones:
-    // at most two dirs per gate ever exist, and a frame held across
-    // one newer replay of the same gate stays readable.
+    // reclaim keeps the NEWEST prior dir and deletes only older ones
+    // that have also AGED past the 10-minute window (r14 VERDICT
+    // task 7): a burst of replays can briefly hold a few dirs, but a
+    // frame held for under 10 min can never read deleted parquet,
+    // and the shutdown hook still reclaims everything at exit.
+    val cutoff = System.currentTimeMillis() - SinkReclaimAgeMs
     val prev = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s"${qtag}_sink_") &&
         f.getName.endsWith(s"_p$sinkPid"))
       .sortBy(_.lastModified())
-    prev.dropRight(1).foreach(rmTree)
+    prev.dropRight(1).filter(_.lastModified() < cutoff).foreach(rmTree)
     val dir = new java.io.File(root,
       s"${qtag}_sink_" + java.util.UUID.randomUUID().toString
         .replace("-", "") + s"_p$sinkPid")
@@ -277,18 +289,25 @@ object StreamingPipeline {
     }
   }
 
-  /** Gate composition (q80): replay the BATCH events table through the
-    * streaming sessionizer — MemoryStream source, memory sink — and
-    * return every finalized session. Two far-future sentinel batches
+  /** SPEC-ONLY harness since r15 (formerly gate q80; r14 VERDICT
+    * task 4): replay the BATCH events table through the streaming
+    * sessionizer via the driver-fed MemoryStream test source and
+    * return every finalized session. The gate surface moved wholly to
+    * the production FileStreamSource spelling (q116 single-wave, q127
+    * many-wave — same q41 oracle); this twin stays because
+    * MemoryStream's per-batch addData is the one replay harness with
+    * DETERMINISTIC batch boundaries under driver control, so
+    * StreamingPipelineSpec uses it to pin chunked-feed semantics
+    * (parity with batch sessionization) without touching a
+    * filesystem. Two far-future sentinel batches
     * (user SentinelUser) push the watermark past the whole corpus so
     * every real session ripens and emits; the sentinel's own
     * never-finalized session is excluded from the result. Because the corpus arrives
     * as one batch, the first-batch watermark is the epoch and nothing
     * is late-dropped, so Append output must equal the batch
-    * sessionization of the same table — the q41 oracle verbatim. This
-    * is the first ORACLE-checked coverage of the streaming data plane:
-    * same state logic, same timeout path, same interval-merge that
-    * serves continuous ingest, driven over gate-checkable data. */
+    * sessionization of the same table — the q41 oracle verbatim
+    * (asserted in the spec; the hash gate for the identical contract
+    * is q116). */
   def sessionizeReplay(events: DataFrame, gapMinutes: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -339,9 +358,10 @@ object StreamingPipeline {
     * Stages `corpus` under `fixtureDir` as ONE mtime wave of parquet
     * files (~250 k rows/file so the batch-0 scan parallelizes like a
     * real landing directory, instead of one giant file read by one
-    * task), then each `sentinels` frame — a SINGLE far-future row —
-    * as its own strictly-later mtime wave, replicated to the corpus
-    * wave's actual file count m. With `maxFilesPerTrigger = m`,
+    * task), then each `sentinels` frame — one or more far-future rows
+    * (q133 passes two-row click+purchase waves) — as its own
+    * strictly-later mtime wave, replicated to the corpus wave's
+    * actual file count m. With `maxFilesPerTrigger = m`,
     * FileStreamSource (oldest-first by mtime) delivers exactly
     * 1 + sentinels.size micro-batches: whole corpus, then one batch
     * per sentinel wave — a wave can never split or mix because each
@@ -384,13 +404,16 @@ object StreamingPipeline {
     val m = stage(corpus.repartition(targetFiles), "000", t0)
     require(m >= 1, "corpus wave staged no files")
     sentinels.zipWithIndex.foreach { case (s, i) =>
-      // a sentinel WAVE: m copies of the one far-future row, one per
-      // file — spark.range(0, m, 1, m) puts exactly one row in each
-      // of its m partitions DETERMINISTICALLY (unlike round-robin);
-      // the broadcast cross join tags every partition's row with the
-      // sentinel values. Duplicate sentinel rows collapse into the
-      // one sentinel group, which the caller excludes anyway.
-      val rep = spark.range(0L, m.toLong, 1L, m)
+      // a sentinel WAVE: m copies of the frame's far-future row(s),
+      // one copy per file — spark.range(0, m, 1, m) puts exactly one
+      // row in each of its m partitions DETERMINISTICALLY (unlike
+      // round-robin); the broadcast cross join tags every partition's
+      // row with the sentinel values. range's column is renamed
+      // before the join so a corpus carrying its own `id` column can
+      // never make the select ambiguous (ADVICE r14). Duplicate
+      // sentinel rows collapse into the sentinel groups, which the
+      // caller excludes anyway.
+      val rep = spark.range(0L, m.toLong, 1L, m).toDF("__graft_rep")
         .crossJoin(broadcast(s))
         .select(corpus.columns.map(col).toIndexedSeq: _*)
       val mi = stage(rep, f"${i + 1}%03d", t0 + (i + 1) * 20000L)

@@ -1284,6 +1284,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(pl.values.map(_._2).sum > nat.values.map(_._2).sum)
   }
 
+  test("q138 eval detail: planted banner compromises every planted eval doc at full strength") {
+    val s = spark
+    import s.implicits._
+    // recover the deterministic '#plant'/'#eval' splits from the same
+    // hash the dataflow uses
+    val flags = docs.select($"doc_id",
+        (TextFunctions.hash64($"doc_id".cast("string"), "plant") % 4 === 0)
+          .as("pl"),
+        (TextFunctions.hash64($"doc_id".cast("string"), "eval") % 20 === 0)
+          .as("ev"))
+      .as[(Long, Boolean, Boolean)].collect()
+    val plantedEval = flags.filter(f => f._2 && f._3).map(_._1).toSet
+    val plantedTrain = flags.count(f => f._2 && !f._3).toLong
+    assert(plantedEval.nonEmpty && plantedTrain > 0L)
+    val out = Dedup.contaminatedEvalDocs13(docs, plantBanner = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // every planted eval doc must be reported, compromised by at least
+    // every planted train doc (all carry the banner's four pure
+    // 13-grams) through at least those four shingles
+    plantedEval.foreach { id =>
+      val r = byDoc.get(id)
+      assert(r.isDefined, s"planted eval doc $id missing from the detail")
+      assert(r.get._2 >= plantedTrain, s"doc $id: ${r.get._2} < $plantedTrain")
+      assert(r.get._3 >= 4L)
+    }
+    // planting preserves every original shingle on both sides, so the
+    // natural detail's doc set can only be a subset of the planted one
+    val nat = Dedup.contaminatedEvalDocs13(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(nat.subsetOf(out.map(_._1).toSet))
+  }
+
   test("CC local fast path == distributed min-label loop on the same graph") {
     // explicit maxIter routes to the iterative distributed loop; the
     // default takes the union-find fast path — both must agree exactly

@@ -12,6 +12,24 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Like [[plan]], but with every InMemoryTableScan's CACHED plan
+    * expanded (each distinct cached relation once) — a persisted
+    * subtree otherwise hides its scan/join shape behind the cache
+    * node, and the q136 pin needs to see inside it. */
+  private def planWithCached(q: String): String = {
+    def expand(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val cached = p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      p.toString +: cached.flatMap(expand)
+    }
+    // distinct: the two rankings read the SAME cached relation — its
+    // plan text must appear (and be counted) once
+    expand(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+      .distinct.mkString("\n")
+  }
+
   test("q12: l_shipdate filter pushes into the parquet scan; partial+final agg") {
     val p = plan("q12_lineitem_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -269,12 +287,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hash_tokens("))
   }
 
-  test("q136 int8 recall: query sample rides a broadcast; hit-check join broadcasts too") {
-    val p = plan("q136_int8_recall")
+  test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
+    val p = planWithCached("q136_int8_recall")
     // the scored pass attaches the sample via broadcast (the q70
-    // shape) — never a shuffled cartesian of the corpus
+    // shape) — never a shuffled cartesian of the corpus — and it is
+    // PERSISTED: exactly one scored cross-join in the expanded plan,
+    // both rankings reading the cache (r14 VERDICT task 3)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"))
+    // ONE distinct scored cross-join node: a materialized cache inlines
+    // its (adaptive) plan under BOTH rankings and prints Final+Initial
+    // sections, so count distinct node TEXTS (same expr ids = same
+    // node) — a genuinely recomputed second scored pass would carry
+    // fresh expression ids and fail this
+    val scoredJoins = p.linesIterator.flatMap { l =>
+      val i = l.indexOf("BroadcastNestedLoopJoin")
+      if (i < 0) None else Some(l.substring(i))
+    }.toSeq.distinct.size
+    assert(scoredJoins <= 1,
+      s"expected one cached scored cross-join, got $scoredJoins:\n$p")
+    // both rank filters compile to partial+final WindowGroupLimit —
+    // per-query top-k is bounded map-side; a refactor that breaks the
+    // rank-filter pattern would silently reintroduce a corpus-sized
+    // per-query sort (r14 VERDICT task 2)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q128 IVF recall ladder: the true-top-k prefix filter is a WindowGroupLimit") {
+    val p = plan("q128_ivf_recall_ladder")
+    // rn <= k sits between the ranking window and the running-count
+    // window — partial+final WindowGroupLimit caps what each map task
+    // ships into the qid shuffle at k rows per query (r14 VERDICT
+    // task 2; prefix-safety argued at the filter site in Similarity)
+    assert(p.contains("WindowGroupLimit"))
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -325,6 +372,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
+    // both rank filters bound per-query top-k map-side (r14 VERDICT
+    // task 2 — the q136/q128 pin, applied to the family's original)
+    assert(p.contains("WindowGroupLimit"))
   }
 
   test("q71 knn label audit: bucket-collect pairs — no cartesian, no wide self-join") {
