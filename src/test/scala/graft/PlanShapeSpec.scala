@@ -287,6 +287,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hash_tokens("))
   }
 
+  test("q138 eval detail: inner equi-join of 8-byte hashes — no cartesian, no BNLJ, distinct-counts after the prune") {
+    val p = plan("q138_contaminated_evals13")
+    // the per-eval-doc detail joins eval×train pairs on the 60-bit
+    // shingle hash — an equi-join whose output is O(true
+    // contamination); never a cartesian, and only 8-byte hashes
+    // (scan-side hash_tokens) cross it, never shingle text
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hash_tokens("))
+    // both count_distinct aggregates sit ABOVE the join (partial
+    // distinct expand/aggregate), so the wide work is bounded by the
+    // join's contamination-sized output
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     val p = planWithCached("q136_int8_recall")
     // the scored pass attaches the sample via broadcast (the q70
