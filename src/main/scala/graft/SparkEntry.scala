@@ -1983,14 +1983,21 @@ object SparkEntry {
   /** The q138 oracle: same b/tk/sh CTEs as q135 (planted), joined
     * INNER eval×train on the shingle hash and rolled up per eval doc —
     * distinct counts, so duplicate (eval, train) shingle matches
-    * collapse exactly as the Spark side's count_distinct does. */
+    * collapse exactly as the Spark side's count_distinct does. The
+    * train side keeps the SAME bounded evidence as the Spark
+    * dataflow — at most 64 docs per shingle, lowest doc_ids first
+    * (row_number over (g, doc_id) both engines, deterministic since
+    * per-doc shingles are distinct) — so the planted banner's
+    * eval×train clique stays O(shingles × 64) in the oracle too. */
   private def deconEvalDetailSql: String =
-    s"""${deconShingleCtes(plant = true)}
+    s"""${deconShingleCtes(plant = true)},
+        |tev AS (SELECT doc_id, g FROM sh WHERE NOT is_eval
+        |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id) <= 64)
         |SELECT e.doc_id AS eval_doc, e.source,
         |  count(DISTINCT t.doc_id)::BIGINT AS n_train_docs,
         |  count(DISTINCT e.g)::BIGINT AS n_hit_shingles
-        |FROM sh e JOIN sh t USING (g)
-        |WHERE e.is_eval AND NOT t.is_eval
+        |FROM sh e JOIN tev t USING (g)
+        |WHERE e.is_eval
         |GROUP BY 1, 2 ORDER BY eval_doc""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(

@@ -690,28 +690,49 @@ object Dedup {
     * rollup, by construction (shared [[deconBase]]).
     *
     * Returns one row per CONTAMINATED eval doc (q74's convention —
-    * clean items stay silent): distinct training docs sharing at
-    * least one 13-gram, and distinct compromised shingles.
+    * clean items stay silent): `n_hit_shingles` (EXACT distinct
+    * compromised 13-grams) and `n_train_docs` (distinct training docs
+    * among the BOUNDED evidence — see below; a saturating lower
+    * bound).
     *
-    * Scale shape: the same single equi-join of 8-byte hashes as the
-    * rollup — eval side broadcast-sized in production (a benchmark
-    * suite), train side never reshuffles wide; the join output is
-    * O(true contamination) pairs, and both distinct-counts aggregate
-    * AFTER that prune. A corpus-universal boilerplate shingle is the
-    * one skew risk; 13-gram specificity makes it unlikely, and the
-    * q74 `maxShingleDf` pre-filter is the dial if a real corpus
-    * disagrees. */
+    * Scale shape — the bounded-evidence discipline. The naive
+    * eval×train join on the shingle hash is quadratic in any shingle
+    * shared corpus-wide: a boilerplate 13-gram held by E eval and T
+    * train docs materializes E×T rows, and a banner-grade shingle
+    * (25 % of docs) turns the join into a billions-of-rows clique at
+    * 100× (measured: the unbounded spelling spilled >37 GB at sf10
+    * before being killed, r15). No per-eval-doc exact distinct-train
+    * count can avoid those pairs — so the operator bounds them: the
+    * train side keeps at most `maxEvidencePerShingle` docs per
+    * shingle (deterministically the lowest doc_ids — one
+    * row_number window over (g, train_doc), the same bounded-verifier
+    * pattern as the dedup tier's all-pairs check). Join output is
+    * then ≤ distinct-hit-shingles × L instead of E×T.
+    * `n_hit_shingles` is UNAFFECTED (every hit shingle keeps ≥1
+    * evidence row); `n_train_docs` saturates near L for
+    * boilerplate-grade overlap — exactly the signal an eval owner
+    * needs, since "≥64 distinct train docs" already means the item
+    * must be dropped. The eval side stays broadcast-sized in
+    * production (a benchmark suite); the evidence window shuffles
+    * only the train (g, doc) pairs the semi-join tier already
+    * shuffles. */
   def contaminatedEvalDocs13(docs: DataFrame, k: Int = 13,
                              evalMod: Long = 20L,
-                             plantBanner: Boolean = false): DataFrame = {
+                             plantBanner: Boolean = false,
+                             maxEvidencePerShingle: Int = 64): DataFrame = {
     val base = deconBase(docs, evalMod, plantBanner)
     val evalPairs = base.where(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("source"),
         explode(shingleHashes(col("text"), k, "dc")).as("g"))
-    val trainPairs = base.where(!col("is_eval"))
+    val wEv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("train_doc"))
+    val trainEvidence = base.where(!col("is_eval"))
       .select(col("doc_id").as("train_doc"),
         explode(shingleHashes(col("text"), k, "dc")).as("g"))
-    evalPairs.join(trainPairs, Seq("g"))
+      .withColumn("rn", row_number().over(wEv))
+      .where(col("rn") <= maxEvidencePerShingle)
+      .drop("rn")
+    evalPairs.join(trainEvidence, Seq("g"))
       .groupBy(col("eval_doc"), col("source"))
       .agg(count_distinct(col("train_doc")).as("n_train_docs"),
         count_distinct(col("g")).as("n_hit_shingles"))

@@ -1303,11 +1303,14 @@ class PipelineSpec extends AnyFunSuite {
     val byDoc = out.map(r => r._1 -> r).toMap
     // every planted eval doc must be reported, compromised by at least
     // every planted train doc (all carry the banner's four pure
-    // 13-grams) through at least those four shingles
+    // 13-grams) through at least those four shingles — saturating at
+    // the bounded-evidence cap (64 train docs per shingle), which the
+    // banner clique exists precisely to hit
+    val floor = math.min(plantedTrain, 64L)
     plantedEval.foreach { id =>
       val r = byDoc.get(id)
       assert(r.isDefined, s"planted eval doc $id missing from the detail")
-      assert(r.get._2 >= plantedTrain, s"doc $id: ${r.get._2} < $plantedTrain")
+      assert(r.get._2 >= floor, s"doc $id: ${r.get._2} < $floor")
       assert(r.get._3 >= 4L)
     }
     // planting preserves every original shingle on both sides, so the

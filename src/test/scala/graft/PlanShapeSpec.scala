@@ -296,6 +296,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("hash_tokens("))
+    // the bounded-evidence cap (≤64 train docs per shingle) compiles
+    // to partial+final WindowGroupLimit — each map task ships at most
+    // 64 rows per shingle into the g-shuffle, so a banner-grade
+    // boilerplate shingle can never rebuild the E×T clique that the
+    // unbounded spelling spilled >37 GB on at sf10
+    assert(p.contains("WindowGroupLimit"))
     // both count_distinct aggregates sit ABOVE the join (partial
     // distinct expand/aggregate), so the wide work is bounded by the
     // join's contamination-sized output
