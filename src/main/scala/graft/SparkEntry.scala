@@ -653,6 +653,17 @@ object SparkEntry {
     "q138_contaminated_evals13" -> ((s, dir) =>
       Dedup.contaminatedEvalDocs13(Corpus.table(s, dir, "documents"),
         plantBanner = true)),
+    // q139: winnowed fingerprints (Schleimer-Wilbur-Aiken SIGMOD'03
+    // local fingerprinting) — per-doc digest over a doc_id-mod sample;
+    // the (hash-sum, pos-sum) pair pins WHICH grams were selected AND
+    // the tie-break, so any window/tie drift hash-mismatches
+    "q139_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprintStats(Corpus.table(s, dir, "documents"))),
+    // q140: sub-document copy detection — doc pairs sharing >= 5
+    // winnowed fingerprints through df-bounded evidence (boilerplate
+    // fingerprints held by > 8 docs are dropped before pairing)
+    "q140_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Corpus.table(s, dir, "documents"))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1084,6 +1095,11 @@ object SparkEntry {
     // eval-side detail at 13-gram: same CTEs as q135, joined inner
     // and rolled up per eval doc
     "q138_contaminated_evals13" -> deconEvalDetailSql,
+    // winnowing: positional '#wn' gram hashes, padded-string window
+    // min, full windows only — selection + tie-break pinned by sums
+    "q139_winnow_fingerprints" -> winnowStatsSql,
+    // df-bounded fingerprint pairing (2 <= df <= 8, >= 5 shared)
+    "q140_winnow_overlap" -> winnowOverlapSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -1999,6 +2015,45 @@ object SparkEntry {
         |FROM sh e JOIN tev t USING (g)
         |WHERE e.is_eval
         |GROUP BY 1, 2 ORDER BY eval_doc""".stripMargin.replace("\n", " ")
+
+  /** The q139/q140 winnowing CTEs — identical tokenizer
+    * (string_split = Spark split(text,' ',-1) on the clean corpus),
+    * '#wn' positional k-gram hashes (NO list_distinct: winnowing
+    * needs every position), the same zero-padded (hash, pos) string
+    * min over ROWS CURRENT..w-1 FOLLOWING, full windows only. k/w
+    * come from Dedup's constants so the SQL moves in lockstep. */
+  private def winnowFpCte(filter: String): String = {
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents$filter),
+        |p AS (SELECT doc_id, len(t) - ${k - 1} AS n, t,
+        |  unnest(range(1, len(t) - ${k - 2})) AS i FROM tk),
+        |h AS (SELECT doc_id, n, i - 1 AS pos, ('0x'||substr(sha256(
+        |  array_to_string(t[i:i+${k - 1}], ' ')||'#wn'),1,15))::BIGINT AS g FROM p),
+        |s AS (SELECT doc_id, n, pos, min(lpad(g::VARCHAR, 20, '0') ||
+        |  lpad(pos::VARCHAR, 10, '0')) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM h),
+        |fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 20)::BIGINT AS fp_hash,
+        |  substr(sel, 21, 10)::BIGINT AS fp_pos FROM s WHERE pos <= n - $w)""".stripMargin
+  }
+
+  private def winnowStatsSql: String =
+    s"""${winnowFpCte(s" WHERE doc_id % ${Dedup.WinnowMod} = 0")}
+        |SELECT doc_id, count(*)::BIGINT AS n_fp,
+        |  sum(fp_hash % 1000000000)::BIGINT AS fp_hash_sum,
+        |  sum(fp_pos)::BIGINT AS fp_pos_sum
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  private def winnowOverlapSql: String =
+    s"""${winnowFpCte("")},
+        |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |r AS (SELECT fp_hash FROM d GROUP BY fp_hash
+        |  HAVING count(*) BETWEEN 2 AND ${Dedup.WinnowMaxDf})
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |FROM d a JOIN r ON a.fp_hash = r.fp_hash
+        |         JOIN d b ON b.fp_hash = a.fp_hash
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinnowMinShared}
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(
     // plain set arithmetic for the Bloom-admission gate: a delta doc

@@ -89,6 +89,32 @@ object TokenKernel {
     new GenericArrayData(out)
   }
 
+  /** Sequential (positional, NON-distinct) k-gram 60-bit hashes — the
+    * hash at index i covers tokens i..i+k-1, one entry per gram start,
+    * duplicates kept. The winnowing tier's input: window selection
+    * needs every position's hash, so the ShingleSet dedup would break
+    * the algorithm. Empty for docs shorter than k tokens (same guard
+    * as shingleStrings). */
+  def posShingleHashes(s: UTF8String, k: Int, seedSuffix: Array[Byte]): ArrayData = {
+    val toks = tokens(s)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val n = toks.length - k + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = GraftHash.sha256Prefix60(UTF8String.fromString(sb.toString), seedSuffix)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Left-to-right dot product of two double arrays. Null exactly when
     * the HOF spelling is null: a null element's product is null and
     * poisons the fold, and zip_with's padding on a length mismatch
@@ -226,6 +252,35 @@ case class ShingleSet(child: Expression, k: Int)
 object ShingleSet {
   def column(c: Column, k: Int): Column =
     graftshim.column(ShingleSet(graftshim.expression(c), k))
+}
+
+/** Positional k-gram hashes (index = gram start, duplicates kept) —
+  * the winnowing fingerprint tier's scan kernel. Same hash family and
+  * tokenizer as HashTokens; only the dedup differs. */
+case class ShingleSeqHashes(child: Expression, k: Int, seed: String)
+    extends UnaryExpression with StringInputExpr {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_shingle_seq"
+
+  private lazy val seedBytes: Array[Byte] = seed.getBytes("UTF-8")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernel.posShingleHashes(input.asInstanceOf[UTF8String], k, seedBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedRef = ctx.addReferenceObj("seedBytes", seedBytes, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenKernel.posShingleHashes($c, $k, $seedRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSeqHashes =
+    copy(child = newChild)
+}
+
+object ShingleSeqHashes {
+  def column(c: Column, k: Int, seed: String): Column =
+    graftshim.column(ShingleSeqHashes(graftshim.expression(c), k, seed))
 }
 
 /** Sequential-order dot product of two double arrays — bit-identical to

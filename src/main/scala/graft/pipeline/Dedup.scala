@@ -1217,4 +1217,109 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ----- winnowing fingerprints (local document fingerprinting) -----
+
+  /** Winnowing parameters, referenced by the q139/q140 oracles so the
+    * SQL recompute moves in lockstep: gram size k, window w (detection
+    * guarantee t = w + k - 1 = 8 shared tokens), evidence df cap and
+    * pair-report threshold. */
+  val WinnowK = 5
+  val WinnowW = 4
+  val WinnowMod = 25L
+  val WinnowMaxDf = 8
+  val WinnowMinShared = 5L
+
+  /** Winnowed document fingerprints — the published local
+    * fingerprinting algorithm (Schleimer, Wilbur & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-token gram POSITIONALLY, slide a window of w consecutive
+    * gram hashes, keep each window's minimum. Guarantee: any token run
+    * of length >= w + k - 1 shared by two documents yields at least
+    * one shared fingerprint — sub-document copy detection at a tunable
+    * density of ~2/(w+1) fingerprints per token, the granularity
+    * whole-doc MinHash (q18/q19) cannot see and suffix arrays are too
+    * expensive to provide at corpus scale.
+    *
+    * Tie-break: the LEFTMOST minimal hash per window (the paper's
+    * density analysis prefers rightmost; any fixed rule preserves the
+    * guarantee, and leftmost is what a lexicographic min over the
+    * zero-padded (hash, pos) key gives — one string min instead of an
+    * argmin struct, spelled identically in DuckDB for the oracle).
+    * Adjacent windows usually select the same (hash, pos); the
+    * DISTINCT collapses them, which is what bounds density.
+    *
+    * Scale shape: the gram scan is per-doc local (one native kernel
+    * call per row); the only exchange is the window's hash-partition
+    * by doc_id — narrow 16-byte rows, no skew risk beyond document
+    * length itself. Output is the fingerprint table (doc_id, fp_hash,
+    * fp_pos), ~2/(w+1) of token count — the artifact every downstream
+    * overlap/provenance query joins against. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = WinnowK,
+                           w: Int = WinnowW): DataFrame = {
+    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs
+      .select(col("doc_id"), posShingleHashes(col("text"), k, "wn").as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n"),
+        posexplode(col("gs")).as(Seq("pos", "g")))
+      // zero-padded (hash, pos) key: lexicographic min == (min hash,
+      // leftmost pos) because both fields are fixed-width digits
+      .withColumn("sel", min(concat(
+        lpad(col("g").cast("string"), 20, "0"),
+        lpad(col("pos").cast("string"), 10, "0"))).over(wWin))
+      // full windows only (window start pos has w grams left): the
+      // paper defines exactly n - w + 1 windows
+      .where(col("pos") <= col("n") - w)
+      .select(col("doc_id"),
+        substring(col("sel"), 1, 20).cast("long").as("fp_hash"),
+        substring(col("sel"), 21, 10).cast("long").as("fp_pos"))
+      .distinct()
+  }
+
+  /** Per-document winnowing digest over a doc_id-mod sample — the q139
+    * gate: fingerprint count plus hash- and position-sums, so the
+    * oracle recompute pins the selection (which hashes) AND the
+    * tie-break (which positions) bit-exactly. */
+  def winnowFingerprintStats(docs: DataFrame, k: Int = WinnowK,
+                             w: Int = WinnowW,
+                             mod: Long = WinnowMod): DataFrame =
+    winnowedFingerprints(docs.where(col("doc_id") % mod === 0), k, w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("fp_hash") % 1000000000L).as("fp_hash_sum"),
+        sum(col("fp_pos")).as("fp_pos_sum"))
+      .orderBy("doc_id")
+
+  /** Cross-document copy detection over the winnowed fingerprint
+    * table — pairs of documents sharing >= minShared fingerprints
+    * through BOUNDED evidence: fingerprints held by more than maxDf
+    * documents are dropped before pairing (boilerplate is not copy
+    * evidence — the q138 lesson applied at design time: an unbounded
+    * self-join on a corpus-universal fingerprint is quadratic; capped
+    * at maxDf, each surviving fingerprint contributes at most
+    * maxDf*(maxDf-1)/2 pairs, so join output is linear in distinct
+    * fingerprints). df >= 2 prunes the (dominant) singleton mass
+    * before the pair join ever sees it. */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = WinnowK,
+                         w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                         minShared: Long = WinnowMinShared): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, s"maxDf $maxDf / minShared $minShared")
+    val fps = winnowedFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val shared = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp_hash"))
+    val ev = fps.join(shared, Seq("fp_hash"))
+    ev.select(col("fp_hash"), col("doc_id").as("doc_a"))
+      .join(ev.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -77,6 +77,11 @@ object TextFunctions {
   def shinglesOf(text: Column, k: Int): Column =
     graft.functions.ShingleSet.column(text, k)
 
+  /** Positional (non-distinct) k-shingle hashes — entry i covers tokens
+    * i..i+k-1, duplicates kept. Winnowing input; empty for short docs. */
+  def posShingleHashes(text: Column, k: Int, seed: String): Column =
+    graft.functions.ShingleSeqHashes.column(text, k, "#" + seed)
+
   /** MinHash value i over pre-computed base hashes. */
   def minhash(hs: Column, i: Int): Column =
     array_min(transform(hs,

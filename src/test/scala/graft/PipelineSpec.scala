@@ -1503,4 +1503,92 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(est * 8 - math.round(est * 8)) < 1e-9)
     }
   }
+
+  // ----- winnowing fingerprints (q139/q140) -----
+
+  test("posShingleHashes kernel: bit-equal to the HOF spelling, duplicates kept") {
+    val s = spark
+    import s.implicits._
+    val k = Dedup.WinnowK
+    val toks = TextFunctions.tokens(col("text"))
+    val hof = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => TextFunctions.hash64Sql(concat_ws(" ", slice(toks, i, lit(k))), "wn")))
+      .otherwise(array().cast("array<bigint>"))
+    val mism = docs.limit(100)
+      .select(TextFunctions.posShingleHashes(col("text"), k, "wn").as("native"),
+        hof.as("sql"))
+      .where(not(col("native") <=> col("sql"))).count()
+    assert(mism == 0L)
+    // NON-distinct by design: a repeated gram appears at every position
+    val rep = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text")
+      .select(TextFunctions.posShingleHashes(col("text"), 2, "wn").as("g"))
+      .head.getSeq[Long](0)
+    assert(rep.length == 7 && rep.distinct.length == 2)
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens always yields a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    def words(n: Int) = Seq.fill(n)("w" + rng.nextInt(5000)).mkString(" ")
+    // t = w + k - 1 = 8: one full gram window fits wholly inside the
+    // shared run on both sides, so its min is selected in both docs
+    (0 until 10).foreach { trial =>
+      val shared = words(Dedup.WinnowW + Dedup.WinnowK - 1)
+      val a = words(30) + " " + shared + " " + words(25)
+      val b = words(17) + " " + shared + " " + words(40)
+      val fps = Dedup.winnowedFingerprints(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+        .select("doc_id", "fp_hash").collect()
+      val fa = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+      val fb = fps.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+      assert((fa & fb).nonEmpty, s"trial $trial: no shared fingerprint")
+    }
+  }
+
+  test("winnowing density bounds and the leftmost tie-break") {
+    val s = spark
+    import s.implicits._
+    val one = docs.orderBy("doc_id").limit(1).cache()
+    val nGrams = one.select(size(
+      TextFunctions.posShingleHashes(col("text"), Dedup.WinnowK, "wn"))).head.getInt(0)
+    val nWin = nGrams - Dedup.WinnowW + 1
+    val nFp = Dedup.winnowedFingerprints(one).count()
+    one.unpersist()
+    // every window selects exactly one fp; one fp covers <= w windows
+    assert(nFp <= nWin)
+    assert(nFp >= (nWin + Dedup.WinnowW - 1) / Dedup.WinnowW)
+    // all-identical tokens: every gram hash equal, so the leftmost
+    // tie-break selects every full-window start — 20 tokens, k=5 ->
+    // 16 grams, w=4 -> 13 windows, starts 0..12
+    val sel = Dedup.winnowedFingerprints(
+        Seq((7L, Seq.fill(20)("z").mkString(" "))).toDF("doc_id", "text"))
+      .select("fp_pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sel == (0L to 12L))
+  }
+
+  test("winnow overlap: df cap silences boilerplate; true copies pair with bounded evidence") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)("v" + rng.nextInt(9000)).mkString(" ")
+    // 10 docs of IDENTICAL boilerplate: every fingerprint has df=10 >
+    // maxDf=8, so the evidence filter drops all of it — zero pairs
+    // even at minShared=1 (boilerplate is not copy evidence)
+    val boiler = words(40)
+    val silent = Dedup.winnowOverlapPairs(
+      (0 until 10).map(i => (i.toLong, boiler)).toDF("doc_id", "text"),
+      minShared = 1L)
+    assert(silent.count() == 0L)
+    // a 40-token run shared by exactly two docs: df=2 evidence, ~33
+    // fully-contained windows -> >= ceil(33/w) ~ 9 shared fps >= 5
+    val run = words(40)
+    val pairs = Dedup.winnowOverlapPairs(
+      Seq((100L, words(30) + " " + run), (200L, run + " " + words(35)))
+        .toDF("doc_id", "text")).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 100L && pairs(0).getLong(1) == 200L)
+    assert(pairs(0).getLong(2) >= Dedup.WinnowMinShared)
+  }
 }

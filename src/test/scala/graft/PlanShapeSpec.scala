@@ -308,6 +308,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("q139 winnowing: scan-local gram kernel; the only exchange is the doc_id window partition") {
+    val p = plan("q139_winnow_fingerprints")
+    // positional gram hashing rides the scan (native kernel); the
+    // window min hash-partitions by doc_id — narrow (doc_id, pos, g)
+    // rows — and nothing joins
+    assert(p.contains("hash_shingle_seq("))
+    assert(!p.contains("Join"))
+    assert(p.contains("Window"))
+  }
+
+  test("q140 winnow overlap: equi-join on fp_hash over df-bounded evidence — no cartesian, no BNLJ") {
+    val p = plan("q140_winnow_overlap")
+    assert(p.contains("hash_shingle_seq("))
+    // the pair join is a hash equi-join of 8-byte fingerprint keys;
+    // the df cap (2..maxDf) bounds per-key fan-out to maxDf^2 before
+    // the join ever runs — the q138 lesson applied at design time
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     val p = planWithCached("q136_int8_recall")
     // the scored pass attaches the sample via broadcast (the q70
