@@ -664,6 +664,13 @@ object SparkEntry {
     // fingerprints held by > 8 docs are dropped before pairing)
     "q140_winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(Corpus.table(s, dir, "documents"))),
+    // q141: decontamination APPLY — the ship operator the q134/q135
+    // report informs: drop contaminated train docs, certify the kept
+    // corpus by content hash. Planted so the drop path fires on every
+    // source at every SF (q135's reasoning).
+    "q141_decontaminate_apply" -> ((s, dir) =>
+      Dedup.decontaminateCorpus13(Corpus.table(s, dir, "documents"),
+        plantBanner = true)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1100,6 +1107,9 @@ object SparkEntry {
     "q139_winnow_fingerprints" -> winnowStatsSql,
     // df-bounded fingerprint pairing (2 <= df <= 8, >= 5 shared)
     "q140_winnow_overlap" -> winnowOverlapSql,
+    // decontamination apply: semi-join hit set, anti-join keep,
+    // '#ka' content hash over the kept corpus
+    "q141_decontaminate_apply" -> deconApplySql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2035,6 +2045,29 @@ object SparkEntry {
         |fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 20)::BIGINT AS fp_hash,
         |  substr(sel, 21, 10)::BIGINT AS fp_pos FROM s WHERE pos <= n - $w)""".stripMargin
   }
+
+  /** The q141 oracle: same planted CTEs as q135; hit docs = distinct
+    * train docs semi-joined on the shingle hash; kept = anti on
+    * doc_id; digest hashes the kept text with the '#ka' 60-bit
+    * construction, zero-filled per-source spine. */
+  private def deconApplySql: String =
+    s"""${deconShingleCtes(plant = true)},
+        |ev AS (SELECT DISTINCT g FROM sh WHERE is_eval),
+        |hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (g)
+        |  WHERE NOT s.is_eval),
+        |kept AS (SELECT b.source, b.text FROM b LEFT JOIN hit USING (doc_id)
+        |  WHERE NOT b.is_eval AND hit.doc_id IS NULL),
+        |tr AS (SELECT source, count(*) AS n_train FROM b
+        |  WHERE NOT is_eval GROUP BY source),
+        |kg AS (SELECT source, count(*) AS n_kept,
+        |  sum(('0x'||substr(sha256(text||'#ka'),1,15))::BIGINT % 1000000000) AS khs
+        |  FROM kept GROUP BY source)
+        |SELECT t.source, n_train::BIGINT AS n_train_docs,
+        |  (n_train - coalesce(n_kept, 0))::BIGINT AS n_dropped,
+        |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(khs, 0)::BIGINT AS kept_hash_sum
+        |FROM tr t LEFT JOIN kg USING (source)
+        |ORDER BY source""".stripMargin.replace("\n", " ")
 
   private def winnowStatsSql: String =
     s"""${winnowFpCte(s" WHERE doc_id % ${Dedup.WinnowMod} = 0")}

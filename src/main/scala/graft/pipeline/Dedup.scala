@@ -661,6 +661,49 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** APPLY the 13-gram decontamination — the ship operator the
+    * q134/q135 report (and the q138 eval detail) exist to inform:
+    * drop every training document that shares at least one 13-gram
+    * with the eval suite and emit the per-source ship digest, with a
+    * content hash over the KEPT corpus so the gate certifies the
+    * actual artifact a training run would read, not just its counts.
+    * Same [[deconBase]] (split + planting) as the report, so
+    * `n_dropped` here is definitionally the report's
+    * `n_contaminated` — pinned as a spec invariant.
+    *
+    * Scale shape: the hit test is the report's LEFT SEMI join of
+    * train (doc, hash) pairs vs the eval suite's distinct hashes
+    * (eval side broadcast-sized in production), followed by ONE
+    * LEFT ANTI join on doc_id — 8-byte keys, output sized by true
+    * contamination. The kept-corpus hash folds per partition
+    * (partial sum) so certifying the artifact adds no extra
+    * exchange. Per-source spine from the full train split: a source
+    * with everything kept (or everything dropped) still emits. */
+  def decontaminateCorpus13(docs: DataFrame, k: Int = 13,
+                            evalMod: Long = 20L,
+                            plantBanner: Boolean = false): DataFrame = {
+    val base = deconBase(docs, evalMod, plantBanner)
+    val evalHashes = base.where(col("is_eval"))
+      .select(explode(shingleHashes(col("text"), k, "dc")).as("g"))
+      .distinct()
+    val train = base.where(!col("is_eval"))
+    val hitDocs = train
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k, "dc")).as("g"))
+      .join(evalHashes, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val kept = train.join(hitDocs, Seq("doc_id"), "left_anti")
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(hash64Sql(col("text"), "ka") % 1000000000L).as("kept_hash_sum")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_hash_sum"))
+      .select(col("source"), col("n_train_docs"),
+        (col("n_train_docs") - col("n_kept")).as("n_dropped"),
+        col("n_kept"), col("kept_hash_sum"))
+      .orderBy("source")
+  }
+
   /** The q134/q135/q138 corpus prep, shared so the train/eval split
     * and the banner planting cannot drift between the per-source
     * rollup and the per-eval-doc detail: optional [[DeconBanner]]

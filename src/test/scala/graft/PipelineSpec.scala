@@ -1504,6 +1504,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate apply: n_dropped == the report's n_contaminated; kept+dropped == train") {
+    // both sides share deconBase, so the apply's drop set is
+    // DEFINITIONALLY the report's contaminated set — pinned here so a
+    // refactor of either can't silently de-sync the pair
+    val report = Dedup.decontaminationReport(docs, plantBanner = true)
+      .select("source", "n_train_docs", "n_contaminated").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val apply = Dedup.decontaminateCorpus13(docs, plantBanner = true).collect()
+    assert(apply.nonEmpty)
+    apply.foreach { r =>
+      val (src, nTrain, nDropped, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (repTrain, repCont) = report(src)
+      assert(nTrain == repTrain, s"$src: train count drift")
+      assert(nDropped == repCont, s"$src: $nDropped dropped != $repCont contaminated")
+      assert(nKept + nDropped == nTrain)
+    }
+  }
+
   // ----- winnowing fingerprints (q139/q140) -----
 
   test("posShingleHashes kernel: bit-equal to the HOF spelling, duplicates kept") {

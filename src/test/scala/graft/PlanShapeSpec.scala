@@ -308,6 +308,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("q141 decontaminate apply: semi-join hit set, anti-join keep — no cartesian, hashes only") {
+    val p = plan("q141_decontaminate_apply")
+    // the ship path is the report's LeftSemi (train hashes vs the
+    // eval suite) plus ONE LeftAnti on doc_id — both 8-byte equi-joins
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hash_tokens("))
+  }
+
   test("q139 winnowing: scan-local gram kernel; the only exchange is the doc_id window partition") {
     val p = plan("q139_winnow_fingerprints")
     // positional gram hashing rides the scan (native kernel); the
