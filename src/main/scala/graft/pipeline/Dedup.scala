@@ -1341,26 +1341,38 @@ object Dedup {
     * through BOUNDED evidence: fingerprints held by more than maxDf
     * documents are dropped before pairing (boilerplate is not copy
     * evidence — the q138 lesson applied at design time: an unbounded
-    * self-join on a corpus-universal fingerprint is quadratic; capped
-    * at maxDf, each surviving fingerprint contributes at most
-    * maxDf*(maxDf-1)/2 pairs, so join output is linear in distinct
-    * fingerprints). df >= 2 prunes the (dominant) singleton mass
-    * before the pair join ever sees it. */
+    * self-join on a corpus-universal fingerprint is quadratic).
+    *
+    * Join-FREE one-pass spelling. The naive form is a self-join of
+    * the fingerprint table on fp_hash — which computes the whole
+    * gram-scan + window subtree once per join side (the int8-audit
+    * lesson: Spark does not share uncached subtrees) and shuffles the
+    * table twice. Instead: a row_number cap of maxDf + 1 per
+    * fingerprint (compiles to partial+final WindowGroupLimit, so a
+    * boilerplate fingerprint's million holders never even reach the
+    * exchange), collect the ≤ maxDf+1 doc list per fingerprint, keep
+    * lists sized 2..maxDf (a truncated maxDf+1 list IS the df > maxDf
+    * boilerplate case — dropped, bit-identical semantics to the df
+    * filter), and explode the ≤ maxDf*(maxDf-1)/2 ordered pairs from
+    * each tiny array. One winnow computation, no join anywhere;
+    * output linear in distinct fingerprints by construction. */
   def winnowOverlapPairs(docs: DataFrame, k: Int = WinnowK,
                          w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
                          minShared: Long = WinnowMinShared): DataFrame = {
     require(maxDf >= 2 && minShared >= 1, s"maxDf $maxDf / minShared $minShared")
-    val fps = winnowedFingerprints(docs, k, w)
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
+    winnowedFingerprints(docs, k, w)
       .select(col("doc_id"), col("fp_hash")).distinct()
-    val shared = fps.groupBy(col("fp_hash"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("fp_hash"))
-    val ev = fps.join(shared, Seq("fp_hash"))
-    ev.select(col("fp_hash"), col("doc_id").as("doc_a"))
-      .join(ev.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .withColumn("rn", row_number().over(wDf))
+      .where(col("rn") <= maxDf + 1)
+      .groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, maxDf))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")

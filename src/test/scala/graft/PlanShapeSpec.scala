@@ -329,14 +329,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
-  test("q140 winnow overlap: equi-join on fp_hash over df-bounded evidence — no cartesian, no BNLJ") {
+  test("q140 winnow overlap: join-FREE one-pass pairing; df cap is a WindowGroupLimit") {
     val p = plan("q140_winnow_overlap")
     assert(p.contains("hash_shingle_seq("))
-    // the pair join is a hash equi-join of 8-byte fingerprint keys;
-    // the df cap (2..maxDf) bounds per-key fan-out to maxDf^2 before
-    // the join ever runs — the q138 lesson applied at design time
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // ONE winnow computation (the self-join spelling computed the
+    // gram-scan + window subtree per side), no join of any kind:
+    // pairs explode from <= maxDf-element per-fingerprint doc lists
+    assert(!p.contains("Join"))
+    // the row_number cap (maxDf + 1 per fingerprint) compiles to
+    // partial+final WindowGroupLimit — a boilerplate fingerprint's
+    // holders are pruned map-side, before the fp_hash exchange
+    assert(p.contains("WindowGroupLimit"))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
