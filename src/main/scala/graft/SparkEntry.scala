@@ -671,6 +671,10 @@ object SparkEntry {
     "q141_decontaminate_apply" -> ((s, dir) =>
       Dedup.decontaminateCorpus13(Corpus.table(s, dir, "documents"),
         plantBanner = true)),
+    // q142: the SEARCH form of the winnow tier — top-3 copy-evidence
+    // neighbors per doc, ranked by shared fingerprints (attribution)
+    "q142_winnow_neighbors" -> ((s, dir) =>
+      Dedup.winnowTopNeighbors(Corpus.table(s, dir, "documents"))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1110,6 +1114,8 @@ object SparkEntry {
     // decontamination apply: semi-join hit set, anti-join keep,
     // '#ka' content hash over the kept corpus
     "q141_decontaminate_apply" -> deconApplySql,
+    // ranked neighbors: the q140 pairs symmetrized + QUALIFY top-3
+    "q142_winnow_neighbors" -> winnowNeighborsSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2076,17 +2082,34 @@ object SparkEntry {
         |  sum(fp_pos)::BIGINT AS fp_pos_sum
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
-  private def winnowOverlapSql: String =
+  /** Shared q140/q142 pair CTEs: distinct (doc, fp), the 2..maxDf df
+    * window, the ordered pair rollup (no minShared floor — q140
+    * applies its own, q142 ranks instead). */
+  private def winnowPairCtes: String =
     s"""${winnowFpCte("")},
         |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |r AS (SELECT fp_hash FROM d GROUP BY fp_hash
-        |  HAVING count(*) BETWEEN 2 AND ${Dedup.WinnowMaxDf})
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
-        |FROM d a JOIN r ON a.fp_hash = r.fp_hash
-        |         JOIN d b ON b.fp_hash = a.fp_hash
-        |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinnowMinShared}
+        |  HAVING count(*) BETWEEN 2 AND ${Dedup.WinnowMaxDf}),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |  FROM d a JOIN r ON a.fp_hash = r.fp_hash
+        |           JOIN d b ON b.fp_hash = a.fp_hash
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def winnowOverlapSql: String =
+    s"""$winnowPairCtes
+        |SELECT doc_a, doc_b, n_shared FROM pr
+        |WHERE n_shared >= ${Dedup.WinnowMinShared}
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  private def winnowNeighborsSql: String =
+    s"""$winnowPairCtes,
+        |sy AS (SELECT doc_a AS doc_id, doc_b AS nbr, n_shared FROM pr
+        |  UNION ALL SELECT doc_b, doc_a, n_shared FROM pr)
+        |SELECT doc_id, nbr, n_shared,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n_shared DESC, nbr) AS rn
+        |FROM sy QUALIFY rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(
     // plain set arithmetic for the Bloom-admission gate: a delta doc

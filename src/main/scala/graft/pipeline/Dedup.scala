@@ -661,6 +661,37 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Ranked fingerprint neighbors — the SEARCH form of
+    * [[winnowOverlapPairs]]: for every document with at least one
+    * copy-evidence neighbor, the top-k neighbors by shared winnowed
+    * fingerprints (ties broken by neighbor id). The attribution view:
+    * "who did this document copy from, or get copied by" — read
+    * before dropping or down-weighting a training doc that q140
+    * flagged. Docs with no neighbor stay silent (q74's convention).
+    *
+    * Scale shape: the pair table is q140's (minShared = 1 — the rank
+    * decides relevance, not a floor), symmetrized by a union (maps
+    * only), then ONE row_number per doc_id that compiles to
+    * partial+final WindowGroupLimit — per-doc candidate lists are
+    * cut to k map-side, so a hub document with thousands of
+    * evidence pairs never ships them all to one reducer. */
+  def winnowTopNeighbors(docs: DataFrame, k: Int = WinnowK,
+                         w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                         topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK $topK must be >= 1")
+    val pairs = winnowOverlapPairs(docs, k, w, maxDf, minShared = 1L)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("n_shared"))
+      .union(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("n_shared")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("nbr"))
+    sym.withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= topK)
+      .orderBy("doc_id", "rn")
+  }
+
   /** APPLY the 13-gram decontamination — the ship operator the
     * q134/q135 report (and the q138 eval detail) exist to inform:
     * drop every training document that shares at least one 13-gram

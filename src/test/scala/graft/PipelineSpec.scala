@@ -1523,6 +1523,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow neighbors: rank orders by shared-fingerprint count, rows are symmetric") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("n" + rng.nextInt(9000)).mkString(" ")
+    // A shares a LONG run with B (more fps) and a shorter one with C:
+    // A's rank-1 neighbor must be B, rank-2 C; B and C rank A first
+    val big = words(60); val small = words(16)
+    val corpus = Seq(
+      (1L, words(10) + " " + big + " " + small),
+      (2L, big + " " + words(30)),
+      (3L, words(25) + " " + small)).toDF("doc_id", "text")
+    val out = Dedup.winnowTopNeighbors(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val a = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(a.map(t => (t._2, t._4)).toSeq == Seq((2L, 1), (3L, 2)))
+    assert(a(0)._3 > a(1)._3) // strictly more evidence toward B
+    // symmetry: B and C each report A as their top neighbor
+    assert(out.filter(_._1 == 2L).minBy(_._4)._2 == 1L)
+    assert(out.filter(_._1 == 3L).minBy(_._4)._2 == 1L)
+  }
+
   // ----- winnowing fingerprints (q139/q140) -----
 
   test("posShingleHashes kernel: bit-equal to the HOF spelling, duplicates kept") {

@@ -343,6 +343,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("q142 winnow neighbors: still join-free; BOTH the df cap and the rank are WindowGroupLimits") {
+    val p = plan("q142_winnow_neighbors")
+    assert(!p.contains("Join"))
+    // two group-limits: maxDf+1 per fingerprint (inherited from the
+    // pair spelling) and top-k per doc — a hub doc's candidate list
+    // is cut map-side, never shipped whole to one reducer
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2)
+  }
+
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     val p = planWithCached("q136_int8_recall")
     // the scored pass attaches the sample via broadcast (the q70
