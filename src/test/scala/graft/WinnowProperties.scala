@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextFunctions}
+
+/** Properties of the winnowing tier (q139–q142) over ARBITRARY docs
+  * and parameters — the gates pin one (k, w) on the clean corpus;
+  * these stress the algorithm itself: the detection guarantee for
+  * random parameters, kernel parity under degenerate spacing, the
+  * per-window coverage/density bounds, and prefix-stability (the
+  * "local algorithm" contract: selections from existing windows
+  * never change when a document grows). */
+object WinnowProperties extends Properties("winnow") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  // small vocabulary so natural cross-doc repeats occur
+  private val tok: Gen[String] = Gen.choose(0, 49).map(i => s"t$i")
+  private def toksOf(n: Int): Gen[List[String]] = Gen.listOfN(n, tok)
+
+  private case class Case(k: Int, w: Int, preA: List[String],
+                          postA: List[String], preB: List[String],
+                          postB: List[String], run: List[String])
+
+  private val guaranteeCase: Gen[Case] = for {
+    k <- Gen.choose(2, 6)
+    w <- Gen.choose(2, 5)
+    run <- toksOf(w + k - 1) // the guarantee threshold t = w + k - 1
+    na <- Gen.choose(0, 20); nb <- Gen.choose(0, 20)
+    ma <- Gen.choose(0, 20); mb <- Gen.choose(0, 20)
+    preA <- toksOf(na); postA <- toksOf(ma)
+    preB <- toksOf(nb); postB <- toksOf(mb)
+  } yield Case(k, w, preA, postA, preB, postB, run)
+
+  property("guarantee: a shared run of w+k-1 tokens yields a shared fingerprint, any (k, w)") =
+    forAll(guaranteeCase) { c =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val a = (c.preA ++ c.run ++ c.postA).mkString(" ")
+      val b = (c.preB ++ c.run ++ c.postB).mkString(" ")
+      val fps = Dedup.winnowedFingerprints(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"), c.k, c.w)
+        .select("doc_id", "fp_hash").collect()
+      val fa = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+      val fb = fps.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+      (fa & fb).nonEmpty
+    }
+
+  // degenerate spacing: repeated separators make EMPTY tokens, which
+  // must hash (and therefore winnow) identically through the native
+  // kernel and the HOF spelling
+  private val weirdDoc: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      Gen.stringOfN(2, Gen.alphaNumChar), Gen.oneOf("", "é", "x!")))
+    seps <- Gen.listOfN(n, Gen.oneOf(" ", "  "))
+  } yield toks.zip(seps).map { case (t, sp) => t + sp }
+    .mkString.stripSuffix(" ")
+
+  property("posShingleHashes == HOF spelling on degenerate spacing and unicode") =
+    forAll(Gen.choose(1, 5), Gen.listOfN(16, weirdDoc)) { (k, docs) =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val t = TextFunctions.tokens(col("text"))
+      val hof = when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => TextFunctions.hash64Sql(concat_ws(" ", slice(t, i, lit(k))), "wn")))
+        .otherwise(array().cast("array<bigint>"))
+      docs.toDF("text")
+        .select(TextFunctions.posShingleHashes(col("text"), k, "wn").as("n"),
+          hof.as("h"))
+        .where(not(col("n") <=> col("h"))).count() == 0L
+    }
+
+  property("coverage: ceil(windows/w) <= fingerprints <= windows; positions in range") =
+    forAll(Gen.choose(2, 5), Gen.choose(2, 4),
+      Gen.choose(8, 40).flatMap(toksOf)) { (k, w, toks) =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val nGrams = math.max(0, toks.length - k + 1)
+      val nWin = nGrams - w + 1
+      val sel = Dedup.winnowedFingerprints(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), k, w)
+        .select("fp_pos").collect().map(_.getLong(0))
+      if (nWin <= 0) sel.isEmpty
+      else sel.length <= nWin && sel.length >= (nWin + w - 1) / w &&
+        sel.forall(p => p >= 0 && p < nGrams)
+    }
+
+  property("prefix-stability: growing a doc never un-selects an existing fingerprint") =
+    forAll(Gen.choose(2, 5), Gen.choose(2, 4),
+      Gen.choose(8, 30).flatMap(toksOf),
+      Gen.choose(1, 15).flatMap(toksOf)) { (k, w, base, suffix) =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      def fpsOf(text: String): Set[(Long, Long)] =
+        Dedup.winnowedFingerprints(
+            Seq((1L, text)).toDF("doc_id", "text"), k, w)
+          .select("fp_hash", "fp_pos").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every window of the base doc exists unchanged in the grown
+      // doc, so its selection survives — new windows only ADD
+      fpsOf(base.mkString(" ")).subsetOf(
+        fpsOf((base ++ suffix).mkString(" ")))
+    }
+}
