@@ -1504,6 +1504,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate apply: planting is monotone — it only ADDS contamination") {
+    // the banner prepend only adds shingles (natural shingles survive
+    // on both sides of the split), so every naturally-dropped source
+    // count can only grow under planting
+    val natural = Dedup.decontaminateCorpus13(docs, plantBanner = false)
+      .select("source", "n_dropped").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planted = Dedup.decontaminateCorpus13(docs, plantBanner = true)
+      .select("source", "n_dropped").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural.keySet == planted.keySet)
+    natural.foreach { case (src, n) =>
+      assert(planted(src) >= n, s"$src: planted ${planted(src)} < natural $n")
+    }
+    // the planted run actually exercises the drop path
+    assert(planted.values.sum > 0L)
+  }
+
   test("decontaminate apply: n_dropped == the report's n_contaminated; kept+dropped == train") {
     // both sides share deconBase, so the apply's drop set is
     // DEFINITIONALLY the report's contaminated set — pinned here so a

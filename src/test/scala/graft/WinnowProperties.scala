@@ -91,6 +91,25 @@ object WinnowProperties extends Properties("winnow") {
         sel.forall(p => p >= 0 && p < nGrams)
     }
 
+  // random small-vocab corpora so cross-doc overlap actually occurs
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 8)
+    docs <- Gen.listOfN(n, Gen.choose(10, 30).flatMap(toksOf))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+
+  property("maxDf monotonicity: widening the evidence cap only adds pairs and evidence") =
+    forAll(corpusGen) { corpus =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      def pairsAt(maxDf: Int): Map[(Long, Long), Long] =
+        Dedup.winnowOverlapPairs(df, maxDf = maxDf, minShared = 1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val narrow = pairsAt(3); val wide = pairsAt(8)
+      // every fp with df <= 3 also has df <= 8, so evidence only grows
+      narrow.forall { case (pair, n) => wide.get(pair).exists(_ >= n) }
+    }
+
   property("prefix-stability: growing a doc never un-selects an existing fingerprint") =
     forAll(Gen.choose(2, 5), Gen.choose(2, 4),
       Gen.choose(8, 30).flatMap(toksOf),
