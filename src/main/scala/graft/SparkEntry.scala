@@ -2024,7 +2024,7 @@ object SparkEntry {
   private def deconEvalDetailSql: String =
     s"""${deconShingleCtes(plant = true)},
         |tev AS (SELECT doc_id, g FROM sh WHERE NOT is_eval
-        |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id) <= 64)
+        |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id) <= ${Dedup.DeconEvidenceCap})
         |SELECT e.doc_id AS eval_doc, e.source,
         |  count(DISTINCT t.doc_id)::BIGINT AS n_train_docs,
         |  count(DISTINCT e.g)::BIGINT AS n_hit_shingles

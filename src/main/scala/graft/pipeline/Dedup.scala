@@ -596,6 +596,11 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Bounded-evidence cap for the q138 eval detail: at most this many
+    * train docs witnessed per shingle (lowest doc_ids). Referenced by
+    * the oracle SQL so both engines move in lockstep. */
+  val DeconEvidenceCap = 64
+
   /** The fixed 16-token contamination banner the PLANTED gate (q135)
     * prepends: 16 tokens guarantee at least one pure-banner 13-gram,
     * and planted train docs share it with planted eval docs. */
@@ -670,20 +675,27 @@ object Dedup {
     * flagged. Docs with no neighbor stay silent (q74's convention).
     *
     * Scale shape: the pair table is q140's (minShared = 1 — the rank
-    * decides relevance, not a floor), symmetrized by a union (maps
-    * only), then ONE row_number per doc_id that compiles to
-    * partial+final WindowGroupLimit — per-doc candidate lists are
-    * cut to k map-side, so a hub document with thousands of
-    * evidence pairs never ships them all to one reducer. */
+    * decides relevance, not a floor), symmetrized by exploding BOTH
+    * orientations from each pair row in one map (a union of two
+    * selects over the same frame would recompute the whole uncached
+    * gram-scan + window + pair subtree per branch — the int8-audit
+    * lesson again, measured: 12 WindowGroupLimit nodes in the
+    * unioned plan vs 4 here), then ONE row_number per doc_id that
+    * compiles to partial+final WindowGroupLimit — per-doc candidate
+    * lists are cut to k map-side, so a hub document with thousands
+    * of evidence pairs never ships them all to one reducer. */
   def winnowTopNeighbors(docs: DataFrame, k: Int = WinnowK,
                          w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
                          topK: Int = 3): DataFrame = {
     require(topK >= 1, s"topK $topK must be >= 1")
     val pairs = winnowOverlapPairs(docs, k, w, maxDf, minShared = 1L)
     val sym = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("n_shared"))
-      .union(pairs
-        .select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("n_shared")))
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))).as("e"),
+        col("n_shared"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+        col("n_shared"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("n_shared").desc, col("nbr"))
@@ -726,7 +738,7 @@ object Dedup {
     train.groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
       .join(kept.groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
-          sum(hash64Sql(col("text"), "ka") % 1000000000L).as("kept_hash_sum")),
+          sum(hash64(col("text"), "ka") % 1000000000L).as("kept_hash_sum")),
         Seq("source"), "left")
       .na.fill(0L, Seq("n_kept", "kept_hash_sum"))
       .select(col("source"), col("n_train_docs"),
@@ -793,7 +805,7 @@ object Dedup {
   def contaminatedEvalDocs13(docs: DataFrame, k: Int = 13,
                              evalMod: Long = 20L,
                              plantBanner: Boolean = false,
-                             maxEvidencePerShingle: Int = 64): DataFrame = {
+                             maxEvidencePerShingle: Int = DeconEvidenceCap): DataFrame = {
     val base = deconBase(docs, evalMod, plantBanner)
     val evalPairs = base.where(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("source"),

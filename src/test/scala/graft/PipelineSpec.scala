@@ -1306,7 +1306,7 @@ class PipelineSpec extends AnyFunSuite {
     // 13-grams) through at least those four shingles — saturating at
     // the bounded-evidence cap (64 train docs per shingle), which the
     // banner clique exists precisely to hit
-    val floor = math.min(plantedTrain, 64L)
+    val floor = math.min(plantedTrain, Dedup.DeconEvidenceCap.toLong)
     plantedEval.foreach { id =>
       val r = byDoc.get(id)
       assert(r.isDefined, s"planted eval doc $id missing from the detail")

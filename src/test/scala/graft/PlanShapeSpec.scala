@@ -343,13 +343,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
-  test("q142 winnow neighbors: still join-free; BOTH the df cap and the rank are WindowGroupLimits") {
+  test("q142 winnow neighbors: join-free, ONE pair subtree; df cap AND rank are WindowGroupLimits") {
     val p = plan("q142_winnow_neighbors")
     assert(!p.contains("Join"))
-    // two group-limits: maxDf+1 per fingerprint (inherited from the
-    // pair spelling) and top-k per doc — a hub doc's candidate list
-    // is cut map-side, never shipped whole to one reducer
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 2)
+    // two group-limits, each partial+final (>= 4 nodes): maxDf+1 per
+    // fingerprint and top-k per doc — a hub doc's candidate list is
+    // cut map-side, never shipped whole to one reducer. A count of 2
+    // would be satisfied by the df cap alone (a regressed rank hides);
+    // more than ~4 means the pair subtree is computed per union
+    // branch again (the shape this operator was rewritten to avoid:
+    // explode both orientations from ONE pairs read, never
+    // union-of-two-selects over an uncached frame)
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    assert(n >= 4 && n <= 5, s"WindowGroupLimit count $n")
+    // the gram kernel shows up in a handful of projection/scan lines
+    // for ONE fingerprint subtree; a unioned double-compute doubles it
+    val kernelRefs = "hash_shingle_seq\\(".r.findAllIn(p).size
+    assert(kernelRefs >= 1 && kernelRefs <= 6, s"kernel refs $kernelRefs")
   }
 
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {

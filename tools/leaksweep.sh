@@ -17,7 +17,7 @@ if grep -rnE '\.claude|SKILL\.md|skills/' src/ $DOCS 2>/dev/null; then
 fi
 # model/internal codename families (case-insensitive; 'opus' spelled to
 # exclude the DropUser/dropUser false positive)
-if grep -rniE '(anthropic|claude|sonnet|haiku|[^a-z]opus)' src/ $DOCS \
+if grep -rniE '(anthropic|claude|sonnet|haiku|(^|[^a-z])opus)' src/ $DOCS \
     2>/dev/null | grep -viE 'dropuser'; then
   echo "LEAK: internal name reference above"; fail=1
 fi
@@ -35,7 +35,7 @@ if printf '%s\n' "$LOG" | grep -nE '\.claude|SKILL\.md|skills/'; then
   echo "LEAK: harness-internal path in commit messages above"; fail=1
 fi
 if printf '%s\n' "$LOG" |
-    grep -niE '(anthropic|claude|sonnet|haiku|[^a-z]opus)' |
+    grep -niE '(anthropic|claude|sonnet|haiku|(^|[^a-z])opus)' |
     grep -viE 'dropuser'; then
   echo "LEAK: internal name in commit messages above"; fail=1
 fi
