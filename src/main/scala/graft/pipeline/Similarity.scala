@@ -888,9 +888,31 @@ object Similarity {
     * identical plans, so a session holds one entry per corpus shape;
     * each ranking's rank filter still compiles to partial+final
     * WindowGroupLimit above the cache read (pinned in
-    * PlanShapeSpec), so no branch ever sorts corpus-sized groups. */
+    * PlanShapeSpec), so no branch ever sorts corpus-sized groups.
+    *
+    * The cache is RELEASED before returning (r15 VERDICT task 3 /
+    * ADVICE): the audit result is per-query-sized (≤ |sample| rows),
+    * so the public entry materializes it eagerly, unpersists the
+    * scored table in a finally, and hands back a local frame —
+    * callers can no longer accumulate a session-lifetime cache entry
+    * per corpus shape. The lazy two-frame form stays reachable
+    * (package-private) for the plan-shape pin. */
   def int8RecallAudit(embeddings: DataFrame, k: Int,
                       queryMod: Long): DataFrame = {
+    val (res, scored) = int8RecallAuditFrames(embeddings, k, queryMod)
+    try {
+      val rows = res.collect()
+      res.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally scored.unpersist(false)
+  }
+
+  /** The lazy (result, scored-cache-handle) pair behind
+    * [[int8RecallAudit]] — exposed so PlanShapeSpec can pin the
+    * one-cached-pass / WindowGroupLimit shape on the REAL plan and
+    * release the handle itself. */
+  private[graft] def int8RecallAuditFrames(embeddings: DataFrame, k: Int,
+                                           queryMod: Long): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val maxAbs = array_max(transform(col("ed"), x => abs(x)))
     val s = lit(127.0) / maxAbs
@@ -921,7 +943,7 @@ object Similarity {
     val quant = scored
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= k)
       .select(col("qid").as("bqid"), col("vec_id").as("bvec"))
-    exact
+    val res = exact
       .join(broadcast(quant),
         col("qid") === col("bqid") && col("vec_id") === col("bvec"), "left")
       .groupBy(col("qid"))
@@ -930,6 +952,7 @@ object Similarity {
       .select(col("qid"), col("n_hit"),
         round(col("n_hit").cast("double") / col("k_eff"), 6).as("recall"))
       .orderBy("qid")
+    (res, scored)
   }
 
   /** [[int8RecallAudit]] with the queryMod derived from the corpus —

@@ -16,7 +16,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * expanded (each distinct cached relation once) — a persisted
     * subtree otherwise hides its scan/join shape behind the cache
     * node, and the q136 pin needs to see inside it. */
-  private def planWithCached(q: String): String = {
+  private def expandCached(
+      plan: org.apache.spark.sql.execution.SparkPlan): String = {
     def expand(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
       val cached = p.collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
@@ -26,8 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // distinct: the two rankings read the SAME cached relation — its
     // plan text must appear (and be counted) once
-    expand(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
-      .distinct.mkString("\n")
+    expand(plan).distinct.mkString("\n")
   }
 
   test("q12: l_shipdate filter pushes into the parquet scan; partial+final agg") {
@@ -346,24 +346,37 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q142 winnow neighbors: join-free, ONE pair subtree; df cap AND rank are WindowGroupLimits") {
     val p = plan("q142_winnow_neighbors")
     assert(!p.contains("Join"))
-    // two group-limits, each partial+final (>= 4 nodes): maxDf+1 per
-    // fingerprint and top-k per doc — a hub doc's candidate list is
-    // cut map-side, never shipped whole to one reducer. A count of 2
-    // would be satisfied by the df cap alone (a regressed rank hides);
-    // more than ~4 means the pair subtree is computed per union
-    // branch again (the shape this operator was rewritten to avoid:
-    // explode both orientations from ONE pairs read, never
-    // union-of-two-selects over an uncached frame)
-    val n = "WindowGroupLimit".r.findAllIn(p).size
-    assert(n >= 4 && n <= 5, s"WindowGroupLimit count $n")
-    // the gram kernel shows up in a handful of projection/scan lines
-    // for ONE fingerprint subtree; a unioned double-compute doubles it
+    // Anchor to the PROPERTIES, not a total-node-count window (a
+    // benign optimizer change that splits/merges window-limit nodes
+    // must not fail this — ADVICE r15): BOTH caps must compile to
+    // WindowGroupLimit — the df cap partitions by the fingerprint
+    // hash, the per-doc rank cut partitions by doc_id — so each is
+    // identified by its partition column appearing on a
+    // WindowGroupLimit line, independent of how many partial/final
+    // nodes the planner emits for it.
+    val wgl = p.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wgl.exists(_.contains("fp_hash")),
+      s"df cap is not a WindowGroupLimit:\n${wgl.mkString("\n")}")
+    assert(wgl.exists(_.contains("doc_id")),
+      s"per-doc rank cut is not a WindowGroupLimit:\n${wgl.mkString("\n")}")
+    // ONE fingerprint subtree: the gram kernel appears in a handful of
+    // projection/scan lines of a single winnow pass (~3 observed); a
+    // unioned double-compute doubles it — the shape this operator was
+    // rewritten to avoid (explode both orientations from ONE pairs
+    // read, never union-of-two-selects over an uncached frame)
     val kernelRefs = "hash_shingle_seq\\(".r.findAllIn(p).size
     assert(kernelRefs >= 1 && kernelRefs <= 6, s"kernel refs $kernelRefs")
   }
 
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
-    val p = planWithCached("q136_int8_recall")
+    // The public entry is EAGER since r16 (it materializes the
+    // per-query result and unpersists the scored cache before
+    // returning — no session-lifetime cache entry), so the pin reads
+    // the lazy two-frame form directly and releases the handle itself.
+    val (res, scored) = graft.pipeline.Similarity.int8RecallAuditFrames(
+      graft.sources.Corpus.table(spark, sf, "embeddings"), 10, 4L)
+    val p = try expandCached(res.queryExecution.executedPlan)
+      finally scored.unpersist(false)
     // the scored pass attaches the sample via broadcast (the q70
     // shape) — never a shuffled cartesian of the corpus — and it is
     // PERSISTED: exactly one scored cross-join in the expanded plan,

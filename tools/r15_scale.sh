@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-15 scale-artifact refresh: full-surface (140-row) Verify+oracle
-# at sf1/sf3/sf10 on final HEAD, then a 140-query sf1 bench.
+# Round-15 scale-artifact refresh: full-surface Verify+oracle (every
+# SparkEntry query — 144 at r15 final HEAD) at sf1/sf3/sf10, then a
+# full-surface sf1 bench.
 set -x -o pipefail
 cd /root/repo
 T=target
