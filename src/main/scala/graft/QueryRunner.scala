@@ -56,12 +56,33 @@ object QueryRunner {
     F.specTablesDf(spark).createOrReplaceTempView("spec_tables")
     F.userSpecsDf(spark).createOrReplaceTempView("user_specs")
     Corpus.registerAll(spark, sfDir)
-    Dedup.exactDedupSummary(Corpus.table(spark, sfDir, "documents"))
+    val docs = Corpus.table(spark, sfDir, "documents")
+    Dedup.exactDedupSummary(docs)
       .createOrReplaceTempView("graft_exact_dedup")
-    Dedup.lshNearDupPairs(Corpus.table(spark, sfDir, "documents"), 0.8)
+    Dedup.lshNearDupPairs(docs, 0.8)
       .createOrReplaceTempView("graft_lsh_near_dups")
     Similarity.cosineTopK(Corpus.table(spark, sfDir, "embeddings"), 0L, 10)
       .createOrReplaceTempView("graft_cosine_topk")
+    // The 13-gram decontamination family (q134/q135/q138/q141) and the
+    // winnowing tier (q139/q140/q142) on the SQL surface — the same
+    // lockstep discipline as every older tier (r15 VERDICT task 1).
+    // All are pure lazy plans (no materialization anywhere in their
+    // dataflows), so registration costs no Spark jobs; the planted
+    // spellings are registered because those are the gate-standard
+    // parameters (the q135 reasoning: the hit path fires on every
+    // source at every SF).
+    Dedup.decontaminationReport(docs, plantBanner = true)
+      .createOrReplaceTempView("graft_decontamination_13")
+    Dedup.contaminatedEvalDocs13(docs, plantBanner = true)
+      .createOrReplaceTempView("graft_contaminated_evals_13")
+    Dedup.decontaminateCorpus13(docs, plantBanner = true)
+      .createOrReplaceTempView("graft_decontaminate_13")
+    Dedup.winnowFingerprintStats(docs)
+      .createOrReplaceTempView("graft_winnow_fingerprints")
+    Dedup.winnowOverlapPairs(docs)
+      .createOrReplaceTempView("graft_winnow_pairs")
+    Dedup.winnowTopNeighbors(docs)
+      .createOrReplaceTempView("graft_winnow_neighbors")
     lastInit.put(spark, sfDir)
   }
 
@@ -71,27 +92,36 @@ object QueryRunner {
   // Spark's recursive CTE ships UNION ALL only, and reachability over
   // the symmetric near-dup graph needs UNION's dedup to converge). So
   // unlike the lazy views above they register on FIRST REFERENCE, not
-  // in init(): a session that never touches the clustering tier never
-  // pays the clustering. Same weak keying as lastInit.
-  private val clusterInit = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
+  // in init() — and PER VIEW: a query touching the near-dup clusters
+  // must not pay the winnow tier's pair scan (and vice versa). Memo =
+  // last registered dir per (session, view), weak-keyed like lastInit
+  // so alternating sfDirs re-register and stopped sessions drop out.
+  private val matViewBuilders
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graft_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Corpus.table(s, d, "documents"), 0.8)),
+    "graft_cluster_keep_best" -> ((s, d) =>
+      Dedup.dedupByClustersKeepBest(Corpus.table(s, d, "documents"), 0.8)),
+    // winnow APPLY rides the shared CC solve (minLabelComponents
+    // executes at build), so it is first-reference too
+    "graft_winnow_apply" -> ((s, d) =>
+      Dedup.winnowDedupCorpus(Corpus.table(s, d, "documents"))))
 
-  private def initClusterViews(spark: SparkSession, sfDir: String): Unit = {
-    if (clusterInit.get(spark) == sfDir) return
-    val docs = Corpus.table(spark, sfDir, "documents")
-    Dedup.nearDupClusters(docs, 0.8)
-      .createOrReplaceTempView("graft_dedup_clusters")
-    Dedup.dedupByClustersKeepBest(docs, 0.8)
-      .createOrReplaceTempView("graft_cluster_keep_best")
-    clusterInit.put(spark, sfDir)
-  }
-
-  private val clusterViewNames =
-    Seq("graft_dedup_clusters", "graft_cluster_keep_best")
+  private val matViewDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]())
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     init(spark, sfDir)
-    if (clusterViewNames.exists(query.contains)) initClusterViews(spark, sfDir)
+    matViewBuilders.foreach { case (name, build) =>
+      if (query.contains(name)) {
+        val m = matViewDir.computeIfAbsent(spark,
+          _ => new java.util.HashMap[String, String]())
+        if (m.get(name) != sfDir) {
+          build(spark, sfDir).createOrReplaceTempView(name)
+          m.put(name, sfDir)
+        }
+      }
+    }
     spark.sql(query)
   }
 }

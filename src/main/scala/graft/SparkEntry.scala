@@ -675,6 +675,49 @@ object SparkEntry {
     // neighbors per doc, ranked by shared fingerprints (attribution)
     "q142_winnow_neighbors" -> ((s, dir) =>
       Dedup.winnowTopNeighbors(Corpus.table(s, dir, "documents"))),
+    // q143: the decontamination APPLY from pure SQL — the r15 tiers
+    // join the q106/q115/q124 lockstep surface (r15 VERDICT task 1).
+    // The graft_decontaminate_13 view's plan IS decontaminateCorpus13
+    // (planted, gate-standard parameters); shares q141's oracle, so
+    // the SQL path is certified as the same ship artifact, content
+    // hash included.
+    "q143_sql_decontaminate" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_train_docs, n_dropped, n_kept, kept_hash_sum
+        |FROM graft_decontaminate_13 ORDER BY source""".stripMargin)),
+    // q144: the winnow pair tier from pure SQL — sub-document copy
+    // detection reachable with no Scala in sight. The view's plan IS
+    // winnowOverlapPairs (join-free, df-bounded); shares q140's oracle.
+    "q144_sql_winnow_pairs" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_a, doc_b, n_shared FROM graft_winnow_pairs
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // q145: winnow APPLY — report→apply completed for the copy-
+    // detection tier, mirroring q141's for decontamination (r15
+    // VERDICT task 2): components over the q140 pair graph, keep-best
+    // per component (longest, ties to smallest id), per-source ship
+    // digest with a '#wk' content hash certifying the kept corpus.
+    "q145_winnow_apply" -> ((s, dir) =>
+      Dedup.winnowDedupCorpus(Corpus.table(s, dir, "documents"))),
+    // q146: delta-vs-base sub-document copy detection THROUGH the
+    // persisted bucketed fingerprint store — the q68/q99 incremental
+    // discipline for the winnow tier (r15 VERDICT task 4): the
+    // standing corpus is fingerprinted once into a store bucketed on
+    // fp_hash; the ingest-batch stand-in probes it with no base-side
+    // shuffle. Oracle recomputes the same split + base-df-bounded
+    // pairing from scratch: store == memory == DuckDB.
+    "q146_winnow_store_incr" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
+      Dedup.winnowStoreOverlap(Corpus.table(s, dir, "documents"),
+        Dedup.WinnowDeltaMod,
+        s"graft_winnow_store_${tag}_p$fixturePid", fixtureDir("q146", dir))
+    }),
+    // q147: STREAMING decontamination admission — the q141 apply at
+    // its production point (quarantine contaminated docs on ARRIVAL,
+    // at the FileStreamSource ingress, against the broadcast eval
+    // hash set) — r15 VERDICT task 5. Shares q141's oracle verbatim:
+    // ingest-time == post-hoc decontamination, content hash included.
+    "q147_stream_decontaminate" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.deconAdmitStreamFileFeed(
+        Corpus.table(s, dir, "documents"), fixtureDir("q147", dir))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1116,6 +1159,19 @@ object SparkEntry {
     "q141_decontaminate_apply" -> deconApplySql,
     // ranked neighbors: the q140 pairs symmetrized + QUALIFY top-3
     "q142_winnow_neighbors" -> winnowNeighborsSql,
+    // SQL-surface spellings of the apply and pair tiers: the views'
+    // plans ARE the Scala operators, so they share the same oracles
+    "q143_sql_decontaminate" -> deconApplySql,
+    "q144_sql_winnow_pairs" -> winnowOverlapSql,
+    // winnow apply: recursive-CC over the pair CTEs, keep-best rank,
+    // '#wk' content hash over the kept corpus, zero-filled spine
+    "q145_winnow_apply" -> winnowApplySql,
+    // store-incremental winnow: '#inc' hash split, base-df bound,
+    // delta×base pairing — recomputed from scratch (store == batch)
+    "q146_winnow_store_incr" -> winnowStoreIncrSql,
+    // streaming admission must equal the batch apply on the same
+    // corpus: q141's oracle verbatim
+    "q147_stream_decontaminate" -> deconApplySql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -1988,11 +2044,11 @@ object SparkEntry {
   private def deconShingleCtes(plant: Boolean): String =
     s"""WITH b AS (SELECT doc_id, source, ${
           if (plant)
-            "CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#plant'),1,15))::BIGINT % 4 = 0 " +
+            s"CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#plant'),1,15))::BIGINT % ${Dedup.DeconPlantMod} = 0 " +
               s"THEN '${Dedup.DeconBanner} ' || text ELSE text END"
           else "text"
         } AS text,
-        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#eval'),1,15))::BIGINT % 20 = 0 AS is_eval
+        |  ('0x'||substr(sha256(doc_id::VARCHAR||'#eval'),1,15))::BIGINT % ${Dedup.DeconEvalMod} = 0 AS is_eval
         |  FROM documents),
         |tk AS (SELECT doc_id, source, is_eval, string_split(text, ' ') AS t FROM b),
         |sh AS (SELECT doc_id, source, is_eval, unnest(list_distinct(list_transform(
@@ -2101,6 +2157,69 @@ object SparkEntry {
         |WHERE n_shared >= ${Dedup.WinnowMinShared}
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
 
+  /** The q145 oracle: the shared pair CTEs thresholded at minShared,
+    * then DuckDB's recursive transitive closure for min-label
+    * components (the q36/q82 oracle pattern), the keep-best rank
+    * (n_chars DESC, node), and the per-source ship digest with the
+    * '#wk' 60-bit content hash over the kept corpus — every column
+    * recomputed from the parquet source. */
+  private def winnowApplySql: String =
+    s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |np AS (SELECT doc_a, doc_b FROM pr
+        |  WHERE n_shared >= ${Dedup.WinnowMinShared}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        |  UNION SELECT doc_b, doc_a FROM np),
+        |reach(node, lab) AS (SELECT src, src FROM edges
+        |  UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+        |rk AS (SELECT c.node, row_number() OVER (PARTITION BY c.cluster
+        |  ORDER BY d.n_chars DESC, c.node) AS rn
+        |  FROM cl c JOIN documents d ON c.node = d.doc_id),
+        |rem AS (SELECT node FROM rk WHERE rn <> 1),
+        |fl AS (SELECT d.source, count(*) AS nf FROM cl
+        |  JOIN documents d ON cl.node = d.doc_id GROUP BY 1),
+        |dr AS (SELECT d.source, count(*) AS nd FROM rem
+        |  JOIN documents d ON rem.node = d.doc_id GROUP BY 1),
+        |kp AS (SELECT source, count(*) AS nk,
+        |  sum(('0x'||substr(sha256(text||'#wk'),1,15))::BIGINT % 1000000000) AS khs
+        |  FROM documents WHERE doc_id NOT IN (SELECT node FROM rem)
+        |  GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        |SELECT t.source, n::BIGINT AS n_docs,
+        |  coalesce(nf, 0)::BIGINT AS n_flagged,
+        |  coalesce(nd, 0)::BIGINT AS n_dropped,
+        |  coalesce(nk, 0)::BIGINT AS n_kept,
+        |  coalesce(khs, 0)::BIGINT AS kept_hash_sum
+        |FROM tot t LEFT JOIN fl USING (source) LEFT JOIN dr USING (source)
+        |  LEFT JOIN kp USING (source)
+        |ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The q146 oracle: same winnow fingerprint CTEs over the whole
+    * corpus, the '#inc' hash split (q68's spelling), base-side df
+    * bound at WinnowMaxDf, delta×base shared-fingerprint rollup —
+    * bit-identical to the store path because fingerprinting is
+    * per-doc local (store built from base == base rows of the
+    * whole-corpus fingerprint table). */
+  private def winnowStoreIncrSql: String =
+    s"""${winnowFpCte("")},
+        |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |dl AS (SELECT doc_id FROM documents
+        |  WHERE ('0x'||substr(sha256(doc_id::VARCHAR||'#inc'),1,15))::BIGINT
+        |    % ${Dedup.WinnowDeltaMod} = 0),
+        |bf AS (SELECT doc_id, fp_hash FROM d
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
+        |dfp AS (SELECT doc_id, fp_hash FROM d
+        |  WHERE doc_id IN (SELECT doc_id FROM dl)),
+        |el AS (SELECT fp_hash FROM bf GROUP BY fp_hash
+        |  HAVING count(*) <= ${Dedup.WinnowMaxDf}),
+        |pr AS (SELECT dfp.doc_id AS delta_doc, bf.doc_id AS base_doc,
+        |  count(*)::BIGINT AS n_shared
+        |  FROM dfp JOIN el USING (fp_hash) JOIN bf USING (fp_hash)
+        |  GROUP BY 1, 2)
+        |SELECT delta_doc, base_doc, n_shared FROM pr
+        |WHERE n_shared >= ${Dedup.WinnowMinShared}
+        |ORDER BY delta_doc, base_doc""".stripMargin.replace("\n", " ")
+
   private def winnowNeighborsSql: String =
     s"""$winnowPairCtes,
         |sy AS (SELECT doc_a AS doc_id, doc_b AS nbr, n_shared FROM pr
@@ -2108,7 +2227,7 @@ object SparkEntry {
         |SELECT doc_id, nbr, n_shared,
         |  row_number() OVER (PARTITION BY doc_id
         |    ORDER BY n_shared DESC, nbr) AS rn
-        |FROM sy QUALIFY rn <= 3
+        |FROM sy QUALIFY rn <= ${Dedup.WinnowTopK}
         |ORDER BY doc_id, rn""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(

@@ -601,6 +601,17 @@ object Dedup {
     * the oracle SQL so both engines move in lockstep. */
   val DeconEvidenceCap = 64
 
+  /** Eval-suite stand-in modulus for the 13-gram tier (q134–q141):
+    * hash64(doc_id, "eval") % this == 0 → eval. One site, rendered
+    * into both the Spark defaults and the oracle texts (the
+    * DeconEvidenceCap lockstep discipline, r15 VERDICT task 6). */
+  val DeconEvalMod = 20L
+
+  /** Banner-planting modulus for the planted twins (q135/q138/q141):
+    * hash64(doc_id, "plant") % this == 0 gets [[DeconBanner]]
+    * prepended on both sides of the split. */
+  val DeconPlantMod = 4L
+
   /** The fixed 16-token contamination banner the PLANTED gate (q135)
     * prepends: 16 tokens guarantee at least one pure-banner 13-gram,
     * and planted train docs share it with planted eval docs. */
@@ -640,7 +651,7 @@ object Dedup {
     * to a shuffle of 8-byte keys. Nothing is all-pairs; doc-level
     * rollups happen after the semi-join prune. */
   def decontaminationReport(docs: DataFrame, k: Int = 13,
-                            evalMod: Long = 20L,
+                            evalMod: Long = DeconEvalMod,
                             plantBanner: Boolean = false): DataFrame = {
     val base = deconBase(docs, evalMod, plantBanner)
     val evalHashes = base.where(col("is_eval"))
@@ -686,7 +697,7 @@ object Dedup {
     * of evidence pairs never ships them all to one reducer. */
   def winnowTopNeighbors(docs: DataFrame, k: Int = WinnowK,
                          w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
-                         topK: Int = 3): DataFrame = {
+                         topK: Int = WinnowTopK): DataFrame = {
     require(topK >= 1, s"topK $topK must be >= 1")
     val pairs = winnowOverlapPairs(docs, k, w, maxDf, minShared = 1L)
     val sym = pairs
@@ -723,7 +734,7 @@ object Dedup {
     * exchange. Per-source spine from the full train split: a source
     * with everything kept (or everything dropped) still emits. */
   def decontaminateCorpus13(docs: DataFrame, k: Int = 13,
-                            evalMod: Long = 20L,
+                            evalMod: Long = DeconEvalMod,
                             plantBanner: Boolean = false): DataFrame = {
     val base = deconBase(docs, evalMod, plantBanner)
     val evalHashes = base.where(col("is_eval"))
@@ -734,6 +745,18 @@ object Dedup {
       .select(col("doc_id"), explode(shingleHashes(col("text"), k, "dc")).as("g"))
       .join(evalHashes, Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
+    deconShipDigest(train, hitDocs)
+  }
+
+  /** The q141 ship-digest tail, shared with the STREAMING admission
+    * path (q147) so the per-source digest and the '#ka' content-hash
+    * construction cannot drift between the batch apply and the
+    * quarantine-at-ingest composition: drop `hitDocs` from `train`
+    * (ONE LEFT ANTI on doc_id), roll up per source over the full
+    * train spine, certify the kept corpus by partial-summed content
+    * hash. */
+  private[graft] def deconShipDigest(train: DataFrame,
+                                     hitDocs: DataFrame): DataFrame = {
     val kept = train.join(hitDocs, Seq("doc_id"), "left_anti")
     train.groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
       .join(kept.groupBy(col("source"))
@@ -752,12 +775,12 @@ object Dedup {
     * rollup and the per-eval-doc detail: optional [[DeconBanner]]
     * prepend on hash64(doc_id, "plant") % 4 == 0, then the
     * hash64(doc_id, "eval") % evalMod eval flag. */
-  private def deconBase(docs: DataFrame, evalMod: Long,
-                        plantBanner: Boolean): DataFrame = {
+  private[graft] def deconBase(docs: DataFrame, evalMod: Long,
+                               plantBanner: Boolean): DataFrame = {
     val planted =
       if (!plantBanner) docs.select(col("doc_id"), col("source"), col("text"))
       else docs.select(col("doc_id"), col("source"),
-        when(hash64(col("doc_id").cast("string"), "plant") % 4 === 0,
+        when(hash64(col("doc_id").cast("string"), "plant") % DeconPlantMod === 0,
           concat(lit(DeconBanner + " "), col("text")))
           .otherwise(col("text")).as("text"))
     graft.sources.Corpus.fanOutSmallScan(planted)
@@ -803,7 +826,7 @@ object Dedup {
     * only the train (g, doc) pairs the semi-join tier already
     * shuffles. */
   def contaminatedEvalDocs13(docs: DataFrame, k: Int = 13,
-                             evalMod: Long = 20L,
+                             evalMod: Long = DeconEvalMod,
                              plantBanner: Boolean = false,
                              maxEvidencePerShingle: Int = DeconEvidenceCap): DataFrame = {
     val base = deconBase(docs, evalMod, plantBanner)
@@ -1315,6 +1338,13 @@ object Dedup {
   val WinnowMod = 25L
   val WinnowMaxDf = 8
   val WinnowMinShared = 5L
+  /** Stand-in ingest-batch modulus for the store-incremental tier
+    * (q146): hash64(doc_id, "inc") % this == 0 → delta, the q68
+    * convention. ~1/4 of the corpus so pair evidence straddles the
+    * split at every SF. */
+  val WinnowDeltaMod = 4L
+  /** Ranked-neighbor depth for [[winnowTopNeighbors]] (q142). */
+  val WinnowTopK = 3
 
   /** Winnowed document fingerprints — the published local
     * fingerprinting algorithm (Schleimer, Wilbur & Aiken, "Winnowing:
@@ -1419,5 +1449,157 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** APPLY the winnow copy-detection tier — the ship operator the
+    * q140/q142 reports exist to inform, completing report→apply for
+    * sub-document copy detection exactly as [[decontaminateCorpus13]]
+    * (q141) completes it for decontamination: connected components
+    * over the copy-evidence pair graph, keep the BEST member per
+    * component (longest n_chars, ties to smallest doc_id — the
+    * [[dedupByClustersKeepBest]] policy: retain the most complete
+    * copy), drop the rest, and emit the per-source ship digest with a
+    * content hash over the KEPT corpus so the gate certifies the
+    * artifact a training run would read.
+    *
+    * Returns per-source: n_docs, n_flagged (docs with any copy
+    * evidence), n_dropped, n_kept, kept_hash_sum ('#wk' 60-bit
+    * content hash, mod 1e9, summed — order-independent). Invariant
+    * (spec-pinned): n_kept + n_dropped == n_docs, and n_dropped ==
+    * n_flagged − (number of components) per construction.
+    *
+    * Scale shape: the pair graph is [[winnowOverlapPairs]]' — join-
+    * free, df-bounded, output O(distinct fingerprints) — and the
+    * component solve is the shared [[minLabelComponents]] core
+    * (size-gated driver union-find under 1M edges, the distributed
+    * min-label loop above). Everything after clustering is sized by
+    * FLAGGED docs, not the corpus: the keep-best window partitions by
+    * component over cluster members only, the drop set anti-joins
+    * back on 8-byte doc_ids, and the digest folds partially per
+    * partition — certifying the artifact adds no extra exchange. */
+  def winnowDedupCorpus(docs: DataFrame, k: Int = WinnowK,
+                        w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                        minShared: Long = WinnowMinShared): DataFrame = {
+    val clusters = minLabelComponents(
+        winnowOverlapPairs(docs, k, w, maxDf, minShared), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val removed = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") =!= 1)
+      .select(col("doc_id"))
+    val bySource = docs.select(col("doc_id"), col("source"))
+    val flagged = clusters.join(bySource, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_flagged"))
+    val dropped = removed.join(bySource, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_dropped"))
+    val kept = docs.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"),
+        sum(hash64(col("text"), "wk") % 1000000000L).as("kept_hash_sum"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .join(dropped, Seq("source"), "left")
+      .join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_flagged", "n_dropped", "n_kept", "kept_hash_sum"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_dropped"), col("n_kept"), col("kept_hash_sum"))
+      .orderBy("source")
+  }
+
+  // ----- persisted winnow fingerprint store (incremental tier) -----
+
+  /** Build the PERSISTED winnow fingerprint store — the q68/q99 band-
+    * store discipline applied to the winnowing tier (r15 VERDICT
+    * task 4). The fingerprint table (doc_id, fp_hash, fp_pos) is the
+    * reusable provenance artifact at 100 TB: a nightly compaction
+    * fingerprints the standing corpus ONCE and persists it BUCKETED
+    * on fp_hash, so each day's ingest batch probes for sub-document
+    * copies without re-fingerprinting the corpus and without
+    * shuffling the base side — the bucketed scan already has the
+    * probe join's partitioning; only the day's delta moves. fp_pos is
+    * kept (not needed for pairing) because the store doubles as the
+    * attribution artifact: WHERE in the base doc the copied span
+    * lives. */
+  def buildWinnowStore(base: DataFrame, table: String, path: String,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       nBuckets: Int = 16): Unit =
+    winnowedFingerprints(base, k, w).write.mode("overwrite")
+      .bucketBy(nBuckets, "fp_hash").sortBy("fp_hash")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** One store build per (process, table) — the band-store stance:
+    * Verify/Bench run many queries in one session, and the nightly-
+    * artifact semantics are build-once-probe-thereafter. */
+  private val winnowStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Delta-vs-base sub-document copy detection THROUGH the persisted
+    * fingerprint store — the asymmetric (ingest admission) form of
+    * [[winnowOverlapPairs]], exactly as [[incrementalDedupViaBandStore]]
+    * (q99) is the asymmetric form of the LSH pair tier: documents with
+    * hash64(doc_id, "inc") % deltaMod == 0 stand in for the incoming
+    * batch (the q68 split, hash not modulo — doc_id ranges correlate
+    * with source); the rest are the standing corpus, fingerprinted
+    * via the store. A delta doc pairs with every base doc sharing
+    * >= minShared winnowed fingerprints through df-BOUNDED evidence,
+    * where df is the BASE-side holder count — the store's view of
+    * boilerplate (a production pipeline folds each admitted batch
+    * into the store nightly, so base df is the durable definition;
+    * delta-internal pairs are [[winnowOverlapPairs]]' job, not this
+    * tier's).
+    *
+    * Scale shape: the base side streams out of the bucketed store —
+    * the per-fingerprint doc-list aggregate rides the store's fp_hash
+    * bucketing (no base Exchange, pinned in SkewAndBucketSpec); only
+    * the delta's fingerprints shuffle. The df cap bounds every doc
+    * list at maxDf before the join, so a boilerplate fingerprint in
+    * the store never fans a probe out to its million holders —
+    * output is <= maxDf rows per (delta doc, distinct fingerprint)
+    * by construction. */
+  def winnowStoreOverlap(docs: DataFrame, deltaMod: Long,
+                         table: String, path: String,
+                         k: Int = WinnowK, w: Int = WinnowW,
+                         maxDf: Int = WinnowMaxDf,
+                         minShared: Long = WinnowMinShared): DataFrame = {
+    val (base, delta) = deltaSplit(docs, deltaMod)
+    winnowStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
+      buildWinnowStore(base, table, path, k, w)
+      java.lang.Boolean.TRUE
+    })
+    winnowStorePairs(delta, table, k, w, maxDf, minShared)
+  }
+
+  /** Probe tail of [[winnowStoreOverlap]], exposed for the plan pin:
+    * the base aggregate must scan bucketed (no Exchange below it);
+    * only the delta side shuffles. */
+  private[graft] def winnowStorePairs(delta: DataFrame, table: String,
+                                      k: Int, w: Int, maxDf: Int,
+                                      minShared: Long): DataFrame = {
+    // row_number cap at maxDf + 1 BEFORE the collect (the q140
+    // discipline): a boilerplate fingerprint's million holders are cut
+    // to maxDf + 1 rows map-side (WindowGroupLimit riding the store's
+    // fp_hash bucketing+sort), and a truncated maxDf+1 list IS the
+    // df > maxDf case — dropped, bit-identical to the true-df filter
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
+    val basePerFp = delta.sparkSession.table(table)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .withColumn("rn", row_number().over(wDf))
+      .where(col("rn") <= maxDf + 1)
+      .groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+    winnowedFingerprints(delta, k, w)
+      .select(col("doc_id").as("delta_doc"), col("fp_hash")).distinct()
+      .join(basePerFp, Seq("fp_hash"))
+      .select(col("delta_doc"), explode(col("ds")).as("base_doc"))
+      .groupBy(col("delta_doc"), col("base_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("delta_doc", "base_doc")
   }
 }

@@ -1650,4 +1650,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(0).getLong(0) == 100L && pairs(0).getLong(1) == 200L)
     assert(pairs(0).getLong(2) >= Dedup.WinnowMinShared)
   }
+
+  test("winnow apply: keep-best over the pair graph; kept+dropped == corpus; the shared-run doc drops") {
+    val s = spark
+    import s.implicits._
+    // corpus invariants at the gate parameters: the digest partitions
+    // the corpus exactly, and only flagged docs can drop
+    Dedup.winnowDedupCorpus(docs).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs"), r.toString)
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_flagged"), r.toString)
+    }
+    // the 40-token shared-run fixture (the q140 spec shape): two docs
+    // sharing the run, one unrelated doc in its own source. Keep-best
+    // must keep the LONGER pair member, drop the other, leave the
+    // unrelated doc untouched — and the kept-corpus content hash must
+    // certify exactly the survivors.
+    val rng = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("w" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    val a = words(30) + " " + run
+    val b = run + " " + words(35)
+    val c = words(50)
+    val fix = Seq((100L, "s1", a), (200L, "s1", b), (300L, "s2", c))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length($"text"))
+    val out = Dedup.winnowDedupCorpus(fix).collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s1.getAs[Long]("n_flagged") == 2L && s1.getAs[Long]("n_dropped") == 1L
+      && s1.getAs[Long]("n_kept") == 1L, s1.toString)
+    assert(s2.getAs[Long]("n_flagged") == 0L && s2.getAs[Long]("n_dropped") == 0L
+      && s2.getAs[Long]("n_kept") == 1L, s2.toString)
+    // which doc survived: longest n_chars wins (tie → smaller id)
+    val keptText = if (b.length > a.length) b else a
+    def wkHash(t: String): Long = Seq(Tuple1(t)).toDF("text")
+      .select(graft.pipeline.TextFunctions.hash64(col("text"), "wk") % 1000000000L)
+      .head.getLong(0)
+    assert(s1.getAs[Long]("kept_hash_sum") == wkHash(keptText))
+    assert(s2.getAs[Long]("kept_hash_sum") == wkHash(c))
+  }
+
+  test("winnow store: planted cross-split copy found through the persisted store; store round-trips") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_store_spec").toString
+    // find one delta id and one base id under the gate's '#inc' split
+    val isDeltaCol = graft.pipeline.TextFunctions
+      .hash64(col("doc_id").cast("string"), "inc") % Dedup.WinnowDeltaMod === 0
+    val ids = (0L until 64L).toDF("doc_id")
+      .select($"doc_id", isDeltaCol.as("d")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val deltaId = ids.find(_._2).get._1
+    val baseId = ids.filter(!_._2).head._1
+    val rng = new scala.util.Random(3)
+    def words(n: Int) = Seq.fill(n)("u" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    val fix = Seq((deltaId, words(25) + " " + run),
+        (baseId, run + " " + words(30)))
+      .toDF("doc_id", "text")
+    Dedup.buildWinnowStore(fix.where(!isDeltaCol),
+      "winnow_store_spec_tbl", dir)
+    try {
+      val out = Dedup.winnowStorePairs(fix.where(isDeltaCol),
+        "winnow_store_spec_tbl", Dedup.WinnowK, Dedup.WinnowW,
+        Dedup.WinnowMaxDf, Dedup.WinnowMinShared).collect()
+      assert(out.length == 1, out.mkString(";"))
+      assert(out(0).getLong(0) == deltaId && out(0).getLong(1) == baseId)
+      assert(out(0).getLong(2) >= Dedup.WinnowMinShared)
+      // round-trip: the store holds exactly the base fingerprint table
+      assert(s.table("winnow_store_spec_tbl").count() ==
+        Dedup.winnowedFingerprints(fix.where(!isDeltaCol)).count())
+    } finally s.sql("DROP TABLE IF EXISTS winnow_store_spec_tbl")
+  }
 }

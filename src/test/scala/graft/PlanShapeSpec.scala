@@ -679,6 +679,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 winnow store: base side aggregates from its buckets — no base-side shuffle") {
+    // the q99 property for the fingerprint store: the per-fingerprint
+    // doc-list aggregate and the probe join ride the store's fp_hash
+    // bucketing; only the delta side exchanges. Broadcast disabled so
+    // the join decision is about co-location, not size.
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnowstore_pin").toString
+    val docs = graft.sources.Corpus.table(s, sf, "documents")
+    graft.pipeline.Dedup.buildWinnowStore(
+      docs.where(col("doc_id") % 2 === 0), "winnow_store_pin_tbl", dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val p = graft.pipeline.Dedup.winnowStorePairs(
+          docs.where(col("doc_id") % 2 =!= 0), "winnow_store_pin_tbl",
+          graft.pipeline.Dedup.WinnowK, graft.pipeline.Dedup.WinnowW,
+          graft.pipeline.Dedup.WinnowMaxDf, 1L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"))
+      // the base-df cap compiles to WindowGroupLimit (map-side cut)
+      assert(p.contains("WindowGroupLimit"), p)
+      // exactly ONE fp_hash-keyed exchange: the delta side aligning to
+      // the store's bucketing; a second would mean the base side
+      // re-shuffled despite its buckets (the delta's own distinct and
+      // the final pair-keyed aggregate exchanges are legitimate and
+      // keyed differently)
+      assert("Exchange hashpartitioning\\(fp_hash".r.findAllIn(p).size == 1, p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS winnow_store_pin_tbl")
+    }
+  }
+
   test("q97 bloom admission: negatives bypass every join; positives re-check without cartesian") {
     val p = plan("q97_bloom_admission")
     // the scan-local fast path exists: a Union arm with no join above it

@@ -149,4 +149,59 @@ class SqlSurfaceSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ----- r16: the 13-gram decontamination + winnowing tiers on the
+  // SQL surface (r15 VERDICT task 1 — the q109/q124 lockstep
+  // discipline). Each view's plan must BE the Scala operator at the
+  // gate-standard (planted) parameters, row-for-row.
+
+  private def docsDf = Corpus.table(spark, sf, "documents")
+
+  test("graft_decontamination_13 view == Dedup.decontaminationReport(planted)") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_decontamination_13")
+    val scala = Dedup.decontaminationReport(docsDf, plantBanner = true)
+    assert(rows(sql) == rows(scala))
+    // non-vacuous by construction: the planted banner contaminates
+    // every source at every SF
+    assert(sql.where("n_contaminated > 0").count() > 0)
+  }
+
+  test("graft_contaminated_evals_13 view == Dedup.contaminatedEvalDocs13(planted)") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_contaminated_evals_13")
+    val scala = Dedup.contaminatedEvalDocs13(docsDf, plantBanner = true)
+    assert(rows(sql) == rows(scala))
+    assert(sql.count() > 0)
+  }
+
+  test("q143 / graft_decontaminate_13 view == Dedup.decontaminateCorpus13(planted)") {
+    val sql = SparkEntry.queries("q143_sql_decontaminate")(spark, sf)
+    val scala = Dedup.decontaminateCorpus13(docsDf, plantBanner = true)
+      .select("source", "n_train_docs", "n_dropped", "n_kept", "kept_hash_sum")
+    assert(rows(sql) == rows(scala))
+    // the drop path fired: planted contamination exists on every source
+    assert(sql.where("n_dropped > 0").count() > 0)
+  }
+
+  test("graft_winnow_fingerprints view == Dedup.winnowFingerprintStats") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_fingerprints")
+    val scala = Dedup.winnowFingerprintStats(docsDf)
+    assert(rows(sql) == rows(scala))
+    assert(sql.count() > 0)
+  }
+
+  test("q144 / graft_winnow_pairs view == Dedup.winnowOverlapPairs") {
+    val sql = SparkEntry.queries("q144_sql_winnow_pairs")(spark, sf)
+    val scala = Dedup.winnowOverlapPairs(docsDf)
+    assert(rows(sql) == rows(scala))
+  }
+
+  test("graft_winnow_neighbors view == Dedup.winnowTopNeighbors") {
+    val sql = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_neighbors")
+    val scala = Dedup.winnowTopNeighbors(docsDf)
+    assert(rows(sql) == rows(scala))
+  }
 }

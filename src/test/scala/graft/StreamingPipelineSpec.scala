@@ -207,6 +207,53 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("q147 quarantine stream: contaminated docs flagged on arrival; a LATE contaminated arrival is still rejected") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 16-token eval doc: guarantees pure-eval 13-grams; a doc sharing
+    // any 13-token run with it is contaminated
+    val evalText = (1 to 16).map(i => s"ev$i").mkString(" ")
+    val evalHashes = Seq(Tuple1(evalText)).toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.pipeline.TextFunctions.shingleHashes(
+          org.apache.spark.sql.functions.col("text"), 13, "dc")).as("g"))
+      .distinct()
+    def contaminated(extra: String) = evalText + " " + extra
+    val clean = (1 to 20).map(i => s"cl$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingPipeline.deconQuarantineStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), evalHashes, 13,
+      lateness = "60 minutes")
+    val query = out.writeStream.format("memory").queryName("s_decon")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sdecon").toString)
+      .start()
+    try {
+      // wave 1: one clean, one contaminated — the contaminated doc
+      // quarantines in ITS OWN micro-batch (arrival-time admission,
+      // no watermark finalization wait)
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), clean),
+        (2L, ts("2024-01-01 10:00:30"), contaminated("x1 x2")))
+      query.processAllAvailable()
+      assert(spark.table("s_decon").collect().map(_.getLong(0)).toSet
+        == Set(2L))
+      // wave 2: a LATE contaminated doc — event time 40 min BEHIND
+      // the stream's max, inside the 60-min lateness budget. The
+      // screen must still reject it (the production contract: late
+      // data is data, not a bypass).
+      stream.addData(
+        (3L, ts("2024-01-01 09:20:00"), contaminated("y1 y2")))
+      query.processAllAvailable()
+      val got = spark.table("s_decon").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 3L), got.toString)
+    } finally query.stop()
+  }
+
   test("ingest admission state survives a stop/restart from checkpoint") {
     // the production property q90's single-run parity can't see: the
     // within-stream dedup state must come back from the checkpoint, so
