@@ -718,6 +718,14 @@ object SparkEntry {
     "q147_stream_decontaminate" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.deconAdmitStreamFileFeed(
         Corpus.table(s, dir, "documents"), fixtureDir("q147", dir))),
+    // q148: the winnow APPLY from pure SQL — q145 through the
+    // first-reference graft_winnow_apply view (the q115/q117
+    // materialized-view precedent: the CC solve runs at view build).
+    // Shares q145's oracle: both ship digests certify the same
+    // artifact from either surface.
+    "q148_sql_winnow_apply" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_docs, n_flagged, n_dropped, n_kept, kept_hash_sum
+        |FROM graft_winnow_apply ORDER BY source""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1172,6 +1180,8 @@ object SparkEntry {
     // streaming admission must equal the batch apply on the same
     // corpus: q141's oracle verbatim
     "q147_stream_decontaminate" -> deconApplySql,
+    // the SQL spelling of the winnow apply shares q145's oracle
+    "q148_sql_winnow_apply" -> winnowApplySql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

@@ -204,4 +204,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val scala = Dedup.winnowTopNeighbors(docsDf)
     assert(rows(sql) == rows(scala))
   }
+
+  test("q148 / graft_winnow_apply view == Dedup.winnowDedupCorpus") {
+    val sql = SparkEntry.queries("q148_sql_winnow_apply")(spark, sf)
+    val scala = Dedup.winnowDedupCorpus(docsDf)
+    assert(rows(sql) == rows(scala))
+    // the apply path fired at this SF (sf0.001 plants copy pairs)
+    assert(sql.where("n_dropped > 0").count() > 0)
+  }
 }

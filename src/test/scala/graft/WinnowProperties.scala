@@ -110,6 +110,64 @@ object WinnowProperties extends Properties("winnow") {
       narrow.forall { case (pair, n) => wide.get(pair).exists(_ >= n) }
     }
 
+  // winnow-APPLY corpus: random docs over the shared vocab plus a few
+  // PLANTED copy pairs (append a common >= w+k-1 run to two docs) so
+  // the component graph is routinely non-trivial; two sources
+  private val applyCorpusGen: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(5, 10)
+    docs <- Gen.listOfN(n, Gen.choose(10, 40).flatMap(toksOf))
+    nPlant <- Gen.choose(0, 2)
+    runs <- Gen.listOfN(nPlant, toksOf(12))
+  } yield {
+    val base = docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i % 2 == 0) "sA" else "sB", t.mkString(" "))
+    }
+    // plant run j onto docs (2j, 2j+1) — deterministic targets
+    runs.zipWithIndex.foldLeft(base) { case (acc, (run, j)) =>
+      acc.map { case (id, src, t) =>
+        if (id == 2L * j || id == 2L * j + 1)
+          (id, src, t + " " + run.mkString(" "))
+        else (id, src, t)
+      }
+    }
+  }
+
+  property("apply: digest partitions the corpus; dropped == flagged - components; minShared monotone") =
+    forAll(applyCorpusGen) { corpus =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val df = corpus.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")))
+      val dig = Dedup.winnowDedupCorpus(df).collect()
+      val partitionOk = dig.forall(r =>
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+          r.getAs[Long]("n_docs"))
+      // independent component count over the same pair graph (tiny
+      // union-find in the test — NOT the implementation's solver)
+      val pairs = Dedup.winnowOverlapPairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nFlagged = parent.size.toLong
+      val nComp = parent.keys.map(find).toSet.size.toLong
+      val arithmeticOk =
+        dig.map(_.getAs[Long]("n_flagged")).sum == nFlagged &&
+          dig.map(_.getAs[Long]("n_dropped")).sum == nFlagged - nComp
+      // a HIGHER evidence floor can only flag fewer docs, per source
+      val loose = Dedup.winnowDedupCorpus(df, minShared = 1L).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_flagged")).toMap
+      val monoOk = dig.forall(r =>
+        r.getAs[Long]("n_flagged") <= loose(r.getString(0)))
+      partitionOk && arithmeticOk && monoOk
+    }
+
   property("prefix-stability: growing a doc never un-selects an existing fingerprint") =
     forAll(Gen.choose(2, 5), Gen.choose(2, 4),
       Gen.choose(8, 30).flatMap(toksOf),
