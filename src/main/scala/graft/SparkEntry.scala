@@ -726,6 +726,19 @@ object SparkEntry {
     "q148_sql_winnow_apply" -> ((s, dir) => QueryRunner.sql(s, dir,
       """SELECT source, n_docs, n_flagged, n_dropped, n_kept, kept_hash_sum
         |FROM graft_winnow_apply ORDER BY source""".stripMargin)),
+    // q149: winnow-store ingest ADMISSION — report→apply for the
+    // incremental tier (q146 reports delta-vs-base copy pairs; this
+    // ships the admitted batch): drop every delta doc with copy
+    // evidence against the standing corpus (base copy wins — it is
+    // already shipped), per-source digest with a '#wa' content hash
+    // over the ADMITTED batch. Shares q146's store (one build per
+    // process, the q99 stance).
+    "q149_winnow_store_admit" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
+      Dedup.winnowStoreAdmit(Corpus.table(s, dir, "documents"),
+        Dedup.WinnowDeltaMod,
+        s"graft_winnow_store_${tag}_p$fixturePid", fixtureDir("q146", dir))
+    }),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1182,6 +1195,9 @@ object SparkEntry {
     "q147_stream_decontaminate" -> deconApplySql,
     // the SQL spelling of the winnow apply shares q145's oracle
     "q148_sql_winnow_apply" -> winnowApplySql,
+    // store admission: q146's CTEs, flagged = distinct delta docs in
+    // a pair, '#wa' hash over the admitted batch, delta spine
+    "q149_winnow_store_admit" -> winnowStoreAdmitSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2210,7 +2226,7 @@ object SparkEntry {
     * bit-identical to the store path because fingerprinting is
     * per-doc local (store built from base == base rows of the
     * whole-corpus fingerprint table). */
-  private def winnowStoreIncrSql: String =
+  private def winnowStoreCtes: String =
     s"""${winnowFpCte("")},
         |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |dl AS (SELECT doc_id FROM documents
@@ -2225,10 +2241,36 @@ object SparkEntry {
         |pr AS (SELECT dfp.doc_id AS delta_doc, bf.doc_id AS base_doc,
         |  count(*)::BIGINT AS n_shared
         |  FROM dfp JOIN el USING (fp_hash) JOIN bf USING (fp_hash)
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2)""".stripMargin
+
+  private def winnowStoreIncrSql: String =
+    s"""$winnowStoreCtes
         |SELECT delta_doc, base_doc, n_shared FROM pr
         |WHERE n_shared >= ${Dedup.WinnowMinShared}
         |ORDER BY delta_doc, base_doc""".stripMargin.replace("\n", " ")
+
+  /** The q149 oracle: q146's CTEs; flagged = distinct delta docs in a
+    * >= minShared pair; admitted = delta minus flagged, '#wa' 60-bit
+    * content hash, zero-filled delta spine. */
+  private def winnowStoreAdmitSql: String =
+    s"""$winnowStoreCtes,
+        |flg AS (SELECT DISTINCT delta_doc AS doc_id FROM pr
+        |  WHERE n_shared >= ${Dedup.WinnowMinShared}),
+        |dd AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM dl)),
+        |fl AS (SELECT d.source, count(*) AS nf FROM flg
+        |  JOIN dd d ON flg.doc_id = d.doc_id GROUP BY 1),
+        |ad AS (SELECT source, count(*) AS na,
+        |  sum(('0x'||substr(sha256(text||'#wa'),1,15))::BIGINT % 1000000000) AS ahs
+        |  FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM flg)
+        |  GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n FROM dd GROUP BY source)
+        |SELECT t.source, n::BIGINT AS n_delta,
+        |  coalesce(nf, 0)::BIGINT AS n_copy_flagged,
+        |  coalesce(na, 0)::BIGINT AS n_admitted,
+        |  coalesce(ahs, 0)::BIGINT AS admitted_hash_sum
+        |FROM tot t LEFT JOIN fl USING (source) LEFT JOIN ad USING (source)
+        |ORDER BY source""".stripMargin.replace("\n", " ")
 
   private def winnowNeighborsSql: String =
     s"""$winnowPairCtes,

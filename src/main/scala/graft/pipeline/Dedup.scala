@@ -1573,6 +1573,60 @@ object Dedup {
     winnowStorePairs(delta, table, k, w, maxDf, minShared)
   }
 
+  /** Fold an admitted batch INTO the standing fingerprint store — the
+    * nightly maintenance job the store's contract assumes: tomorrow's
+    * ingest must see today's admitted documents as base. Bucketed
+    * `insertInto` writes the new fingerprints into the table's own
+    * (fp_hash, 16) bucket spec, so the no-base-shuffle probe property
+    * survives appends (spec-pinned: probe-after-append ==
+    * probe-of-rebuilt-store). */
+  def appendWinnowStore(batch: DataFrame, table: String,
+                        k: Int = WinnowK, w: Int = WinnowW): Unit =
+    winnowedFingerprints(batch, k, w).write.mode("append")
+      .insertInto(table)
+
+  /** ADMIT the ingest batch through the store — report→apply for the
+    * incremental tier, exactly as q145 completes q140 and q141
+    * completes q134: [[winnowStoreOverlap]] reports delta-vs-base
+    * copy pairs; this drops every delta doc with copy evidence
+    * against the standing corpus and emits the per-source admission
+    * digest with a '#wa' content hash over the ADMITTED batch — the
+    * artifact the ingest job actually appends. Policy: the BASE copy
+    * wins (the standing corpus is already shipped/trained-on; an
+    * incoming near-copy is the one to drop) — the asymmetric
+    * counterpart of q145's keep-best, which arbitrates only within
+    * the not-yet-shipped corpus.
+    *
+    * Scale shape: [[winnowStorePairs]]' (no base exchange, df-bounded
+    * map-side) plus ONE anti-join of the batch against its own
+    * flagged ids — ingest-batch-sized throughout. */
+  def winnowStoreAdmit(docs: DataFrame, deltaMod: Long,
+                       table: String, path: String,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       maxDf: Int = WinnowMaxDf,
+                       minShared: Long = WinnowMinShared): DataFrame = {
+    val (base, delta) = deltaSplit(docs, deltaMod)
+    winnowStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
+      buildWinnowStore(base, table, path, k, w)
+      java.lang.Boolean.TRUE
+    })
+    val flagged = winnowStorePairs(delta, table, k, w, maxDf, minShared)
+      .select(col("delta_doc").as("doc_id")).distinct()
+    val admitted = delta.join(flagged, Seq("doc_id"), "left_anti")
+    val bySource = delta.select(col("doc_id"), col("source"))
+    delta.groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
+      .join(flagged.join(bySource, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_copy_flagged")), Seq("source"), "left")
+      .join(admitted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(hash64(col("text"), "wa") % 1000000000L)
+            .as("admitted_hash_sum")), Seq("source"), "left")
+      .na.fill(0L, Seq("n_copy_flagged", "n_admitted", "admitted_hash_sum"))
+      .select(col("source"), col("n_delta"), col("n_copy_flagged"),
+        col("n_admitted"), col("admitted_hash_sum"))
+      .orderBy("source")
+  }
+
   /** Probe tail of [[winnowStoreOverlap]], exposed for the plan pin:
     * the base aggregate must scan bucketed (no Exchange below it);
     * only the delta side shuffles. */

@@ -1724,4 +1724,88 @@ class PipelineSpec extends AnyFunSuite {
         Dedup.winnowedFingerprints(fix.where(!isDeltaCol)).count())
     } finally s.sql("DROP TABLE IF EXISTS winnow_store_spec_tbl")
   }
+
+  test("winnow store admission: the cross-split copy is rejected, the clean doc admitted, hash certifies") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_admit_spec").toString
+    val isDeltaCol = graft.pipeline.TextFunctions
+      .hash64(col("doc_id").cast("string"), "inc") % Dedup.WinnowDeltaMod === 0
+    val ids = (0L until 64L).toDF("doc_id")
+      .select($"doc_id", isDeltaCol.as("d")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val deltaIds = ids.filter(_._2).map(_._1)
+    val baseId = ids.filter(!_._2).head._1
+    val rng = new scala.util.Random(5)
+    def words(n: Int) = Seq.fill(n)("a" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    val copyText = words(20) + " " + run // delta near-copy of base
+    val cleanText = words(45)
+    val fix = Seq(
+        (deltaIds(0), "sA", copyText),
+        (deltaIds(1), "sA", cleanText),
+        (baseId, "sB", run + " " + words(25)))
+      .toDF("doc_id", "source", "text")
+    Dedup.buildWinnowStore(fix.where(!isDeltaCol),
+      "winnow_admit_spec_tbl", dir)
+    try {
+      val flaggedPairs = Dedup.winnowStorePairs(fix.where(isDeltaCol),
+        "winnow_admit_spec_tbl", Dedup.WinnowK, Dedup.WinnowW,
+        Dedup.WinnowMaxDf, Dedup.WinnowMinShared)
+      // digest tail computed exactly as winnowStoreAdmit (which would
+      // rebuild the store under its own name; probe the spec's table)
+      val flagged = flaggedPairs.select($"delta_doc".as("doc_id")).distinct()
+      val delta = fix.where(isDeltaCol)
+      val admitted = delta.join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(deltaIds(1)),
+        s"expected only the clean doc admitted, got $admitted")
+      // the '#wa' hash certifies the admitted TEXT, not just counts
+      def waHash(t: String): Long = Seq(Tuple1(t)).toDF("text")
+        .select(graft.pipeline.TextFunctions.hash64(col("text"), "wa")
+          % 1000000000L).head.getLong(0)
+      val hs = delta.join(flagged, Seq("doc_id"), "left_anti")
+        .agg(sum(graft.pipeline.TextFunctions.hash64(col("text"), "wa")
+          % 1000000000L)).head.getLong(0)
+      assert(hs == waHash(cleanText))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_admit_spec_tbl")
+  }
+
+  test("winnow store append: probe after a bucketed append == probe of the store rebuilt whole") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(9)
+    def words(n: Int) = Seq.fill(n)("b" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    // base in two batches; the probe doc copies from a doc in BATCH 2
+    // (the appended one) — the probe must see it through the append
+    val batch1 = Seq((10L, words(30)), (11L, words(35)))
+    val batch2 = Seq((20L, run + " " + words(20)))
+    val probe = Seq((99L, words(15) + " " + run)).toDF("doc_id", "text")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_winnow_append_a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_winnow_append_b").toString
+    Dedup.buildWinnowStore(batch1.toDF("doc_id", "text"),
+      "winnow_append_tbl", dirA)
+    Dedup.appendWinnowStore(batch2.toDF("doc_id", "text"),
+      "winnow_append_tbl")
+    Dedup.buildWinnowStore((batch1 ++ batch2).toDF("doc_id", "text"),
+      "winnow_whole_tbl", dirB)
+    try {
+      def pairsVia(table: String) =
+        Dedup.winnowStorePairs(probe, table, Dedup.WinnowK, Dedup.WinnowW,
+            Dedup.WinnowMaxDf, Dedup.WinnowMinShared)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+      val appended = pairsVia("winnow_append_tbl")
+      assert(appended == pairsVia("winnow_whole_tbl"))
+      assert(appended.map(p => (p._1, p._2)) == Seq((99L, 20L)),
+        appended.toString)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS winnow_append_tbl")
+      s.sql("DROP TABLE IF EXISTS winnow_whole_tbl")
+    }
+  }
 }
