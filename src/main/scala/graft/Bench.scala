@@ -175,7 +175,12 @@ object Bench {
         "q29_cosine_near_dups", "q58_embedding_dedup", "q73_cluster_sizes",
         "q78_ivf_store_probe", "q82_cluster_keep_best",
         "q94_multiprobe_exact", "q99_band_store_dedup",
-        "q128_ivf_recall_ladder")
+        "q128_ivf_recall_ladder",
+        // the winnow/band stores build once per process too: the
+        // second run (and the SQL twins, which share the store)
+        // probes a standing store — the production steady state
+        "q146_winnow_store_incr", "q149_winnow_store_admit",
+        "q152_sql_winnow_store", "q153_sql_band_store")
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // cold = first timed run at sfDir (indexes/caches unbuilt), warm =

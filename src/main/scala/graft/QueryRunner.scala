@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.functions.GraftFunctions
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, Winnow}
 import graft.sources.Corpus
 
 /** SQL entry surface: registers the security fixtures and the driver
@@ -77,12 +77,14 @@ object QueryRunner {
       .createOrReplaceTempView("graft_contaminated_evals_13")
     Dedup.decontaminateCorpus13(docs, plantBanner = true)
       .createOrReplaceTempView("graft_decontaminate_13")
-    Dedup.winnowFingerprintStats(docs)
+    Winnow.winnowFingerprintStats(docs)
       .createOrReplaceTempView("graft_winnow_fingerprints")
-    Dedup.winnowOverlapPairs(docs)
+    Winnow.winnowOverlapPairs(docs)
       .createOrReplaceTempView("graft_winnow_pairs")
-    Dedup.winnowTopNeighbors(docs)
+    Winnow.winnowTopNeighbors(docs)
       .createOrReplaceTempView("graft_winnow_neighbors")
+    Winnow.winnowCopySpans(docs)
+      .createOrReplaceTempView("graft_winnow_spans")
     lastInit.put(spark, sfDir)
   }
 
@@ -105,21 +107,78 @@ object QueryRunner {
     // winnow APPLY rides the shared CC solve (minLabelComponents
     // executes at build), so it is first-reference too
     "graft_winnow_apply" -> ((s, d) =>
-      Dedup.winnowDedupCorpus(Corpus.table(s, d, "documents"))))
+      Winnow.winnowDedupCorpus(Corpus.table(s, d, "documents"))),
+    // the persisted-store tiers (r16 VERDICT task 5, closing the
+    // q99 gap too): first-reference AND side-effecting — the builder
+    // runs the bucketed store build (saveAsTable, memoized per
+    // process in Dedup/Winnow) on first reference; the registered
+    // view is the lazy no-base-shuffle probe over the store
+    "graft_winnow_store_pairs" -> ((s, d) => {
+      val (t, p) = SparkEntry.winnowStoreLoc(d)
+      Winnow.winnowStoreOverlap(Corpus.table(s, d, "documents"),
+        Winnow.WinnowDeltaMod, t, p)
+    }),
+    "graft_band_store_dedup" -> ((s, d) => {
+      val (t, p) = SparkEntry.bandStoreLoc(d)
+      Dedup.incrementalDedupViaBandStore(
+        Corpus.table(s, d, "documents"), 10L, 0.8, t, p)
+    }))
 
+  // inner map is a ConcurrentHashMap and the name-level update is an
+  // atomic compute() (ADVICE r16: the old plain HashMap could corrupt
+  // or double-build under concurrent sql() calls on one session);
+  // outer access synchronizes on the wrapper, the lock
+  // Collections.synchronizedMap itself uses
   private val matViewDir = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]())
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def viewStateFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    matViewDir.synchronized {
+      var m = matViewDir.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        matViewDir.put(spark, m)
+      }
+      m
+    }
+
+  /** Table names the query actually REFERENCES, resolved from the
+    * parsed plan's unresolved relations (ADVICE r16: a bare
+    * contains() fires on comments and string literals and misses
+    * quoted identifiers). Falls back to an identifier scan when the
+    * text doesn't parse — spark.sql will surface the real parse error
+    * anyway, and over-registering is merely eager, never wrong. */
+  private def referencedTables(spark: SparkSession,
+                               query: String): Set[String] =
+    try {
+      spark.sessionState.sqlParser.parsePlan(query).collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(query)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }
+
+  /** Build-count observer for specs: pins that identifier-resolved
+    * dispatch does NOT fire on string literals / comments. */
+  private[graft] val matViewBuilds = new java.util.concurrent.atomic.AtomicLong
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     init(spark, sfDir)
+    val refs = referencedTables(spark, query)
     matViewBuilders.foreach { case (name, build) =>
-      if (query.contains(name)) {
-        val m = matViewDir.computeIfAbsent(spark,
-          _ => new java.util.HashMap[String, String]())
-        if (m.get(name) != sfDir) {
-          build(spark, sfDir).createOrReplaceTempView(name)
-          m.put(name, sfDir)
-        }
+      if (refs.contains(name)) {
+        viewStateFor(spark).compute(name, (_, cur) => {
+          if (cur != sfDir) {
+            matViewBuilds.incrementAndGet()
+            build(spark, sfDir).createOrReplaceTempView(name)
+          }
+          sfDir
+        })
       }
     }
     spark.sql(query)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.operators.{RelationalOps, SecurityOps}
-import graft.pipeline.{Curation, Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats, Winnow}
 import graft.sources.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -344,10 +344,9 @@ object SparkEntry {
     // shuffles); shares q68's oracle verbatim: store == memory ==
     // DuckDB
     "q99_band_store_dedup" -> ((s, dir) => {
-      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
+      val (t, p) = bandStoreLoc(dir)
       Dedup.incrementalDedupViaBandStore(
-        Corpus.table(s, dir, "documents"), 10L, 0.8,
-        s"graft_band_store_${tag}_p$fixturePid", fixtureDir("q99", dir))
+        Corpus.table(s, dir, "documents"), 10L, 0.8, t, p)
     }),
     // q100: heavy-hitters sketch audit — stat.freqItems (one-pass,
     // constant-memory, the 100 TB frequent-items path) under its
@@ -658,12 +657,12 @@ object SparkEntry {
     // the (hash-sum, pos-sum) pair pins WHICH grams were selected AND
     // the tie-break, so any window/tie drift hash-mismatches
     "q139_winnow_fingerprints" -> ((s, dir) =>
-      Dedup.winnowFingerprintStats(Corpus.table(s, dir, "documents"))),
+      Winnow.winnowFingerprintStats(Corpus.table(s, dir, "documents"))),
     // q140: sub-document copy detection — doc pairs sharing >= 5
     // winnowed fingerprints through df-bounded evidence (boilerplate
     // fingerprints held by > 8 docs are dropped before pairing)
     "q140_winnow_overlap" -> ((s, dir) =>
-      Dedup.winnowOverlapPairs(Corpus.table(s, dir, "documents"))),
+      Winnow.winnowOverlapPairs(Corpus.table(s, dir, "documents"))),
     // q141: decontamination APPLY — the ship operator the q134/q135
     // report informs: drop contaminated train docs, certify the kept
     // corpus by content hash. Planted so the drop path fires on every
@@ -674,7 +673,7 @@ object SparkEntry {
     // q142: the SEARCH form of the winnow tier — top-3 copy-evidence
     // neighbors per doc, ranked by shared fingerprints (attribution)
     "q142_winnow_neighbors" -> ((s, dir) =>
-      Dedup.winnowTopNeighbors(Corpus.table(s, dir, "documents"))),
+      Winnow.winnowTopNeighbors(Corpus.table(s, dir, "documents"))),
     // q143: the decontamination APPLY from pure SQL — the r15 tiers
     // join the q106/q115/q124 lockstep surface (r15 VERDICT task 1).
     // The graft_decontaminate_13 view's plan IS decontaminateCorpus13
@@ -696,7 +695,7 @@ object SparkEntry {
     // per component (longest, ties to smallest id), per-source ship
     // digest with a '#wk' content hash certifying the kept corpus.
     "q145_winnow_apply" -> ((s, dir) =>
-      Dedup.winnowDedupCorpus(Corpus.table(s, dir, "documents"))),
+      Winnow.winnowDedupCorpus(Corpus.table(s, dir, "documents"))),
     // q146: delta-vs-base sub-document copy detection THROUGH the
     // persisted bucketed fingerprint store — the q68/q99 incremental
     // discipline for the winnow tier (r15 VERDICT task 4): the
@@ -705,10 +704,9 @@ object SparkEntry {
     // shuffle. Oracle recomputes the same split + base-df-bounded
     // pairing from scratch: store == memory == DuckDB.
     "q146_winnow_store_incr" -> ((s, dir) => {
-      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
-      Dedup.winnowStoreOverlap(Corpus.table(s, dir, "documents"),
-        Dedup.WinnowDeltaMod,
-        s"graft_winnow_store_${tag}_p$fixturePid", fixtureDir("q146", dir))
+      val (t, p) = winnowStoreLoc(dir)
+      Winnow.winnowStoreOverlap(Corpus.table(s, dir, "documents"),
+        Winnow.WinnowDeltaMod, t, p)
     }),
     // q147: STREAMING decontamination admission — the q141 apply at
     // its production point (quarantine contaminated docs on ARRIVAL,
@@ -734,11 +732,39 @@ object SparkEntry {
     // over the ADMITTED batch. Shares q146's store (one build per
     // process, the q99 stance).
     "q149_winnow_store_admit" -> ((s, dir) => {
-      val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
-      Dedup.winnowStoreAdmit(Corpus.table(s, dir, "documents"),
-        Dedup.WinnowDeltaMod,
-        s"graft_winnow_store_${tag}_p$fixturePid", fixtureDir("q146", dir))
+      val (t, p) = winnowStoreLoc(dir)
+      Winnow.winnowStoreAdmit(Corpus.table(s, dir, "documents"),
+        Winnow.WinnowDeltaMod, t, p)
     }),
+    // q150: span-level copy attribution — WHERE the copied span lives
+    // (r16 VERDICT task 1, the fp_pos payoff): for every q140-flagged
+    // pair, the contiguous matched-fingerprint runs in BOTH docs'
+    // token coordinates. Join-free one-pass dataflow; oracle is a
+    // classic islands-and-gaps recompute over the same fp CTEs.
+    "q150_winnow_spans" -> ((s, dir) =>
+      Winnow.winnowCopySpans(Corpus.table(s, dir, "documents"))),
+    // q151: the spans from pure SQL via the lazy graft_winnow_spans
+    // view (lockstep discipline); shares q150's oracle.
+    "q151_sql_winnow_spans" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_a, doc_b, side, span_idx, start_pos, end_pos, n_fps
+        |FROM graft_winnow_spans
+        |ORDER BY doc_a, doc_b, side, span_idx""".stripMargin)),
+    // q152: the winnow STORE probe from pure SQL (r16 VERDICT
+    // task 5) — graft_winnow_store_pairs is a first-reference
+    // side-effecting mat-view: its build runs the bucketed store
+    // build once per process, its plan is the no-base-shuffle probe.
+    // Shares q146's oracle: store == SQL == DuckDB.
+    "q152_sql_winnow_store" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT delta_doc, base_doc, n_shared
+        |FROM graft_winnow_store_pairs
+        |ORDER BY delta_doc, base_doc""".stripMargin)),
+    // q153: the band-store incremental dedup from pure SQL — closes
+    // the same SQL-surface gap for the q99 tier (the one VERDICT
+    // said to close or exempt; closed). Shares q68/q99's oracle.
+    "q153_sql_band_store" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_delta, n_exact_dup, n_near_dup, n_admitted
+        |FROM graft_band_store_dedup
+        |ORDER BY source""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -942,8 +968,31 @@ object SparkEntry {
     pid
   }
 
+  /** Corpus-dir tag for fixture and store names: sanitized basename
+    * PLUS a 32-bit hash of the absolute path (ADVICE r16: two corpora
+    * with the same basename but different parent directories must
+    * never share a persisted store — the basename-only tag silently
+    * probed the first corpus's store from the second). */
+  private[graft] def dirTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val base = new java.io.File(dir).getName.replaceAll("\\W", "_")
+    f"${base}_${abs.hashCode & 0xffffffffL}%08x"
+  }
+
   private def fixtureDir(tag: String, dir: String): String =
-    s"/root/repo/target/graft-fixtures/${tag}_${new java.io.File(dir).getName}_p$fixturePid"
+    s"/root/repo/target/graft-fixtures/${tag}_${dirTag(dir)}_p$fixturePid"
+
+  /** Persisted-store locations (table name, path) for the incremental
+    * gates — shared with the SQL surface (QueryRunner's
+    * graft_winnow_store_pairs / graft_band_store_dedup mat-views), so
+    * the Scala gate and its SQL twin probe ONE store per (process,
+    * corpus), the q99 build-once stance. */
+  private[graft] def winnowStoreLoc(dir: String): (String, String) =
+    (s"graft_winnow_store_${dirTag(dir)}_p$fixturePid",
+      fixtureDir("q146", dir))
+  private[graft] def bandStoreLoc(dir: String): (String, String) =
+    (s"graft_band_store_${dirTag(dir)}_p$fixturePid",
+      fixtureDir("q99", dir))
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
     * corpus (see TextScrub.PiiPresets for the real PII classes). */
@@ -1198,6 +1247,17 @@ object SparkEntry {
     // store admission: q146's CTEs, flagged = distinct delta docs in
     // a pair, '#wa' hash over the admitted batch, delta spine
     "q149_winnow_store_admit" -> winnowStoreAdmitSql,
+    // span attribution: islands-and-gaps over the matched (pair,
+    // side, pos) set — LAG marks breaks beyond the span gap, running
+    // SUM assigns island ids, per-island min/max/count
+    "q150_winnow_spans" -> winnowSpansSql,
+    // the SQL spelling shares q150's oracle (lockstep)
+    "q151_sql_winnow_spans" -> winnowSpansSql,
+    // store probe from SQL shares q146's oracle (store == SQL)
+    "q152_sql_winnow_store" -> winnowStoreIncrSql,
+    // band-store dedup from SQL shares q68/q99's oracle
+    "q153_sql_band_store" ->
+      PO.incrementalDedup(10L, 0.8).replace("\n", " "),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2121,7 +2181,7 @@ object SparkEntry {
     * min over ROWS CURRENT..w-1 FOLLOWING, full windows only. k/w
     * come from Dedup's constants so the SQL moves in lockstep. */
   private def winnowFpCte(filter: String): String = {
-    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    val k = Winnow.WinnowK; val w = Winnow.WinnowW
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents$filter),
         |p AS (SELECT doc_id, len(t) - ${k - 1} AS n, t,
         |  unnest(range(1, len(t) - ${k - 2})) AS i FROM tk),
@@ -2158,7 +2218,7 @@ object SparkEntry {
         |ORDER BY source""".stripMargin.replace("\n", " ")
 
   private def winnowStatsSql: String =
-    s"""${winnowFpCte(s" WHERE doc_id % ${Dedup.WinnowMod} = 0")}
+    s"""${winnowFpCte(s" WHERE doc_id % ${Winnow.WinnowMod} = 0")}
         |SELECT doc_id, count(*)::BIGINT AS n_fp,
         |  sum(fp_hash % 1000000000)::BIGINT AS fp_hash_sum,
         |  sum(fp_pos)::BIGINT AS fp_pos_sum
@@ -2171,7 +2231,7 @@ object SparkEntry {
     s"""${winnowFpCte("")},
         |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |r AS (SELECT fp_hash FROM d GROUP BY fp_hash
-        |  HAVING count(*) BETWEEN 2 AND ${Dedup.WinnowMaxDf}),
+        |  HAVING count(*) BETWEEN 2 AND ${Winnow.WinnowMaxDf}),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
         |  FROM d a JOIN r ON a.fp_hash = r.fp_hash
         |           JOIN d b ON b.fp_hash = a.fp_hash
@@ -2180,8 +2240,44 @@ object SparkEntry {
   private def winnowOverlapSql: String =
     s"""$winnowPairCtes
         |SELECT doc_a, doc_b, n_shared FROM pr
-        |WHERE n_shared >= ${Dedup.WinnowMinShared}
+        |WHERE n_shared >= ${Winnow.WinnowMinShared}
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  /** The q150 oracle — span attribution as a classic islands-and-gaps
+    * recompute over the SAME fp/df CTEs as q140: matched positions =
+    * DISTINCT (pair, side, pos) where the shared hash passes the df
+    * window `r` (bounded evidence on BOTH engines — boilerplate
+    * contributes no span evidence), LAG marks breaks beyond the span
+    * gap, a running SUM assigns island ids, then per-island
+    * min/max/count. end_pos extends the last matched gram by its
+    * k − 1 trailing tokens, exactly as the Spark fold does. */
+  private def winnowSpansSql: String =
+    s"""$winnowPairCtes,
+        |np AS (SELECT doc_a, doc_b FROM pr
+        |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
+        |mp AS (
+        |  SELECT DISTINCT np.doc_a, np.doc_b, 'a' AS side, fa.fp_pos AS pos
+        |  FROM np JOIN fp fa ON fa.doc_id = np.doc_a
+        |    JOIN r ON fa.fp_hash = r.fp_hash
+        |    JOIN d fb ON fb.doc_id = np.doc_b AND fb.fp_hash = fa.fp_hash
+        |  UNION ALL
+        |  SELECT DISTINCT np.doc_a, np.doc_b, 'b' AS side, fb.fp_pos AS pos
+        |  FROM np JOIN fp fb ON fb.doc_id = np.doc_b
+        |    JOIN r ON fb.fp_hash = r.fp_hash
+        |    JOIN d fa ON fa.doc_id = np.doc_a AND fa.fp_hash = fb.fp_hash),
+        |sq AS (SELECT doc_a, doc_b, side, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_a, doc_b, side
+        |    ORDER BY pos) > ${Winnow.WinnowSpanGap} THEN 1 ELSE 0 END AS brk
+        |  FROM mp),
+        |il AS (SELECT doc_a, doc_b, side, pos,
+        |  sum(brk) OVER (PARTITION BY doc_a, doc_b, side ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl FROM sq)
+        |SELECT doc_a, doc_b, side, (isl + 1)::BIGINT AS span_idx,
+        |  min(pos)::BIGINT AS start_pos,
+        |  (max(pos) + ${Winnow.WinnowK - 1})::BIGINT AS end_pos,
+        |  count(*)::BIGINT AS n_fps
+        |FROM il GROUP BY doc_a, doc_b, side, isl
+        |ORDER BY doc_a, doc_b, side, span_idx""".stripMargin.replace("\n", " ")
 
   /** The q145 oracle: the shared pair CTEs thresholded at minShared,
     * then DuckDB's recursive transitive closure for min-label
@@ -2192,7 +2288,7 @@ object SparkEntry {
   private def winnowApplySql: String =
     s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |np AS (SELECT doc_a, doc_b FROM pr
-        |  WHERE n_shared >= ${Dedup.WinnowMinShared}),
+        |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
         |  UNION SELECT doc_b, doc_a FROM np),
         |reach(node, lab) AS (SELECT src, src FROM edges
@@ -2231,13 +2327,13 @@ object SparkEntry {
         |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |dl AS (SELECT doc_id FROM documents
         |  WHERE ('0x'||substr(sha256(doc_id::VARCHAR||'#inc'),1,15))::BIGINT
-        |    % ${Dedup.WinnowDeltaMod} = 0),
+        |    % ${Winnow.WinnowDeltaMod} = 0),
         |bf AS (SELECT doc_id, fp_hash FROM d
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
         |dfp AS (SELECT doc_id, fp_hash FROM d
         |  WHERE doc_id IN (SELECT doc_id FROM dl)),
         |el AS (SELECT fp_hash FROM bf GROUP BY fp_hash
-        |  HAVING count(*) <= ${Dedup.WinnowMaxDf}),
+        |  HAVING count(*) <= ${Winnow.WinnowMaxDf}),
         |pr AS (SELECT dfp.doc_id AS delta_doc, bf.doc_id AS base_doc,
         |  count(*)::BIGINT AS n_shared
         |  FROM dfp JOIN el USING (fp_hash) JOIN bf USING (fp_hash)
@@ -2246,7 +2342,7 @@ object SparkEntry {
   private def winnowStoreIncrSql: String =
     s"""$winnowStoreCtes
         |SELECT delta_doc, base_doc, n_shared FROM pr
-        |WHERE n_shared >= ${Dedup.WinnowMinShared}
+        |WHERE n_shared >= ${Winnow.WinnowMinShared}
         |ORDER BY delta_doc, base_doc""".stripMargin.replace("\n", " ")
 
   /** The q149 oracle: q146's CTEs; flagged = distinct delta docs in a
@@ -2255,7 +2351,7 @@ object SparkEntry {
   private def winnowStoreAdmitSql: String =
     s"""$winnowStoreCtes,
         |flg AS (SELECT DISTINCT delta_doc AS doc_id FROM pr
-        |  WHERE n_shared >= ${Dedup.WinnowMinShared}),
+        |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
         |dd AS (SELECT doc_id, source, text FROM documents
         |  WHERE doc_id IN (SELECT doc_id FROM dl)),
         |fl AS (SELECT d.source, count(*) AS nf FROM flg
@@ -2279,7 +2375,7 @@ object SparkEntry {
         |SELECT doc_id, nbr, n_shared,
         |  row_number() OVER (PARTITION BY doc_id
         |    ORDER BY n_shared DESC, nbr) AS rn
-        |FROM sy QUALIFY rn <= ${Dedup.WinnowTopK}
+        |FROM sy QUALIFY rn <= ${Winnow.WinnowTopK}
         |ORDER BY doc_id, rn""".stripMargin.replace("\n", " ")
 
   private def oracleSqlTail: Map[String, String] = Map(

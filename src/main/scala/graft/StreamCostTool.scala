@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Characterize the per-micro-batch FIXED cost of the file-stream
+  * replay gates (r16 VERDICT task 6): wall time of one representative
+  * gate dataflow — q127's many-wave FileStreamSource sessionization —
+  * as a function of requested wave count, same corpus, same session.
+  * The replay gates' cost is dominated by per-wave overhead (state
+  * store open/commit, file-source listing, micro-batch planning), not
+  * data volume; this prints the measured curve (waves × wall, with
+  * repetitions) so that claim is a number, not prose. The intercept
+  * at waves→1 is the dataflow's own cost; the slope is the per-wave
+  * fixed overhead that q127/q137/q147 pay by design.
+  * Usage: tools/run.sh graft.StreamCostTool <sfDir> [reps] [waveList]
+  */
+object StreamCostTool {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val waves =
+      if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(2, 4, 8, 16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val events = graft.sources.Corpus.table(spark, sfDir, "events")
+    // pid-suffixed dirs under graft-fixtures ride SparkEntry's
+    // shutdown-hook cleanup (touching fixturePid registers it)
+    val pid = SparkEntry.fixturePid
+    val pts = waves.map { nw =>
+      val runs = (1 to reps).map { i =>
+        val dir =
+          s"/root/repo/target/graft-fixtures/streamcost_${nw}_${i}_p$pid"
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingPipeline
+          .sessionizeFileStreamWaves(events, 30, dir, nWaves = nw)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s"""{"waves":$nw,"runs":[${runs.map(r => f"$r%.2f").mkString(",")}]}"""
+    }
+    println(s"""{"metric":"stream_wave_cost","sf":"$sfDir","gap_minutes":30,"reps":$reps,"points":[${pts.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -677,44 +677,6 @@ object Dedup {
       .orderBy("source")
   }
 
-  /** Ranked fingerprint neighbors — the SEARCH form of
-    * [[winnowOverlapPairs]]: for every document with at least one
-    * copy-evidence neighbor, the top-k neighbors by shared winnowed
-    * fingerprints (ties broken by neighbor id). The attribution view:
-    * "who did this document copy from, or get copied by" — read
-    * before dropping or down-weighting a training doc that q140
-    * flagged. Docs with no neighbor stay silent (q74's convention).
-    *
-    * Scale shape: the pair table is q140's (minShared = 1 — the rank
-    * decides relevance, not a floor), symmetrized by exploding BOTH
-    * orientations from each pair row in one map (a union of two
-    * selects over the same frame would recompute the whole uncached
-    * gram-scan + window + pair subtree per branch — the int8-audit
-    * lesson again, measured: 12 WindowGroupLimit nodes in the
-    * unioned plan vs 4 here), then ONE row_number per doc_id that
-    * compiles to partial+final WindowGroupLimit — per-doc candidate
-    * lists are cut to k map-side, so a hub document with thousands
-    * of evidence pairs never ships them all to one reducer. */
-  def winnowTopNeighbors(docs: DataFrame, k: Int = WinnowK,
-                         w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
-                         topK: Int = WinnowTopK): DataFrame = {
-    require(topK >= 1, s"topK $topK must be >= 1")
-    val pairs = winnowOverlapPairs(docs, k, w, maxDf, minShared = 1L)
-    val sym = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
-        struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))).as("e"),
-        col("n_shared"))
-      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
-        col("n_shared"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("n_shared").desc, col("nbr"))
-    sym.withColumn("rn", row_number().over(wRank))
-      .where(col("rn") <= topK)
-      .orderBy("doc_id", "rn")
-  }
-
   /** APPLY the 13-gram decontamination — the ship operator the
     * q134/q135 report (and the q138 eval detail) exist to inform:
     * drop every training document that shares at least one 13-gram
@@ -883,7 +845,7 @@ object Dedup {
   }
 
   /** The q68 delta/base split, shared by every incremental tier. */
-  private def deltaSplit(docs: DataFrame, deltaMod: Long)
+  private[pipeline] def deltaSplit(docs: DataFrame, deltaMod: Long)
       : (DataFrame, DataFrame) = {
     val isDelta = hash64(col("doc_id").cast("string"), "inc") % deltaMod === 0
     (docs.where(!isDelta), docs.where(isDelta))
@@ -1327,333 +1289,4 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  // ----- winnowing fingerprints (local document fingerprinting) -----
-
-  /** Winnowing parameters, referenced by the q139/q140 oracles so the
-    * SQL recompute moves in lockstep: gram size k, window w (detection
-    * guarantee t = w + k - 1 = 8 shared tokens), evidence df cap and
-    * pair-report threshold. */
-  val WinnowK = 5
-  val WinnowW = 4
-  val WinnowMod = 25L
-  val WinnowMaxDf = 8
-  val WinnowMinShared = 5L
-  /** Stand-in ingest-batch modulus for the store-incremental tier
-    * (q146): hash64(doc_id, "inc") % this == 0 → delta, the q68
-    * convention. ~1/4 of the corpus so pair evidence straddles the
-    * split at every SF. */
-  val WinnowDeltaMod = 4L
-  /** Ranked-neighbor depth for [[winnowTopNeighbors]] (q142). */
-  val WinnowTopK = 3
-
-  /** Winnowed document fingerprints — the published local
-    * fingerprinting algorithm (Schleimer, Wilbur & Aiken, "Winnowing:
-    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
-    * every k-token gram POSITIONALLY, slide a window of w consecutive
-    * gram hashes, keep each window's minimum. Guarantee: any token run
-    * of length >= w + k - 1 shared by two documents yields at least
-    * one shared fingerprint — sub-document copy detection at a tunable
-    * density of ~2/(w+1) fingerprints per token, the granularity
-    * whole-doc MinHash (q18/q19) cannot see and suffix arrays are too
-    * expensive to provide at corpus scale.
-    *
-    * Tie-break: the LEFTMOST minimal hash per window (the paper's
-    * density analysis prefers rightmost; any fixed rule preserves the
-    * guarantee, and leftmost is what a lexicographic min over the
-    * zero-padded (hash, pos) key gives — one string min instead of an
-    * argmin struct, spelled identically in DuckDB for the oracle).
-    * Adjacent windows usually select the same (hash, pos); the
-    * DISTINCT collapses them, which is what bounds density.
-    *
-    * Scale shape: the gram scan is per-doc local (one native kernel
-    * call per row); the only exchange is the window's hash-partition
-    * by doc_id — narrow 16-byte rows, no skew risk beyond document
-    * length itself. Output is the fingerprint table (doc_id, fp_hash,
-    * fp_pos), ~2/(w+1) of token count — the artifact every downstream
-    * overlap/provenance query joins against. */
-  def winnowedFingerprints(docs: DataFrame, k: Int = WinnowK,
-                           w: Int = WinnowW): DataFrame = {
-    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
-    val wWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    docs
-      .select(col("doc_id"), posShingleHashes(col("text"), k, "wn").as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("n"),
-        posexplode(col("gs")).as(Seq("pos", "g")))
-      // zero-padded (hash, pos) key: lexicographic min == (min hash,
-      // leftmost pos) because both fields are fixed-width digits
-      .withColumn("sel", min(concat(
-        lpad(col("g").cast("string"), 20, "0"),
-        lpad(col("pos").cast("string"), 10, "0"))).over(wWin))
-      // full windows only (window start pos has w grams left): the
-      // paper defines exactly n - w + 1 windows
-      .where(col("pos") <= col("n") - w)
-      .select(col("doc_id"),
-        substring(col("sel"), 1, 20).cast("long").as("fp_hash"),
-        substring(col("sel"), 21, 10).cast("long").as("fp_pos"))
-      .distinct()
-  }
-
-  /** Per-document winnowing digest over a doc_id-mod sample — the q139
-    * gate: fingerprint count plus hash- and position-sums, so the
-    * oracle recompute pins the selection (which hashes) AND the
-    * tie-break (which positions) bit-exactly. */
-  def winnowFingerprintStats(docs: DataFrame, k: Int = WinnowK,
-                             w: Int = WinnowW,
-                             mod: Long = WinnowMod): DataFrame =
-    winnowedFingerprints(docs.where(col("doc_id") % mod === 0), k, w)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"),
-        sum(col("fp_hash") % 1000000000L).as("fp_hash_sum"),
-        sum(col("fp_pos")).as("fp_pos_sum"))
-      .orderBy("doc_id")
-
-  /** Cross-document copy detection over the winnowed fingerprint
-    * table — pairs of documents sharing >= minShared fingerprints
-    * through BOUNDED evidence: fingerprints held by more than maxDf
-    * documents are dropped before pairing (boilerplate is not copy
-    * evidence — the q138 lesson applied at design time: an unbounded
-    * self-join on a corpus-universal fingerprint is quadratic).
-    *
-    * Join-FREE one-pass spelling. The naive form is a self-join of
-    * the fingerprint table on fp_hash — which computes the whole
-    * gram-scan + window subtree once per join side (the int8-audit
-    * lesson: Spark does not share uncached subtrees) and shuffles the
-    * table twice. Instead: a row_number cap of maxDf + 1 per
-    * fingerprint (compiles to partial+final WindowGroupLimit, so a
-    * boilerplate fingerprint's million holders never even reach the
-    * exchange), collect the ≤ maxDf+1 doc list per fingerprint, keep
-    * lists sized 2..maxDf (a truncated maxDf+1 list IS the df > maxDf
-    * boilerplate case — dropped, bit-identical semantics to the df
-    * filter), and explode the ≤ maxDf*(maxDf-1)/2 ordered pairs from
-    * each tiny array. One winnow computation, no join anywhere;
-    * output linear in distinct fingerprints by construction. */
-  def winnowOverlapPairs(docs: DataFrame, k: Int = WinnowK,
-                         w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
-                         minShared: Long = WinnowMinShared): DataFrame = {
-    require(maxDf >= 2 && minShared >= 1, s"maxDf $maxDf / minShared $minShared")
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
-    winnowedFingerprints(docs, k, w)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .withColumn("rn", row_number().over(wDf))
-      .where(col("rn") <= maxDf + 1)
-      .groupBy(col("fp_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")).between(2, maxDf))
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** APPLY the winnow copy-detection tier — the ship operator the
-    * q140/q142 reports exist to inform, completing report→apply for
-    * sub-document copy detection exactly as [[decontaminateCorpus13]]
-    * (q141) completes it for decontamination: connected components
-    * over the copy-evidence pair graph, keep the BEST member per
-    * component (longest n_chars, ties to smallest doc_id — the
-    * [[dedupByClustersKeepBest]] policy: retain the most complete
-    * copy), drop the rest, and emit the per-source ship digest with a
-    * content hash over the KEPT corpus so the gate certifies the
-    * artifact a training run would read.
-    *
-    * Returns per-source: n_docs, n_flagged (docs with any copy
-    * evidence), n_dropped, n_kept, kept_hash_sum ('#wk' 60-bit
-    * content hash, mod 1e9, summed — order-independent). Invariant
-    * (spec-pinned): n_kept + n_dropped == n_docs, and n_dropped ==
-    * n_flagged − (number of components) per construction.
-    *
-    * Scale shape: the pair graph is [[winnowOverlapPairs]]' — join-
-    * free, df-bounded, output O(distinct fingerprints) — and the
-    * component solve is the shared [[minLabelComponents]] core
-    * (size-gated driver union-find under 1M edges, the distributed
-    * min-label loop above). Everything after clustering is sized by
-    * FLAGGED docs, not the corpus: the keep-best window partitions by
-    * component over cluster members only, the drop set anti-joins
-    * back on 8-byte doc_ids, and the digest folds partially per
-    * partition — certifying the artifact adds no extra exchange. */
-  def winnowDedupCorpus(docs: DataFrame, k: Int = WinnowK,
-                        w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
-                        minShared: Long = WinnowMinShared): DataFrame = {
-    val clusters = minLabelComponents(
-        winnowOverlapPairs(docs, k, w, maxDf, minShared), "doc_a", "doc_b")
-      .select(col("node").as("doc_id"), col("label").as("cluster"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val removed = clusters
-      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-      .withColumn("rn", row_number().over(wBest))
-      .where(col("rn") =!= 1)
-      .select(col("doc_id"))
-    val bySource = docs.select(col("doc_id"), col("source"))
-    val flagged = clusters.join(bySource, "doc_id")
-      .groupBy("source").agg(count(lit(1)).as("n_flagged"))
-    val dropped = removed.join(bySource, "doc_id")
-      .groupBy("source").agg(count(lit(1)).as("n_dropped"))
-    val kept = docs.join(removed, Seq("doc_id"), "left_anti")
-      .groupBy("source").agg(count(lit(1)).as("n_kept"),
-        sum(hash64(col("text"), "wk") % 1000000000L).as("kept_hash_sum"))
-    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .join(flagged, Seq("source"), "left")
-      .join(dropped, Seq("source"), "left")
-      .join(kept, Seq("source"), "left")
-      .na.fill(0L, Seq("n_flagged", "n_dropped", "n_kept", "kept_hash_sum"))
-      .select(col("source"), col("n_docs"), col("n_flagged"),
-        col("n_dropped"), col("n_kept"), col("kept_hash_sum"))
-      .orderBy("source")
-  }
-
-  // ----- persisted winnow fingerprint store (incremental tier) -----
-
-  /** Build the PERSISTED winnow fingerprint store — the q68/q99 band-
-    * store discipline applied to the winnowing tier (r15 VERDICT
-    * task 4). The fingerprint table (doc_id, fp_hash, fp_pos) is the
-    * reusable provenance artifact at 100 TB: a nightly compaction
-    * fingerprints the standing corpus ONCE and persists it BUCKETED
-    * on fp_hash, so each day's ingest batch probes for sub-document
-    * copies without re-fingerprinting the corpus and without
-    * shuffling the base side — the bucketed scan already has the
-    * probe join's partitioning; only the day's delta moves. fp_pos is
-    * kept (not needed for pairing) because the store doubles as the
-    * attribution artifact: WHERE in the base doc the copied span
-    * lives. */
-  def buildWinnowStore(base: DataFrame, table: String, path: String,
-                       k: Int = WinnowK, w: Int = WinnowW,
-                       nBuckets: Int = 16): Unit =
-    winnowedFingerprints(base, k, w).write.mode("overwrite")
-      .bucketBy(nBuckets, "fp_hash").sortBy("fp_hash")
-      .option("path", path)
-      .saveAsTable(table)
-
-  /** One store build per (process, table) — the band-store stance:
-    * Verify/Bench run many queries in one session, and the nightly-
-    * artifact semantics are build-once-probe-thereafter. */
-  private val winnowStoreBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
-  /** Delta-vs-base sub-document copy detection THROUGH the persisted
-    * fingerprint store — the asymmetric (ingest admission) form of
-    * [[winnowOverlapPairs]], exactly as [[incrementalDedupViaBandStore]]
-    * (q99) is the asymmetric form of the LSH pair tier: documents with
-    * hash64(doc_id, "inc") % deltaMod == 0 stand in for the incoming
-    * batch (the q68 split, hash not modulo — doc_id ranges correlate
-    * with source); the rest are the standing corpus, fingerprinted
-    * via the store. A delta doc pairs with every base doc sharing
-    * >= minShared winnowed fingerprints through df-BOUNDED evidence,
-    * where df is the BASE-side holder count — the store's view of
-    * boilerplate (a production pipeline folds each admitted batch
-    * into the store nightly, so base df is the durable definition;
-    * delta-internal pairs are [[winnowOverlapPairs]]' job, not this
-    * tier's).
-    *
-    * Scale shape: the base side streams out of the bucketed store —
-    * the per-fingerprint doc-list aggregate rides the store's fp_hash
-    * bucketing (no base Exchange, pinned in SkewAndBucketSpec); only
-    * the delta's fingerprints shuffle. The df cap bounds every doc
-    * list at maxDf before the join, so a boilerplate fingerprint in
-    * the store never fans a probe out to its million holders —
-    * output is <= maxDf rows per (delta doc, distinct fingerprint)
-    * by construction. */
-  def winnowStoreOverlap(docs: DataFrame, deltaMod: Long,
-                         table: String, path: String,
-                         k: Int = WinnowK, w: Int = WinnowW,
-                         maxDf: Int = WinnowMaxDf,
-                         minShared: Long = WinnowMinShared): DataFrame = {
-    val (base, delta) = deltaSplit(docs, deltaMod)
-    winnowStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
-      buildWinnowStore(base, table, path, k, w)
-      java.lang.Boolean.TRUE
-    })
-    winnowStorePairs(delta, table, k, w, maxDf, minShared)
-  }
-
-  /** Fold an admitted batch INTO the standing fingerprint store — the
-    * nightly maintenance job the store's contract assumes: tomorrow's
-    * ingest must see today's admitted documents as base. Bucketed
-    * `insertInto` writes the new fingerprints into the table's own
-    * (fp_hash, 16) bucket spec, so the no-base-shuffle probe property
-    * survives appends (spec-pinned: probe-after-append ==
-    * probe-of-rebuilt-store). */
-  def appendWinnowStore(batch: DataFrame, table: String,
-                        k: Int = WinnowK, w: Int = WinnowW): Unit =
-    winnowedFingerprints(batch, k, w).write.mode("append")
-      .insertInto(table)
-
-  /** ADMIT the ingest batch through the store — report→apply for the
-    * incremental tier, exactly as q145 completes q140 and q141
-    * completes q134: [[winnowStoreOverlap]] reports delta-vs-base
-    * copy pairs; this drops every delta doc with copy evidence
-    * against the standing corpus and emits the per-source admission
-    * digest with a '#wa' content hash over the ADMITTED batch — the
-    * artifact the ingest job actually appends. Policy: the BASE copy
-    * wins (the standing corpus is already shipped/trained-on; an
-    * incoming near-copy is the one to drop) — the asymmetric
-    * counterpart of q145's keep-best, which arbitrates only within
-    * the not-yet-shipped corpus.
-    *
-    * Scale shape: [[winnowStorePairs]]' (no base exchange, df-bounded
-    * map-side) plus ONE anti-join of the batch against its own
-    * flagged ids — ingest-batch-sized throughout. */
-  def winnowStoreAdmit(docs: DataFrame, deltaMod: Long,
-                       table: String, path: String,
-                       k: Int = WinnowK, w: Int = WinnowW,
-                       maxDf: Int = WinnowMaxDf,
-                       minShared: Long = WinnowMinShared): DataFrame = {
-    val (base, delta) = deltaSplit(docs, deltaMod)
-    winnowStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
-      buildWinnowStore(base, table, path, k, w)
-      java.lang.Boolean.TRUE
-    })
-    val flagged = winnowStorePairs(delta, table, k, w, maxDf, minShared)
-      .select(col("delta_doc").as("doc_id")).distinct()
-    val admitted = delta.join(flagged, Seq("doc_id"), "left_anti")
-    val bySource = delta.select(col("doc_id"), col("source"))
-    delta.groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
-      .join(flagged.join(bySource, "doc_id").groupBy(col("source"))
-        .agg(count(lit(1)).as("n_copy_flagged")), Seq("source"), "left")
-      .join(admitted.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_admitted"),
-          sum(hash64(col("text"), "wa") % 1000000000L)
-            .as("admitted_hash_sum")), Seq("source"), "left")
-      .na.fill(0L, Seq("n_copy_flagged", "n_admitted", "admitted_hash_sum"))
-      .select(col("source"), col("n_delta"), col("n_copy_flagged"),
-        col("n_admitted"), col("admitted_hash_sum"))
-      .orderBy("source")
-  }
-
-  /** Probe tail of [[winnowStoreOverlap]], exposed for the plan pin:
-    * the base aggregate must scan bucketed (no Exchange below it);
-    * only the delta side shuffles. */
-  private[graft] def winnowStorePairs(delta: DataFrame, table: String,
-                                      k: Int, w: Int, maxDf: Int,
-                                      minShared: Long): DataFrame = {
-    // row_number cap at maxDf + 1 BEFORE the collect (the q140
-    // discipline): a boilerplate fingerprint's million holders are cut
-    // to maxDf + 1 rows map-side (WindowGroupLimit riding the store's
-    // fp_hash bucketing+sort), and a truncated maxDf+1 list IS the
-    // df > maxDf case — dropped, bit-identical to the true-df filter
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
-    val basePerFp = delta.sparkSession.table(table)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .withColumn("rn", row_number().over(wDf))
-      .where(col("rn") <= maxDf + 1)
-      .groupBy(col("fp_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= maxDf)
-    winnowedFingerprints(delta, k, w)
-      .select(col("doc_id").as("delta_doc"), col("fp_hash")).distinct()
-      .join(basePerFp, Seq("fp_hash"))
-      .select(col("delta_doc"), explode(col("ds")).as("base_doc"))
-      .groupBy(col("delta_doc"), col("base_doc"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      .orderBy("delta_doc", "base_doc")
-  }
 }

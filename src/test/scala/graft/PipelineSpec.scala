@@ -1553,7 +1553,7 @@ class PipelineSpec extends AnyFunSuite {
       (1L, words(10) + " " + big + " " + small),
       (2L, big + " " + words(30)),
       (3L, words(25) + " " + small)).toDF("doc_id", "text")
-    val out = Dedup.winnowTopNeighbors(corpus).collect()
+    val out = Winnow.winnowTopNeighbors(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     val a = out.filter(_._1 == 1L).sortBy(_._4)
     assert(a.map(t => (t._2, t._4)).toSeq == Seq((2L, 1), (3L, 2)))
@@ -1568,7 +1568,7 @@ class PipelineSpec extends AnyFunSuite {
   test("posShingleHashes kernel: bit-equal to the HOF spelling, duplicates kept") {
     val s = spark
     import s.implicits._
-    val k = Dedup.WinnowK
+    val k = Winnow.WinnowK
     val toks = TextFunctions.tokens(col("text"))
     val hof = when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
@@ -1594,10 +1594,10 @@ class PipelineSpec extends AnyFunSuite {
     // t = w + k - 1 = 8: one full gram window fits wholly inside the
     // shared run on both sides, so its min is selected in both docs
     (0 until 10).foreach { trial =>
-      val shared = words(Dedup.WinnowW + Dedup.WinnowK - 1)
+      val shared = words(Winnow.WinnowW + Winnow.WinnowK - 1)
       val a = words(30) + " " + shared + " " + words(25)
       val b = words(17) + " " + shared + " " + words(40)
-      val fps = Dedup.winnowedFingerprints(
+      val fps = Winnow.winnowedFingerprints(
           Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
         .select("doc_id", "fp_hash").collect()
       val fa = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
@@ -1611,17 +1611,17 @@ class PipelineSpec extends AnyFunSuite {
     import s.implicits._
     val one = docs.orderBy("doc_id").limit(1).cache()
     val nGrams = one.select(size(
-      TextFunctions.posShingleHashes(col("text"), Dedup.WinnowK, "wn"))).head.getInt(0)
-    val nWin = nGrams - Dedup.WinnowW + 1
-    val nFp = Dedup.winnowedFingerprints(one).count()
+      TextFunctions.posShingleHashes(col("text"), Winnow.WinnowK, "wn"))).head.getInt(0)
+    val nWin = nGrams - Winnow.WinnowW + 1
+    val nFp = Winnow.winnowedFingerprints(one).count()
     one.unpersist()
     // every window selects exactly one fp; one fp covers <= w windows
     assert(nFp <= nWin)
-    assert(nFp >= (nWin + Dedup.WinnowW - 1) / Dedup.WinnowW)
+    assert(nFp >= (nWin + Winnow.WinnowW - 1) / Winnow.WinnowW)
     // all-identical tokens: every gram hash equal, so the leftmost
     // tie-break selects every full-window start — 20 tokens, k=5 ->
     // 16 grams, w=4 -> 13 windows, starts 0..12
-    val sel = Dedup.winnowedFingerprints(
+    val sel = Winnow.winnowedFingerprints(
         Seq((7L, Seq.fill(20)("z").mkString(" "))).toDF("doc_id", "text"))
       .select("fp_pos").collect().map(_.getLong(0)).sorted.toSeq
     assert(sel == (0L to 12L))
@@ -1636,19 +1636,19 @@ class PipelineSpec extends AnyFunSuite {
     // maxDf=8, so the evidence filter drops all of it — zero pairs
     // even at minShared=1 (boilerplate is not copy evidence)
     val boiler = words(40)
-    val silent = Dedup.winnowOverlapPairs(
+    val silent = Winnow.winnowOverlapPairs(
       (0 until 10).map(i => (i.toLong, boiler)).toDF("doc_id", "text"),
       minShared = 1L)
     assert(silent.count() == 0L)
     // a 40-token run shared by exactly two docs: df=2 evidence, ~33
     // fully-contained windows -> >= ceil(33/w) ~ 9 shared fps >= 5
     val run = words(40)
-    val pairs = Dedup.winnowOverlapPairs(
+    val pairs = Winnow.winnowOverlapPairs(
       Seq((100L, words(30) + " " + run), (200L, run + " " + words(35)))
         .toDF("doc_id", "text")).collect()
     assert(pairs.length == 1)
     assert(pairs(0).getLong(0) == 100L && pairs(0).getLong(1) == 200L)
-    assert(pairs(0).getLong(2) >= Dedup.WinnowMinShared)
+    assert(pairs(0).getLong(2) >= Winnow.WinnowMinShared)
   }
 
   test("winnow apply: keep-best over the pair graph; kept+dropped == corpus; the shared-run doc drops") {
@@ -1656,7 +1656,7 @@ class PipelineSpec extends AnyFunSuite {
     import s.implicits._
     // corpus invariants at the gate parameters: the digest partitions
     // the corpus exactly, and only flagged docs can drop
-    Dedup.winnowDedupCorpus(docs).collect().foreach { r =>
+    Winnow.winnowDedupCorpus(docs).collect().foreach { r =>
       assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
         r.getAs[Long]("n_docs"), r.toString)
       assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_flagged"), r.toString)
@@ -1675,7 +1675,7 @@ class PipelineSpec extends AnyFunSuite {
     val fix = Seq((100L, "s1", a), (200L, "s1", b), (300L, "s2", c))
       .toDF("doc_id", "source", "text")
       .withColumn("n_chars", length($"text"))
-    val out = Dedup.winnowDedupCorpus(fix).collect()
+    val out = Winnow.winnowDedupCorpus(fix).collect()
     val s1 = out.find(_.getString(0) == "s1").get
     val s2 = out.find(_.getString(0) == "s2").get
     assert(s1.getAs[Long]("n_flagged") == 2L && s1.getAs[Long]("n_dropped") == 1L
@@ -1698,7 +1698,7 @@ class PipelineSpec extends AnyFunSuite {
       .createTempDirectory("graft_winnow_store_spec").toString
     // find one delta id and one base id under the gate's '#inc' split
     val isDeltaCol = graft.pipeline.TextFunctions
-      .hash64(col("doc_id").cast("string"), "inc") % Dedup.WinnowDeltaMod === 0
+      .hash64(col("doc_id").cast("string"), "inc") % Winnow.WinnowDeltaMod === 0
     val ids = (0L until 64L).toDF("doc_id")
       .select($"doc_id", isDeltaCol.as("d")).collect()
       .map(r => (r.getLong(0), r.getBoolean(1)))
@@ -1710,18 +1710,18 @@ class PipelineSpec extends AnyFunSuite {
     val fix = Seq((deltaId, words(25) + " " + run),
         (baseId, run + " " + words(30)))
       .toDF("doc_id", "text")
-    Dedup.buildWinnowStore(fix.where(!isDeltaCol),
+    Winnow.buildWinnowStore(fix.where(!isDeltaCol),
       "winnow_store_spec_tbl", dir)
     try {
-      val out = Dedup.winnowStorePairs(fix.where(isDeltaCol),
-        "winnow_store_spec_tbl", Dedup.WinnowK, Dedup.WinnowW,
-        Dedup.WinnowMaxDf, Dedup.WinnowMinShared).collect()
+      val out = Winnow.winnowStorePairs(fix.where(isDeltaCol),
+        "winnow_store_spec_tbl", Winnow.WinnowK, Winnow.WinnowW,
+        Winnow.WinnowMaxDf, Winnow.WinnowMinShared).collect()
       assert(out.length == 1, out.mkString(";"))
       assert(out(0).getLong(0) == deltaId && out(0).getLong(1) == baseId)
-      assert(out(0).getLong(2) >= Dedup.WinnowMinShared)
+      assert(out(0).getLong(2) >= Winnow.WinnowMinShared)
       // round-trip: the store holds exactly the base fingerprint table
       assert(s.table("winnow_store_spec_tbl").count() ==
-        Dedup.winnowedFingerprints(fix.where(!isDeltaCol)).count())
+        Winnow.winnowedFingerprints(fix.where(!isDeltaCol)).count())
     } finally s.sql("DROP TABLE IF EXISTS winnow_store_spec_tbl")
   }
 
@@ -1731,7 +1731,7 @@ class PipelineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_winnow_admit_spec").toString
     val isDeltaCol = graft.pipeline.TextFunctions
-      .hash64(col("doc_id").cast("string"), "inc") % Dedup.WinnowDeltaMod === 0
+      .hash64(col("doc_id").cast("string"), "inc") % Winnow.WinnowDeltaMod === 0
     val ids = (0L until 64L).toDF("doc_id")
       .select($"doc_id", isDeltaCol.as("d")).collect()
       .map(r => (r.getLong(0), r.getBoolean(1)))
@@ -1747,12 +1747,12 @@ class PipelineSpec extends AnyFunSuite {
         (deltaIds(1), "sA", cleanText),
         (baseId, "sB", run + " " + words(25)))
       .toDF("doc_id", "source", "text")
-    Dedup.buildWinnowStore(fix.where(!isDeltaCol),
+    Winnow.buildWinnowStore(fix.where(!isDeltaCol),
       "winnow_admit_spec_tbl", dir)
     try {
-      val flaggedPairs = Dedup.winnowStorePairs(fix.where(isDeltaCol),
-        "winnow_admit_spec_tbl", Dedup.WinnowK, Dedup.WinnowW,
-        Dedup.WinnowMaxDf, Dedup.WinnowMinShared)
+      val flaggedPairs = Winnow.winnowStorePairs(fix.where(isDeltaCol),
+        "winnow_admit_spec_tbl", Winnow.WinnowK, Winnow.WinnowW,
+        Winnow.WinnowMaxDf, Winnow.WinnowMinShared)
       // digest tail computed exactly as winnowStoreAdmit (which would
       // rebuild the store under its own name; probe the spec's table)
       val flagged = flaggedPairs.select($"delta_doc".as("doc_id")).distinct()
@@ -1787,16 +1787,16 @@ class PipelineSpec extends AnyFunSuite {
       .createTempDirectory("graft_winnow_append_a").toString
     val dirB = java.nio.file.Files
       .createTempDirectory("graft_winnow_append_b").toString
-    Dedup.buildWinnowStore(batch1.toDF("doc_id", "text"),
+    Winnow.buildWinnowStore(batch1.toDF("doc_id", "text"),
       "winnow_append_tbl", dirA)
-    Dedup.appendWinnowStore(batch2.toDF("doc_id", "text"),
+    Winnow.appendWinnowStore(batch2.toDF("doc_id", "text"),
       "winnow_append_tbl")
-    Dedup.buildWinnowStore((batch1 ++ batch2).toDF("doc_id", "text"),
+    Winnow.buildWinnowStore((batch1 ++ batch2).toDF("doc_id", "text"),
       "winnow_whole_tbl", dirB)
     try {
       def pairsVia(table: String) =
-        Dedup.winnowStorePairs(probe, table, Dedup.WinnowK, Dedup.WinnowW,
-            Dedup.WinnowMaxDf, Dedup.WinnowMinShared)
+        Winnow.winnowStorePairs(probe, table, Winnow.WinnowK, Winnow.WinnowW,
+            Winnow.WinnowMaxDf, Winnow.WinnowMinShared)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .toSeq.sorted
       val appended = pairsVia("winnow_append_tbl")
@@ -1807,5 +1807,158 @@ class PipelineSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS winnow_append_tbl")
       s.sql("DROP TABLE IF EXISTS winnow_whole_tbl")
     }
+  }
+
+  // ----- r17: span attribution + store idempotence/compaction/guard -----
+
+  test("winnow spans: the planted copied run is located in both docs' token coordinates, one island each") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("c" + rng.nextInt(9000)).mkString(" ")
+    val runLen = 20; val preA = 25; val preB = 10
+    val run = words(runLen)
+    val docs = Seq((1L, words(preA) + " " + run + " " + words(12)),
+        (2L, words(preB) + " " + run + " " + words(30)))
+      .toDF("doc_id", "text")
+    val spans = Winnow.winnowCopySpans(docs, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val aSide = spans.filter(_._3 == "a"); val bSide = spans.filter(_._3 == "b")
+    // one contiguous copied region → one island per side (matched
+    // fingerprints inside a shared run sit <= w grams apart, well
+    // under the span gap)
+    assert(aSide.length == 1 && bSide.length == 1, spans.mkString(";"))
+    // located WHERE planted: matched grams lie wholly inside the run,
+    // so [start, end] nests in the run's token interval on each side
+    assert(aSide(0)._5 >= preA && aSide(0)._6 <= preA + runLen - 1,
+      aSide(0).toString)
+    assert(bSide(0)._5 >= preB && bSide(0)._6 <= preB + runLen - 1,
+      bSide(0).toString)
+    assert(aSide(0)._7 >= 1 && aSide(0)._4 == 1L)
+  }
+
+  test("winnow store ingest idempotence: a batch already folded into the store re-admits ZERO") {
+    // DESIGN DECISION (r16 VERDICT task 2): winnowStorePairs keeps
+    // self-pairs (delta_doc == base_doc) — they ARE the idempotence
+    // mechanism: a re-ingested doc matches its own fingerprints in
+    // the store and is rejected, which is exactly the base-copy-wins
+    // policy (the standing corpus already holds this content; WHICH
+    // base doc holds it is irrelevant). No =!= filter is added.
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)("d" + rng.nextInt(9000)).mkString(" ")
+    val base = Seq((1L, words(40)), (2L, words(35))).toDF("doc_id", "text")
+    val batch = Seq((50L, words(40)), (51L, words(45))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_idem").toString
+    Winnow.buildWinnowStore(base, "winnow_idem_tbl", dir)
+    try {
+      def flaggedOf(b: org.apache.spark.sql.DataFrame): Set[Long] =
+        Winnow.winnowStorePairs(b, "winnow_idem_tbl", Winnow.WinnowK,
+            Winnow.WinnowW, Winnow.WinnowMaxDf, Winnow.WinnowMinShared)
+          .select("delta_doc").distinct().collect()
+          .map(_.getLong(0)).toSet
+      // fresh batch admits fully...
+      assert(flaggedOf(batch).isEmpty)
+      // ...fold it in, replay it: every doc self-matches → zero admitted
+      Winnow.appendWinnowStore(batch, "winnow_idem_tbl")
+      assert(flaggedOf(batch) == Set(50L, 51L))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_idem_tbl")
+  }
+
+  test("winnow store disjoint split never yields a self-pair (q146 path)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    def words(n: Int) = Seq.fill(n)("e" + rng.nextInt(300)).mkString(" ")
+    val fix = (0L until 40L).map(i => (i, "sX", words(30)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_selfpair").toString
+    try {
+      val pairs = Winnow.winnowStoreOverlap(fix, Winnow.WinnowDeltaMod,
+        "winnow_selfpair_tbl", dir, minShared = 1L)
+      assert(pairs.where(col("delta_doc") === col("base_doc")).count() == 0)
+    } finally s.sql("DROP TABLE IF EXISTS winnow_selfpair_tbl")
+  }
+
+  test("winnow store compaction: replayed appends dedupe; probe identical; bucket spec survives") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19)
+    def words(n: Int) = Seq.fill(n)("f" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    val base = Seq((1L, words(30)), (2L, run + " " + words(20)))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, words(25))).toDF("doc_id", "text")
+    val probe = Seq((99L, words(10) + " " + run)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_compact").toString
+    Winnow.buildWinnowStore(base, "winnow_compact_tbl", dir)
+    // replay the SAME batch twice — blind appends duplicate its rows
+    Winnow.appendWinnowStore(batch, "winnow_compact_tbl")
+    Winnow.appendWinnowStore(batch, "winnow_compact_tbl")
+    try {
+      def probePairs() = Winnow.winnowStorePairs(probe,
+          "winnow_compact_tbl", Winnow.WinnowK, Winnow.WinnowW,
+          Winnow.WinnowMaxDf, Winnow.WinnowMinShared)
+      val before = probePairs().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val rawBefore = s.table("winnow_compact_tbl").count()
+      val distinctRows = s.table("winnow_compact_tbl").distinct().count()
+      assert(rawBefore > distinctRows, s"$rawBefore vs $distinctRows")
+      Winnow.compactWinnowStore(s, "winnow_compact_tbl", dir)
+      assert(s.table("winnow_compact_tbl").count() == distinctRows)
+      val after = probePairs()
+      assert(after.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted == before)
+      assert(before.map(p => (p._1, p._2)) == Seq((99L, 2L)))
+      // the rewrite kept the (fp_hash, 16) bucket spec: the probe's
+      // base aggregate still scans bucketed, no base-side exchange
+      assert(after.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_compact_tbl")
+  }
+
+  test("winnow store stale-guard: a CHANGED base at the same table+path rebuilds, never probes the stale store") {
+    val s = spark
+    import s.implicits._
+    val isDeltaCol = graft.pipeline.TextFunctions
+      .hash64(col("doc_id").cast("string"), "inc") % Winnow.WinnowDeltaMod === 0
+    val ids = (0L until 64L).toDF("doc_id")
+      .select($"doc_id", isDeltaCol.as("d")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val deltaId = ids.find(_._2).get._1
+    val baseIds = ids.filter(!_._2).map(_._1)
+    val rng = new scala.util.Random(23)
+    def words(n: Int) = Seq.fill(n)("g" + rng.nextInt(9000)).mkString(" ")
+    val runA = words(40); val runB = words(40)
+    // corpus A: delta copies from base doc baseIds(0). Corpus B (same
+    // table+path!) is a DIFFERENT corpus — different base id set —
+    // where the same delta id copies from baseIds(1), and A's
+    // evidence no longer exists anywhere. (The guard's signature is
+    // id-set-shaped by design — a content swap at an IDENTICAL id set
+    // requires an explicit rebuild, documented at ensureWinnowStore.)
+    val corpusA = Seq((deltaId, words(10) + " " + runA),
+        (baseIds(0), runA + " " + words(15)),
+        (baseIds(1), words(35))).toDF("doc_id", "text")
+    val corpusB = Seq((deltaId, words(12) + " " + runB),
+        (baseIds(1), runB + " " + words(18)),
+        (baseIds(2), words(22))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_guard").toString
+    try {
+      def pairsOf(c: org.apache.spark.sql.DataFrame) =
+        Winnow.winnowStoreOverlap(c, Winnow.WinnowDeltaMod,
+            "winnow_guard_tbl", dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(pairsOf(corpusA) == Seq((deltaId, baseIds(0))))
+      // same table+path, different corpus: the signature check must
+      // rebuild — the stale store would still report baseIds(0)
+      assert(pairsOf(corpusB) == Seq((deltaId, baseIds(1))))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_guard_tbl")
   }
 }

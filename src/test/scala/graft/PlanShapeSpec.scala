@@ -368,6 +368,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kernelRefs >= 1 && kernelRefs <= 6, s"kernel refs $kernelRefs")
   }
 
+  test("q150 winnow spans: join-FREE attribution; df cap bounds evidence BEFORE pair expansion") {
+    val p = plan("q150_winnow_spans")
+    // no join anywhere: position evidence rides the pair tier's
+    // one-pass per-fingerprint expansion, and the island collapse is
+    // a per-row array fold — never a join of fingerprint rows back
+    // onto flagged pairs (which would recompute the gram-scan subtree
+    // per side)
+    assert(!p.contains("Join"))
+    // the dense_rank cap (maxDf + 1 DISTINCT docs per fingerprint)
+    // compiles to WindowGroupLimit partitioned by the fingerprint
+    // hash — boilerplate holders pruned map-side, before the exchange
+    val wgl = p.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wgl.exists(_.contains("fp_hash")),
+      s"df cap is not a WindowGroupLimit:\n${wgl.mkString("\n")}")
+    // ONE fingerprint subtree (same bound as the q142 pin)
+    val kernelRefs = "hash_shingle_seq\\(".r.findAllIn(p).size
+    assert(kernelRefs >= 1 && kernelRefs <= 6, s"kernel refs $kernelRefs")
+  }
+
   test("q136 int8 recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     // The public entry is EAGER since r16 (it materializes the
     // per-query result and unpersists the scored cache before
@@ -689,15 +708,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_winnowstore_pin").toString
     val docs = graft.sources.Corpus.table(s, sf, "documents")
-    graft.pipeline.Dedup.buildWinnowStore(
+    graft.pipeline.Winnow.buildWinnowStore(
       docs.where(col("doc_id") % 2 === 0), "winnow_store_pin_tbl", dir)
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val p = graft.pipeline.Dedup.winnowStorePairs(
+      val p = graft.pipeline.Winnow.winnowStorePairs(
           docs.where(col("doc_id") % 2 =!= 0), "winnow_store_pin_tbl",
-          graft.pipeline.Dedup.WinnowK, graft.pipeline.Dedup.WinnowW,
-          graft.pipeline.Dedup.WinnowMaxDf, 1L)
+          graft.pipeline.Winnow.WinnowK, graft.pipeline.Winnow.WinnowW,
+          graft.pipeline.Winnow.WinnowMaxDf, 1L)
         .queryExecution.executedPlan.toString
       assert(p.contains("Bucketed: true"))
       // the base-df cap compiles to WindowGroupLimit (map-side cut)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, Winnow}
 import graft.sources.Corpus
 
 /** Pins the pure-SQL pipeline surface (QueryRunner + GraftFunctions)
@@ -184,32 +184,71 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql.where("n_dropped > 0").count() > 0)
   }
 
-  test("graft_winnow_fingerprints view == Dedup.winnowFingerprintStats") {
+  test("graft_winnow_fingerprints view == Winnow.winnowFingerprintStats") {
     val sql = QueryRunner.sql(spark, sf,
       "SELECT * FROM graft_winnow_fingerprints")
-    val scala = Dedup.winnowFingerprintStats(docsDf)
+    val scala = Winnow.winnowFingerprintStats(docsDf)
     assert(rows(sql) == rows(scala))
     assert(sql.count() > 0)
   }
 
-  test("q144 / graft_winnow_pairs view == Dedup.winnowOverlapPairs") {
+  test("q144 / graft_winnow_pairs view == Winnow.winnowOverlapPairs") {
     val sql = SparkEntry.queries("q144_sql_winnow_pairs")(spark, sf)
-    val scala = Dedup.winnowOverlapPairs(docsDf)
+    val scala = Winnow.winnowOverlapPairs(docsDf)
     assert(rows(sql) == rows(scala))
   }
 
-  test("graft_winnow_neighbors view == Dedup.winnowTopNeighbors") {
+  test("graft_winnow_neighbors view == Winnow.winnowTopNeighbors") {
     val sql = QueryRunner.sql(spark, sf,
       "SELECT * FROM graft_winnow_neighbors")
-    val scala = Dedup.winnowTopNeighbors(docsDf)
+    val scala = Winnow.winnowTopNeighbors(docsDf)
     assert(rows(sql) == rows(scala))
   }
 
-  test("q148 / graft_winnow_apply view == Dedup.winnowDedupCorpus") {
+  test("q148 / graft_winnow_apply view == Winnow.winnowDedupCorpus") {
     val sql = SparkEntry.queries("q148_sql_winnow_apply")(spark, sf)
-    val scala = Dedup.winnowDedupCorpus(docsDf)
+    val scala = Winnow.winnowDedupCorpus(docsDf)
     assert(rows(sql) == rows(scala))
     // the apply path fired at this SF (sf0.001 plants copy pairs)
     assert(sql.where("n_dropped > 0").count() > 0)
+  }
+
+  // ----- r17: span attribution + the persisted-store tiers on SQL -----
+
+  test("q151 / graft_winnow_spans view == Winnow.winnowCopySpans") {
+    val sql = SparkEntry.queries("q151_sql_winnow_spans")(spark, sf)
+    val scala = Winnow.winnowCopySpans(docsDf)
+    assert(rows(sql) == rows(scala))
+    assert(sql.count() > 0) // the planted copies yield spans at this SF
+  }
+
+  test("q152 / graft_winnow_store_pairs mat-view == Winnow.winnowStoreOverlap (one store per process)") {
+    val sql = SparkEntry.queries("q152_sql_winnow_store")(spark, sf)
+    // the Scala side reuses the SAME (table, path) the view built —
+    // exercising the store-signature memo's hit path
+    val (t, p) = SparkEntry.winnowStoreLoc(sf)
+    val scala = Winnow.winnowStoreOverlap(docsDf, Winnow.WinnowDeltaMod, t, p)
+    assert(rows(sql) == rows(scala))
+  }
+
+  test("q153 / graft_band_store_dedup mat-view == Dedup.incrementalDedupViaBandStore") {
+    val sql = SparkEntry.queries("q153_sql_band_store")(spark, sf)
+    val (t, p) = SparkEntry.bandStoreLoc(sf)
+    val scala = Dedup.incrementalDedupViaBandStore(docsDf, 10L, 0.8, t, p)
+    assert(rows(sql) == rows(scala))
+  }
+
+  test("mat-view dispatch matches identifiers, not substrings: a string literal naming a view does not build it") {
+    // parses to a plain scan of `documents` — graft_winnow_apply (and a
+    // commented graft_dedup_clusters) appear only as TEXT, so no
+    // mat-view build may fire (ADVICE r16: the old contains() paid the
+    // eager CC solve for a mere mention)
+    val before = QueryRunner.matViewBuilds.get()
+    val out = QueryRunner.sql(spark, sf,
+      """SELECT count(*) AS n, 'graft_winnow_apply' AS note
+        |FROM documents -- graft_dedup_clusters""".stripMargin)
+    assert(out.head.getLong(0) > 0)
+    assert(QueryRunner.matViewBuilds.get() == before,
+      "a literal/comment mention triggered a mat-view build")
   }
 }

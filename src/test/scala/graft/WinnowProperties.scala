@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, TextFunctions}
+import graft.pipeline.{TextFunctions, Winnow}
 
 /** Properties of the winnowing tier (q139–q142) over ARBITRARY docs
   * and parameters — the gates pin one (k, w) on the clean corpus;
@@ -42,7 +42,7 @@ object WinnowProperties extends Properties("winnow") {
       import s.implicits._
       val a = (c.preA ++ c.run ++ c.postA).mkString(" ")
       val b = (c.preB ++ c.run ++ c.postB).mkString(" ")
-      val fps = Dedup.winnowedFingerprints(
+      val fps = Winnow.winnowedFingerprints(
           Seq((1L, a), (2L, b)).toDF("doc_id", "text"), c.k, c.w)
         .select("doc_id", "fp_hash").collect()
       val fa = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
@@ -83,7 +83,7 @@ object WinnowProperties extends Properties("winnow") {
       import s.implicits._
       val nGrams = math.max(0, toks.length - k + 1)
       val nWin = nGrams - w + 1
-      val sel = Dedup.winnowedFingerprints(
+      val sel = Winnow.winnowedFingerprints(
           Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), k, w)
         .select("fp_pos").collect().map(_.getLong(0))
       if (nWin <= 0) sel.isEmpty
@@ -103,7 +103,7 @@ object WinnowProperties extends Properties("winnow") {
       import s.implicits._
       val df = corpus.toDF("doc_id", "text")
       def pairsAt(maxDf: Int): Map[(Long, Long), Long] =
-        Dedup.winnowOverlapPairs(df, maxDf = maxDf, minShared = 1L)
+        Winnow.winnowOverlapPairs(df, maxDf = maxDf, minShared = 1L)
           .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       val narrow = pairsAt(3); val wide = pairsAt(8)
       // every fp with df <= 3 also has df <= 8, so evidence only grows
@@ -138,13 +138,13 @@ object WinnowProperties extends Properties("winnow") {
       import s.implicits._
       val df = corpus.toDF("doc_id", "source", "text")
         .withColumn("n_chars", length(col("text")))
-      val dig = Dedup.winnowDedupCorpus(df).collect()
+      val dig = Winnow.winnowDedupCorpus(df).collect()
       val partitionOk = dig.forall(r =>
         r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
           r.getAs[Long]("n_docs"))
       // independent component count over the same pair graph (tiny
       // union-find in the test — NOT the implementation's solver)
-      val pairs = Dedup.winnowOverlapPairs(df).collect()
+      val pairs = Winnow.winnowOverlapPairs(df).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -161,7 +161,7 @@ object WinnowProperties extends Properties("winnow") {
         dig.map(_.getAs[Long]("n_flagged")).sum == nFlagged &&
           dig.map(_.getAs[Long]("n_dropped")).sum == nFlagged - nComp
       // a HIGHER evidence floor can only flag fewer docs, per source
-      val loose = Dedup.winnowDedupCorpus(df, minShared = 1L).collect()
+      val loose = Winnow.winnowDedupCorpus(df, minShared = 1L).collect()
         .map(r => r.getString(0) -> r.getAs[Long]("n_flagged")).toMap
       val monoOk = dig.forall(r =>
         r.getAs[Long]("n_flagged") <= loose(r.getString(0)))
@@ -175,7 +175,7 @@ object WinnowProperties extends Properties("winnow") {
       val s = SparkTestSession.spark
       import s.implicits._
       def fpsOf(text: String): Set[(Long, Long)] =
-        Dedup.winnowedFingerprints(
+        Winnow.winnowedFingerprints(
             Seq((1L, text)).toDF("doc_id", "text"), k, w)
           .select("fp_hash", "fp_pos").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -183,5 +183,40 @@ object WinnowProperties extends Properties("winnow") {
       // doc, so its selection survives — new windows only ADD
       fpsOf(base.mkString(" ")).subsetOf(
         fpsOf((base ++ suffix).mkString(" ")))
+    }
+
+  // span attribution (q150) must agree with the pair tier it
+  // annotates: same flagged pairs, spans on BOTH sides of every pair,
+  // and every emitted interval is a sane island (start <= end − (k−1),
+  // 1-based contiguous span_idx per side, n_fps >= 1)
+  private val spanCorpus: Gen[List[(Long, String)]] = for {
+    nd <- Gen.choose(2, 7)
+    docs <- Gen.listOfN(nd,
+      Gen.choose(8, 50).flatMap(toksOf).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("spans: pair set == winnowOverlapPairs; both sides present; intervals sane") =
+    forAll(spanCorpus) { docsList =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val df = docsList.toDF("doc_id", "text")
+      val pairs = Winnow.winnowOverlapPairs(df, minShared = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val spans = Winnow.winnowCopySpans(df, minShared = 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      val spanPairs = spans.map(sp => (sp._1, sp._2)).toSet
+      val k = Winnow.WinnowK
+      val sane = spans.forall { case (_, _, side, idx, st, en, n) =>
+        (side == "a" || side == "b") && idx >= 1 && st >= 0 &&
+          en >= st + (k - 1) && n >= 1
+      }
+      val idxContiguous = spans.groupBy(sp => (sp._1, sp._2, sp._3))
+        .forall { case (_, g) =>
+          g.map(_._4).sorted.toSeq == (1L to g.length.toLong) }
+      val bothSides = pairs.forall(pr =>
+        Seq("a", "b").forall(side => spans.exists(sp =>
+          (sp._1, sp._2) == pr && sp._3 == side)))
+      spanPairs == pairs && sane && idxContiguous && bothSides
     }
 }
