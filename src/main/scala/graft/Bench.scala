@@ -180,7 +180,8 @@ object Bench {
         // second run (and the SQL twins, which share the store)
         // probes a standing store — the production steady state
         "q146_winnow_store_incr", "q149_winnow_store_admit",
-        "q152_sql_winnow_store", "q153_sql_band_store")
+        "q152_sql_winnow_store", "q153_sql_band_store",
+        "q154_winnow_store_spans", "q155_sql_winnow_store_spans")
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // cold = first timed run at sfDir (indexes/caches unbuilt), warm =

@@ -118,6 +118,11 @@ object QueryRunner {
       Winnow.winnowStoreOverlap(Corpus.table(s, d, "documents"),
         Winnow.WinnowDeltaMod, t, p)
     }),
+    "graft_winnow_store_spans" -> ((s, d) => {
+      val (t, p) = SparkEntry.winnowStoreLoc(d)
+      Winnow.winnowStoreSpanReport(Corpus.table(s, d, "documents"),
+        Winnow.WinnowDeltaMod, t, p)
+    }),
     "graft_band_store_dedup" -> ((s, d) => {
       val (t, p) = SparkEntry.bandStoreLoc(d)
       Dedup.incrementalDedupViaBandStore(

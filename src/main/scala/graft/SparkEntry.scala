@@ -765,6 +765,24 @@ object SparkEntry {
       """SELECT source, n_delta, n_exact_dup, n_near_dup, n_admitted
         |FROM graft_band_store_dedup
         |ORDER BY source""".stripMargin)),
+    // q154: span attribution THROUGH the persisted store — the reason
+    // the store keeps fp_pos (q146's scaladoc promise, now an
+    // operator): per flagged delta-vs-base pair, the copied token
+    // intervals in BOTH the incoming doc's and the standing corpus
+    // doc's coordinates, base side read from its buckets. Shares the
+    // q146 store; oracle = q146's CTEs + islands-and-gaps.
+    "q154_winnow_store_spans" -> ((s, dir) => {
+      val (t, p) = winnowStoreLoc(dir)
+      Winnow.winnowStoreSpanReport(Corpus.table(s, dir, "documents"),
+        Winnow.WinnowDeltaMod, t, p)
+    }),
+    // q155: q154 from pure SQL via the first-reference
+    // graft_winnow_store_spans mat-view; shares q154's oracle.
+    "q155_sql_winnow_store_spans" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT delta_doc, base_doc, side, span_idx, start_pos,
+        |  end_pos, n_fps
+        |FROM graft_winnow_store_spans
+        |ORDER BY delta_doc, base_doc, side, span_idx""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1258,6 +1276,11 @@ object SparkEntry {
     // band-store dedup from SQL shares q68/q99's oracle
     "q153_sql_band_store" ->
       PO.incrementalDedup(10L, 0.8).replace("\n", " "),
+    // store-side span attribution: q146's CTEs + the q150
+    // islands-and-gaps over matched (pair, side, pos)
+    "q154_winnow_store_spans" -> winnowStoreSpansSql,
+    // the SQL spelling shares q154's oracle (lockstep)
+    "q155_sql_winnow_store_spans" -> winnowStoreSpansSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2344,6 +2367,48 @@ object SparkEntry {
         |SELECT delta_doc, base_doc, n_shared FROM pr
         |WHERE n_shared >= ${Winnow.WinnowMinShared}
         |ORDER BY delta_doc, base_doc""".stripMargin.replace("\n", " ")
+
+  /** The q154 oracle: q146's CTEs for the split + base-df bound +
+    * flagged pairs, then the q150 islands-and-gaps over matched
+    * (pair, side, pos) — delta positions from the delta doc's
+    * fingerprint rows, base positions from the base doc's, both
+    * restricted to hashes passing the base-df window `el` and held by
+    * BOTH members. */
+  private def winnowStoreSpansSql: String =
+    s"""$winnowStoreCtes,
+        |np AS (SELECT delta_doc, base_doc FROM pr
+        |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
+        |bfp AS (SELECT doc_id, fp_hash, fp_pos FROM fp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
+        |dpp AS (SELECT doc_id, fp_hash, fp_pos FROM fp
+        |  WHERE doc_id IN (SELECT doc_id FROM dl)),
+        |mp AS (
+        |  SELECT DISTINCT np.delta_doc, np.base_doc, 'delta' AS side,
+        |    fd.fp_pos AS pos
+        |  FROM np JOIN dpp fd ON fd.doc_id = np.delta_doc
+        |    JOIN el ON fd.fp_hash = el.fp_hash
+        |    JOIN bf fb ON fb.doc_id = np.base_doc AND fb.fp_hash = fd.fp_hash
+        |  UNION ALL
+        |  SELECT DISTINCT np.delta_doc, np.base_doc, 'base' AS side,
+        |    fb2.fp_pos AS pos
+        |  FROM np JOIN bfp fb2 ON fb2.doc_id = np.base_doc
+        |    JOIN el ON fb2.fp_hash = el.fp_hash
+        |    JOIN dfp fd2 ON fd2.doc_id = np.delta_doc
+        |      AND fd2.fp_hash = fb2.fp_hash),
+        |sq AS (SELECT delta_doc, base_doc, side, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY delta_doc, base_doc,
+        |    side ORDER BY pos) > ${Winnow.WinnowSpanGap} THEN 1 ELSE 0 END
+        |    AS brk FROM mp),
+        |il AS (SELECT delta_doc, base_doc, side, pos,
+        |  sum(brk) OVER (PARTITION BY delta_doc, base_doc, side ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl FROM sq)
+        |SELECT delta_doc, base_doc, side, (isl + 1)::BIGINT AS span_idx,
+        |  min(pos)::BIGINT AS start_pos,
+        |  (max(pos) + ${Winnow.WinnowK - 1})::BIGINT AS end_pos,
+        |  count(*)::BIGINT AS n_fps
+        |FROM il GROUP BY delta_doc, base_doc, side, isl
+        |ORDER BY delta_doc, base_doc, side, span_idx"""
+      .stripMargin.replace("\n", " ")
 
   /** The q149 oracle: q146's CTEs; flagged = distinct delta docs in a
     * >= minShared pair; admitted = delta minus flagged, '#wa' 60-bit

@@ -263,35 +263,42 @@ object Winnow {
         sort_array(collect_set(when(col("m.side") === "b", col("m.pos"))))
           .as("ps_b"))
       .where(col("n_shared") >= minShared)
-    // islands-and-gaps as a per-row fold: extend the open run while
-    // the next position is within gap, else open a new one
-    def runs(ps: Column): Column = aggregate(ps,
-      expr("CAST(array() AS array<struct<s: BIGINT, e: BIGINT, n: BIGINT>>)"),
-      (acc, p) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > 0 && p - last.getField("e") <= gap,
-          concat(slice(acc, lit(1), size(acc) - 1), array(struct(
-            last.getField("s").as("s"), p.as("e"),
-            (last.getField("n") + 1L).as("n")))))
-          .otherwise(concat(acc,
-            array(struct(p.as("s"), p.as("e"), lit(1L).as("n")))))
-      })
-    def shaped(side: String, rs: Column): Column =
-      transform(rs, (r, i) => struct(lit(side).as("side"),
-        (i + 1).cast("long").as("span_idx"),
-        r.getField("s").as("start_pos"),
-        (r.getField("e") + (k - 1)).as("end_pos"),
-        r.getField("n").as("n_fps")))
     agged
       .select(col("doc_a"), col("doc_b"),
-        explode(concat(shaped("a", runs(col("ps_a"))),
-          shaped("b", runs(col("ps_b"))))).as("sp"))
+        explode(concat(shapedRuns("a", islandRuns(col("ps_a"), gap), k),
+          shapedRuns("b", islandRuns(col("ps_b"), gap), k))).as("sp"))
       .select(col("doc_a"), col("doc_b"), col("sp.side").as("side"),
         col("sp.span_idx").as("span_idx"),
         col("sp.start_pos").as("start_pos"),
         col("sp.end_pos").as("end_pos"), col("sp.n_fps").as("n_fps"))
       .orderBy("doc_a", "doc_b", "side", "span_idx")
   }
+
+  /** Islands-and-gaps as a per-row array fold (shared by the corpus
+    * and store span operators): over a SORTED position set, extend
+    * the open run while the next position is within `gap`, else open
+    * a new one. */
+  private def islandRuns(ps: Column, gap: Long): Column = aggregate(ps,
+    expr("CAST(array() AS array<struct<s: BIGINT, e: BIGINT, n: BIGINT>>)"),
+    (acc, p) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && p - last.getField("e") <= gap,
+        concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+          last.getField("s").as("s"), p.as("e"),
+          (last.getField("n") + 1L).as("n")))))
+        .otherwise(concat(acc,
+          array(struct(p.as("s"), p.as("e"), lit(1L).as("n")))))
+    })
+
+  /** Run list → (side, 1-based span_idx, token interval, count)
+    * structs; end extends the last matched gram by its k − 1 trailing
+    * tokens. */
+  private def shapedRuns(side: String, rs: Column, k: Int): Column =
+    transform(rs, (r, i) => struct(lit(side).as("side"),
+      (i + 1).cast("long").as("span_idx"),
+      r.getField("s").as("start_pos"),
+      (r.getField("e") + (k - 1)).as("end_pos"),
+      r.getField("n").as("n_fps")))
 
   /** APPLY the winnow copy-detection tier — the ship operator the
     * q140/q142 reports exist to inform, completing report→apply for
@@ -549,5 +556,77 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("delta_doc", "base_doc")
+  }
+
+  /** Span-level attribution THROUGH the persisted store — the reason
+    * the store keeps fp_pos at all (the q146 scaladoc's promise, now
+    * an operator): for every delta-vs-base pair [[winnowStorePairs]]
+    * flags — SAME df bound, SAME pair set by construction — WHERE the
+    * copied span lives, in the incoming doc's token coordinates
+    * (side 'delta') AND the standing corpus doc's (side 'base'). The
+    * reviewer's artifact when ingest admission (q149) rejects a
+    * document: which base doc it copies, and which token intervals on
+    * each side.
+    *
+    * Scale shape: the base side aggregates per-fingerprint (doc, pos)
+    * evidence lists FROM ITS BUCKETS — a dense_rank cap (several
+    * positions per doc share one hash, so row_number would miscount
+    * docs; compiles to WindowGroupLimit) rides the store's fp_hash
+    * bucketing with no base Exchange, exactly the winnowStorePairs
+    * pin; only the delta's fingerprints shuffle; base positions
+    * explode from ≤ maxDf-doc lists map-side; the island collapse is
+    * a per-row fold over each pair's bounded position sets. */
+  def winnowStoreSpans(delta: DataFrame, table: String,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       maxDf: Int = WinnowMaxDf,
+                       minShared: Long = WinnowMinShared,
+                       gap: Long = WinnowSpanGap): DataFrame = {
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
+    // max(dense_rank) == distinct base docs: <= maxDf drops truncated
+    // (boilerplate) hashes bit-identically to winnowStorePairs' filter
+    val basePerFp = delta.sparkSession.table(table)
+      .withColumn("dr", dense_rank().over(wDf))
+      .where(col("dr") <= maxDf + 1)
+      .groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(struct(
+          col("doc_id").as("bd"), col("fp_pos").as("bp")))).as("es"),
+        max(col("dr")).as("n_docs"))
+      .where(col("n_docs") <= maxDf)
+    val agged = winnowedFingerprints(delta, k, w)
+      .select(col("doc_id").as("delta_doc"), col("fp_hash"),
+        col("fp_pos").as("dp"))
+      .join(basePerFp, Seq("fp_hash"))
+      .select(col("delta_doc"), col("fp_hash"), col("dp"),
+        explode(col("es")).as("e"))
+      .groupBy(col("delta_doc"), col("e.bd").as("base_doc"))
+      .agg(count_distinct(col("fp_hash")).as("n_shared"),
+        sort_array(collect_set(col("dp"))).as("ps_delta"),
+        sort_array(collect_set(col("e.bp"))).as("ps_base"))
+      .where(col("n_shared") >= minShared)
+    agged
+      .select(col("delta_doc"), col("base_doc"),
+        explode(concat(
+          shapedRuns("base", islandRuns(col("ps_base"), gap), k),
+          shapedRuns("delta", islandRuns(col("ps_delta"), gap), k)))
+          .as("sp"))
+      .select(col("delta_doc"), col("base_doc"),
+        col("sp.side").as("side"), col("sp.span_idx").as("span_idx"),
+        col("sp.start_pos").as("start_pos"),
+        col("sp.end_pos").as("end_pos"), col("sp.n_fps").as("n_fps"))
+      .orderBy("delta_doc", "base_doc", "side", "span_idx")
+  }
+
+  /** [[winnowStoreSpans]] behind the q146 split + build-once memo —
+    * the gate entry (q154), sharing the store with q146/q149/q152. */
+  def winnowStoreSpanReport(docs: DataFrame, deltaMod: Long,
+                            table: String, path: String,
+                            k: Int = WinnowK, w: Int = WinnowW,
+                            maxDf: Int = WinnowMaxDf,
+                            minShared: Long = WinnowMinShared,
+                            gap: Long = WinnowSpanGap): DataFrame = {
+    val (base, delta) = Dedup.deltaSplit(docs, deltaMod)
+    ensureWinnowStore(base, table, path, k, w)
+    winnowStoreSpans(delta, table, k, w, maxDf, minShared, gap)
   }
 }

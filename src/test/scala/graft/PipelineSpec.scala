@@ -1838,6 +1838,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(aSide(0)._7 >= 1 && aSide(0)._4 == 1L)
   }
 
+  test("winnow store spans: the planted cross-split copy is located in BOTH coordinate systems; pair set == probe") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)("h" + rng.nextInt(9000)).mkString(" ")
+    val runLen = 30; val preD = 12; val preB = 20
+    val run = words(runLen)
+    val base = Seq((1L, words(preB) + " " + run + " " + words(15)),
+        (2L, words(35))).toDF("doc_id", "text")
+    val delta = Seq((50L, words(preD) + " " + run),
+        (51L, words(25))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_storespan").toString
+    Winnow.buildWinnowStore(base, "winnow_storespan_tbl", dir)
+    try {
+      val spans = Winnow.winnowStoreSpans(delta, "winnow_storespan_tbl")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      // only the copying delta doc reports, against only its source
+      assert(spans.forall(sp => sp._1 == 50L && sp._2 == 1L),
+        spans.mkString(";"))
+      val dSide = spans.filter(_._3 == "delta")
+      val bSide = spans.filter(_._3 == "base")
+      assert(dSide.length == 1 && bSide.length == 1, spans.mkString(";"))
+      // located where planted, in EACH doc's own token coordinates
+      assert(dSide(0)._5 >= preD && dSide(0)._6 <= preD + runLen - 1,
+        dSide(0).toString)
+      assert(bSide(0)._5 >= preB && bSide(0)._6 <= preB + runLen - 1,
+        bSide(0).toString)
+      // pair-set consistency with the probe, same params
+      val probePairs = Winnow.winnowStorePairs(delta,
+          "winnow_storespan_tbl", Winnow.WinnowK, Winnow.WinnowW,
+          Winnow.WinnowMaxDf, Winnow.WinnowMinShared)
+        .select("delta_doc", "base_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spans.map(sp => (sp._1, sp._2)).toSet == probePairs)
+    } finally s.sql("DROP TABLE IF EXISTS winnow_storespan_tbl")
+  }
+
   test("winnow store ingest idempotence: a batch already folded into the store re-admits ZERO") {
     // DESIGN DECISION (r16 VERDICT task 2): winnowStorePairs keeps
     // self-pairs (delta_doc == base_doc) — they ARE the idempotence

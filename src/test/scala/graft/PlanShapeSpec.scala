@@ -727,6 +727,16 @@ class PlanShapeSpec extends AnyFunSuite {
       // the final pair-keyed aggregate exchanges are legitimate and
       // keyed differently)
       assert("Exchange hashpartitioning\\(fp_hash".r.findAllIn(p).size == 1, p)
+      // q154: the SPAN probe keeps every store property — bucketed
+      // base scan, WindowGroupLimit df cap (dense_rank: positions
+      // share hashes), still exactly ONE fp_hash exchange
+      val ps = graft.pipeline.Winnow.winnowStoreSpans(
+          docs.where(col("doc_id") % 2 =!= 0), "winnow_store_pin_tbl",
+          minShared = 1L)
+        .queryExecution.executedPlan.toString
+      assert(ps.contains("Bucketed: true"))
+      assert(ps.contains("WindowGroupLimit"), ps)
+      assert("Exchange hashpartitioning\\(fp_hash".r.findAllIn(ps).size == 1, ps)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       s.sql("DROP TABLE IF EXISTS winnow_store_pin_tbl")

@@ -231,6 +231,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
   }
 
+  test("q155 / graft_winnow_store_spans mat-view == Winnow.winnowStoreSpanReport") {
+    val sql = SparkEntry.queries("q155_sql_winnow_store_spans")(spark, sf)
+    val (t, p) = SparkEntry.winnowStoreLoc(sf)
+    val scala = Winnow.winnowStoreSpanReport(docsDf,
+      Winnow.WinnowDeltaMod, t, p)
+    assert(rows(sql) == rows(scala))
+  }
+
   test("q153 / graft_band_store_dedup mat-view == Dedup.incrementalDedupViaBandStore") {
     val sql = SparkEntry.queries("q153_sql_band_store")(spark, sf)
     val (t, p) = SparkEntry.bandStoreLoc(sf)
