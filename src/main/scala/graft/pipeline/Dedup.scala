@@ -917,11 +917,20 @@ object Dedup {
       .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
       .distinct()
 
-  /** One store build per (process, table): Verify/Bench run many
-    * queries in one session, and the nightly-artifact semantics are
-    * build-once-probe-thereafter (the q78 IVF store stance). */
-  private val bandStoreBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** One store build per (process, table, base fingerprint) — the
+    * nightly-artifact stance (build-once-probe-thereafter, the q78
+    * IVF store stance), HARDENED exactly like the winnow store's memo
+    * (r17, closing the ADVICE-r16 "same precedent" note): the memo
+    * value carries an ID-SET-shaped base fingerprint (count + max +
+    * id-hash sum — one narrow doc_id-column aggregate per probe call,
+    * never the text), so a CHANGED base at the same table+path
+    * rebuilds instead of silently probing yesterday's bands, and a
+    * fresh SparkSession in the same JVM rebuilds too (the memo alone
+    * would hit while the new session's catalog lacks the table).
+    * In-place TEXT mutation at an identical doc_id set is not
+    * detected — rebuild explicitly via [[buildBandStore]]. */
+  private val bandStoreState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Incremental dedup THROUGH the persisted band store (q99): same
     * delta/base split, exact tier, verification, and summary as q68 —
@@ -932,9 +941,14 @@ object Dedup {
                                    threshold: Double, table: String,
                                    path: String): DataFrame = {
     val (base, delta) = deltaSplit(docs, deltaMod)
-    bandStoreBuilt.computeIfAbsent(s"$table@$path", _ => {
-      buildBandStore(base, table, path)
-      java.lang.Boolean.TRUE
+    val sig = base.agg(count(lit(1)), max(col("doc_id")),
+      sum(hash64(col("doc_id").cast("string"), "bs") % 1000000000L)).head()
+    val want = s"n=${sig.getLong(0)}," +
+      s"mx=${if (sig.isNullAt(1)) -1L else sig.getLong(1)}," +
+      s"hs=${if (sig.isNullAt(2)) 0L else sig.getLong(2)}"
+    bandStoreState.compute(s"$table@$path", (_, cur) => {
+      if (cur == want && docs.sparkSession.catalog.tableExists(table)) cur
+      else { buildBandStore(base, table, path); want }
     })
     incrementalSummaryFromCandidates(docs, base, delta,
       bandStoreCandidates(delta, table), threshold)

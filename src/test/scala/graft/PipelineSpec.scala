@@ -1962,6 +1962,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS winnow_compact_tbl")
   }
 
+  test("band store stale-guard: a CHANGED base at the same table+path rebuilds (store == memory for the new corpus)") {
+    // the ADVICE-r16 "same precedent as bandStoreBuilt" hazard,
+    // closed: two disjoint-id-set corpora through ONE table+path —
+    // the second probe must equal the in-memory q68 path for the
+    // SECOND corpus, which a stale store cannot produce
+    val s = spark
+    val corpusA = docs.where(col("doc_id") % 2 === 0)
+    val corpusB = docs.where(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_band_guard").toString
+    try {
+      def viaStore(c: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalDedupViaBandStore(c, 10L, 0.8,
+          "band_guard_tbl", dir).collect().map(_.toString).toSeq
+      viaStore(corpusA) // builds the store for A's base
+      val viaMemB = Dedup.incrementalDedupSummary(corpusB, 10L, 0.8)
+        .collect().map(_.toString).toSeq
+      assert(viaStore(corpusB) == viaMemB)
+    } finally s.sql("DROP TABLE IF EXISTS band_guard_tbl")
+  }
+
   test("winnow store stale-guard: a CHANGED base at the same table+path rebuilds, never probes the stale store") {
     val s = spark
     import s.implicits._
