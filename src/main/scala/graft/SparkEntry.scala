@@ -987,14 +987,19 @@ object SparkEntry {
   }
 
   /** Corpus-dir tag for fixture and store names: sanitized basename
-    * PLUS a 32-bit hash of the absolute path (ADVICE r16: two corpora
-    * with the same basename but different parent directories must
-    * never share a persisted store — the basename-only tag silently
-    * probed the first corpus's store from the second). */
+    * PLUS a 48-bit sha-256 prefix of the absolute path (ADVICE r16:
+    * two corpora with the same basename but different parent
+    * directories must never share a persisted store; ADVICE r17: the
+    * 32-bit String.hashCode used first had realistic birthday-collision
+    * odds across many fixture dirs, and a collision silently aliases
+    * EVERY fixtureDir user, not just the signature-guarded stores). */
   private[graft] def dirTag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val base = new java.io.File(dir).getName.replaceAll("\\W", "_")
-    f"${base}_${abs.hashCode & 0xffffffffL}%08x"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = sha.take(6).map(b => f"${b & 0xff}%02x").mkString
+    s"${base}_$hex"
   }
 
   private def fixtureDir(tag: String, dir: String): String =

@@ -907,6 +907,33 @@ object Dedup {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Fold an admitted batch INTO the standing band store — lifecycle
+    * parity with [[Winnow.appendWinnowStore]] (r17 VERDICT task 2:
+    * the nightly LSH-band artifact must absorb each day's admitted
+    * batch, or tomorrow's ingest re-admits today's content). Bucketed
+    * `insertInto` writes the batch's band keys into the table's own
+    * ((band, bkey), 16) bucket spec, so the no-base-shuffle probe
+    * property survives appends (spec-pinned: probe-after-append ==
+    * probe-of-rebuilt-store). */
+  def appendBandStore(batch: DataFrame, table: String): Unit =
+    bandedKeys(batch).write.mode("append").insertInto(table)
+
+  /** Compact the standing band store IN PLACE — [[appendBandStore]]
+    * folds batches blindly, so a replayed batch duplicates
+    * (doc_id, band, bkey) rows: candidate CORRECTNESS survives (the
+    * candidate join ends in DISTINCT pairs) but store bytes and probe
+    * scan cost grow monotonically, exactly the winnow-store hazard.
+    * DISTINCT rewrite preserving the bucket spec, with the shared
+    * crash-safety + single-writer contract
+    * ([[StoreOps.compactBucketed]]). Spec-pinned: probe-before ==
+    * probe-after, rows shrink to distinct, `Bucketed: true`
+    * survives. */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String,
+                       nBuckets: Int = 16): Unit =
+    StoreOps.compactBucketed(spark, table, path, nBuckets,
+      Seq("band", "bkey"), Seq("doc_id", "band", "bkey"))
+
   /** Candidate generation against the persisted band table — exposed
     * for the plan pin: with broadcast off, the base side must scan
     * bucketed (no Exchange); only the delta side shuffles. */
@@ -927,10 +954,20 @@ object Dedup {
     * rebuilds instead of silently probing yesterday's bands, and a
     * fresh SparkSession in the same JVM rebuilds too (the memo alone
     * would hit while the new session's catalog lacks the table).
-    * In-place TEXT mutation at an identical doc_id set is not
-    * detected — rebuild explicitly via [[buildBandStore]]. */
-  private val bandStoreState =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * The signature carries the same id-set shape + n_chars content
+    * moment as the winnow store ([[Winnow.baseSignature]]); an
+    * in-place TEXT mutation preserving both the doc_id set AND total
+    * n_chars is the residual undetected case — rebuild explicitly via
+    * [[buildBandStore]]. Builds serialize per location under a
+    * per-key monitor ([[StoreOps.ensure]], ADVICE r17). */
+  private[pipeline] def ensureBandStore(base: DataFrame, table: String,
+                                        path: String): Unit = {
+    val want = Winnow.baseSignature(base, "bs")
+    StoreOps.ensure(s"$table@$path", want,
+      base.sparkSession.catalog.tableExists(table)) {
+      buildBandStore(base, table, path)
+    }
+  }
 
   /** Incremental dedup THROUGH the persisted band store (q99): same
     * delta/base split, exact tier, verification, and summary as q68 —
@@ -941,15 +978,7 @@ object Dedup {
                                    threshold: Double, table: String,
                                    path: String): DataFrame = {
     val (base, delta) = deltaSplit(docs, deltaMod)
-    val sig = base.agg(count(lit(1)), max(col("doc_id")),
-      sum(hash64(col("doc_id").cast("string"), "bs") % 1000000000L)).head()
-    val want = s"n=${sig.getLong(0)}," +
-      s"mx=${if (sig.isNullAt(1)) -1L else sig.getLong(1)}," +
-      s"hs=${if (sig.isNullAt(2)) 0L else sig.getLong(2)}"
-    bandStoreState.compute(s"$table@$path", (_, cur) => {
-      if (cur == want && docs.sparkSession.catalog.tableExists(table)) cur
-      else { buildBandStore(base, table, path); want }
-    })
+    ensureBandStore(base, table, path)
     incrementalSummaryFromCandidates(docs, base, delta,
       bandStoreCandidates(delta, table), threshold)
   }

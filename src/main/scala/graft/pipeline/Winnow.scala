@@ -227,8 +227,29 @@ object Winnow {
                       w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
                       minShared: Long = WinnowMinShared,
                       gap: Long = WinnowSpanGap): DataFrame = {
-    require(maxDf >= 2 && minShared >= 1 && gap >= 1,
-      s"maxDf $maxDf / minShared $minShared / gap $gap")
+    require(gap >= 1, s"gap $gap must be >= 1")
+    val agged = pairPositionSets(docs, k, w, maxDf, minShared)
+    agged
+      .select(col("doc_a"), col("doc_b"),
+        explode(concat(shapedRuns("a", islandRuns(col("ps_a"), gap), k),
+          shapedRuns("b", islandRuns(col("ps_b"), gap), k))).as("sp"))
+      .select(col("doc_a"), col("doc_b"), col("sp.side").as("side"),
+        col("sp.span_idx").as("span_idx"),
+        col("sp.start_pos").as("start_pos"),
+        col("sp.end_pos").as("end_pos"), col("sp.n_fps").as("n_fps"))
+      .orderBy("doc_a", "doc_b", "side", "span_idx")
+  }
+
+  /** The span tier's shared pair-evidence stage: flagged pairs with
+    * BOTH sides' sorted matched-position sets — one row per pair
+    * (doc_a, doc_b, n_shared, ps_a, ps_b). Same pair set and n_shared
+    * as [[winnowOverlapPairs]] by construction (property-pinned).
+    * Consumed by [[winnowCopySpans]] (islands per pair+side) and
+    * [[winnowScrubSpans]] (per-doc position union across pairs). */
+  private def pairPositionSets(docs: DataFrame, k: Int, w: Int,
+                               maxDf: Int, minShared: Long): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1,
+      s"maxDf $maxDf / minShared $minShared")
     val wDf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
     // per-hash evidence WITH positions: max(dense_rank) == number of
@@ -255,7 +276,7 @@ object Winnow {
             when(e.getField("d") < o, lit("a")).otherwise(lit("b"))
               .as("side"),
             e.getField("p").as("pos")))))).as("m"))
-    val agged = matched
+    matched
       .groupBy(col("m.doc_a").as("doc_a"), col("m.doc_b").as("doc_b"))
       .agg(count_distinct(col("fp_hash")).as("n_shared"),
         sort_array(collect_set(when(col("m.side") === "a", col("m.pos"))))
@@ -263,15 +284,6 @@ object Winnow {
         sort_array(collect_set(when(col("m.side") === "b", col("m.pos"))))
           .as("ps_b"))
       .where(col("n_shared") >= minShared)
-    agged
-      .select(col("doc_a"), col("doc_b"),
-        explode(concat(shapedRuns("a", islandRuns(col("ps_a"), gap), k),
-          shapedRuns("b", islandRuns(col("ps_b"), gap), k))).as("sp"))
-      .select(col("doc_a"), col("doc_b"), col("sp.side").as("side"),
-        col("sp.span_idx").as("span_idx"),
-        col("sp.start_pos").as("start_pos"),
-        col("sp.end_pos").as("end_pos"), col("sp.n_fps").as("n_fps"))
-      .orderBy("doc_a", "doc_b", "side", "span_idx")
   }
 
   /** Islands-and-gaps as a per-row array fold (shared by the corpus
@@ -358,6 +370,106 @@ object Winnow {
       .orderBy("source")
   }
 
+  /** Span-level SCRUB — the SURGICAL apply (r17 VERDICT task 1,
+    * completing the tier): [[winnowDedupCorpus]] (q145) drops WHOLE
+    * documents, but the span tier (q150/q154) locates exactly which
+    * token intervals are copied — so cut the copied spans and KEEP
+    * the remainder, the ExactSubstr convention (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022: remove the matched substring, not the document — a
+    * novel paragraph following a quoted one survives).
+    *
+    * Policy: per q145's keep-best, the component's best member
+    * (longest n_chars, ties to smallest doc_id) keeps its text WHOLE —
+    * the corpus retains one intact copy of the shared material; every
+    * OTHER member of the component is scrubbed: the union of its
+    * matched positions across ALL its flagged pairs collapses into
+    * islands (gap > t = w+k−1 splits, end extends k−1 trailing
+    * tokens — the q150 span definition verbatim), and tokens inside
+    * any island interval are removed. Spans are TOKEN-indexed and the
+    * corpus contract is single-space separation, so the cut is
+    * token-filter + single-space rejoin (coordinate mapping
+    * spec-pinned); a fully-copied doc scrubs to the empty string but
+    * is KEPT — cut the span, not the doc.
+    *
+    * Returns per-source: n_docs, n_scrubbed, n_tokens_removed /
+    * n_tokens_kept (over scrubbed docs), and scrubbed_hash_sum — the
+    * '#ws' 60-bit content hash over the ENTIRE post-scrub corpus
+    * (untouched docs hash their original text), certifying the
+    * artifact a training run would read, exactly as q141's '#ka' and
+    * q145's '#wk' digests do.
+    *
+    * Scale shape: the pair-evidence stage is the span tier's
+    * (join-free, df-bounded) and is localCheckpoint'd — flagged-pairs-
+    * sized — because BOTH the component solve and the position union
+    * read it (Spark recomputes uncached subtrees per consumer: the
+    * int8-audit lesson); everything downstream is sized by FLAGGED
+    * docs — the keep-best window, the per-doc position union, the
+    * per-row token filter — while untouched docs contribute one
+    * narrow scan + partial-agg for the corpus hash. No operation in
+    * the scrub path touches more than (flagged docs × their tokens). */
+  def winnowScrubSpans(docs: DataFrame, k: Int = WinnowK,
+                       w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                       minShared: Long = WinnowMinShared,
+                       gap: Long = WinnowSpanGap): DataFrame = {
+    require(gap >= 1, s"gap $gap must be >= 1")
+    val pp = pairPositionSets(docs, k, w, maxDf, minShared)
+      .localCheckpoint(true) // feeds the CC solve AND the position union
+    val clusters = Dedup.minLabelComponents(
+        pp.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val losers = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") =!= 1)
+      .select(col("doc_id"))
+    // per-doc union of matched positions across ALL flagged pairs,
+    // then the q150 island collapse — ONE interval list per loser
+    val spans = pp
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("ps_a").as("ps")),
+        struct(col("doc_b").as("doc_id"), col("ps_b").as("ps")))).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("e.ps")))))
+        .as("ps"))
+      .join(losers, "doc_id")
+      .select(col("doc_id"), transform(islandRuns(col("ps"), gap), r =>
+        struct(r.getField("s").as("s"),
+          (r.getField("e") + (k - 1)).as("e"))).as("iv"))
+    // the cut: token i survives iff no island interval covers it
+    val toksIdx = transform(split(col("text"), " "),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val keptToks = filter(toksIdx, s => !exists(col("iv"), r =>
+      s.getField("i") >= r.getField("s") &&
+        s.getField("i") <= r.getField("e")))
+    val scrubbed = docs.join(spans, "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        size(keptToks).cast("long").as("n_kept"),
+        array_join(transform(keptToks, s => s.getField("t")), " ")
+          .as("new_text"))
+    val un = docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(sum(hash64(col("text"), "ws") % 1000000000L).as("hs_un"))
+    val sc = scrubbed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scrubbed"),
+        sum(col("n_toks") - col("n_kept")).as("n_tokens_removed"),
+        sum(col("n_kept")).as("n_tokens_kept"),
+        sum(hash64(col("new_text"), "ws") % 1000000000L).as("hs_sc"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(un, Seq("source"), "left")
+      .join(sc, Seq("source"), "left")
+      .na.fill(0L, Seq("hs_un", "n_scrubbed", "n_tokens_removed",
+        "n_tokens_kept", "hs_sc"))
+      .select(col("source"), col("n_docs"), col("n_scrubbed"),
+        col("n_tokens_removed"), col("n_tokens_kept"),
+        (col("hs_un") + col("hs_sc")).as("scrubbed_hash_sum"))
+      .orderBy("source")
+  }
+
   // ----- persisted winnow fingerprint store (incremental tier) -----
 
   /** Build the PERSISTED winnow fingerprint store — the q68/q99 band-
@@ -392,29 +504,49 @@ object Winnow {
     * fingerprints; different k/w never alias; and a fresh
     * SparkSession in the same JVM rebuilds too (the memo alone would
     * hit while the new session's catalog lacks the table — the
-    * second-session hazard). compute() is atomic per location, so
-    * concurrent probes of one store serialize the build. */
-  private val winnowStoreState =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * second-session hazard). The build serializes per location under
+    * a per-key monitor ([[StoreOps.ensure]] — ADVICE r17: the old
+    * single-map compute() held a CHM bin lock across the whole Spark
+    * build, stalling probes of unrelated stores that hashed to the
+    * same bin).
+    *
+    * The signature is ID-SET-shaped plus one cheap CONTENT MOMENT:
+    * count + max + id-hash sum over doc_id, and — when the base
+    * carries the corpus-standard `n_chars` metadata column —
+    * sum(n_chars), all in ONE narrow aggregate per probe call (never
+    * the text: a text-shaped fingerprint would re-read the whole base
+    * per probe, exactly the scan the store exists to avoid at
+    * 100 TB). The moment closes most of the remaining stale-guard gap
+    * (ADVICE r17): an in-place text swap at an identical doc_id set
+    * almost always moves total n_chars and now rebuilds. Residual
+    * contract: a mutation preserving BOTH the id set and total
+    * n_chars (or a base without n_chars) is not detected — rebuild
+    * explicitly via [[buildWinnowStore]], the nightly maintenance
+    * job's flow. */
+  private[graft] def ensureWinnowStore(base: DataFrame, table: String,
+                                       path: String, k: Int,
+                                       w: Int): Unit = {
+    val want = s"k=$k,w=$w," + baseSignature(base, "ws")
+    StoreOps.ensure(s"$table@$path", want,
+      base.sparkSession.catalog.tableExists(table)) {
+      buildWinnowStore(base, table, path, k, w)
+    }
+  }
 
-  /** The signature is ID-SET-shaped (count + max + id-hash sum — a
-    * doc_id-column-only scan, never the text: a content-shaped
-    * fingerprint would re-read the whole base per probe, exactly the
-    * scan the store exists to avoid at 100 TB). Contract: an in-place
-    * TEXT mutation at an identical doc_id set is not detected —
-    * rebuild explicitly via [[buildWinnowStore]], the nightly
-    * maintenance job's flow. */
-  private def ensureWinnowStore(base: DataFrame, table: String,
-                                path: String, k: Int, w: Int): Unit = {
-    val sig = base.agg(count(lit(1)), max(col("doc_id")),
-      sum(hash64(col("doc_id").cast("string"), "ws") % 1000000000L)).head()
-    val want = s"k=$k,w=$w,n=${sig.getLong(0)}," +
-      s"mx=${if (sig.isNullAt(1)) -1L else sig.getLong(1)}," +
-      s"hs=${if (sig.isNullAt(2)) 0L else sig.getLong(2)}"
-    winnowStoreState.compute(s"$table@$path", (_, cur) => {
-      if (cur == want && base.sparkSession.catalog.tableExists(table)) cur
-      else { buildWinnowStore(base, table, path, k, w); want }
-    })
+  /** The shared base-corpus signature (winnow AND band store memos):
+    * id-set shape + the n_chars moment when available, one narrow
+    * aggregate over metadata columns only. */
+  private[pipeline] def baseSignature(base: DataFrame,
+                                      seed: String): String = {
+    val withNc = base.columns.contains("n_chars")
+    val aggs = Seq(count(lit(1)), max(col("doc_id")),
+      sum(hash64(col("doc_id").cast("string"), seed) % 1000000000L)) ++
+      (if (withNc) Seq(sum(col("n_chars").cast("long"))) else Nil)
+    val sig = base.agg(aggs.head, aggs.tail: _*).head()
+    def at(i: Int, dflt: Long): Long =
+      if (sig.isNullAt(i)) dflt else sig.getLong(i)
+    s"n=${sig.getLong(0)},mx=${at(1, -1L)},hs=${at(2, 0L)}" +
+      (if (withNc) s",nc=${at(3, 0L)}" else "")
   }
 
   /** Delta-vs-base sub-document copy detection THROUGH the persisted
@@ -469,25 +601,18 @@ object Winnow {
     * from DISTINCT (doc, fp_hash)) but store bytes and probe-scan
     * cost grow monotonically. Compaction = DISTINCT rewrite
     * PRESERVING the (fp_hash, nBuckets) bucket spec, through a
-    * staging parquet dir because Spark refuses to overwrite a table
-    * from a plan that reads it. Spec-pinned: probe-before ==
-    * probe-after, row count shrinks to distinct, and the probe plan
-    * keeps `Bucketed: true` with no base-side exchange. */
+    * UNIQUE staging parquet dir (Spark refuses to overwrite a table
+    * from a plan that reads it) with entry-sweep + finally-delete
+    * crash-safety and a SINGLE-WRITER contract — see
+    * [[StoreOps.compactBucketed]]. Spec-pinned: probe-before ==
+    * probe-after, row count shrinks to distinct, the probe plan
+    * keeps `Bucketed: true` with no base-side exchange, and a stale
+    * pre-existing staging dir neither corrupts nor survives the
+    * rewrite. */
   def compactWinnowStore(spark: SparkSession, table: String,
-                         path: String, nBuckets: Int = 16): Unit = {
-    val staging = path + "_compact_staging"
-    spark.table(table).distinct()
-      .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .select(col("doc_id"), col("fp_hash"), col("fp_pos"))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "fp_hash").sortBy("fp_hash")
-      .option("path", path)
-      .saveAsTable(table)
-    val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
-  }
+                         path: String, nBuckets: Int = 16): Unit =
+    StoreOps.compactBucketed(spark, table, path, nBuckets,
+      Seq("fp_hash"), Seq("doc_id", "fp_hash", "fp_pos"))
 
   /** ADMIT the ingest batch through the store — report→apply for the
     * incremental tier, exactly as q145 completes q140 and q141

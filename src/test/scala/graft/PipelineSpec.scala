@@ -2021,4 +2021,163 @@ class PipelineSpec extends AnyFunSuite {
       assert(pairsOf(corpusB) == Seq((deltaId, baseIds(1))))
     } finally s.sql("DROP TABLE IF EXISTS winnow_guard_tbl")
   }
+
+  // ----- r18: stale-guard content moment, crash-safe compaction, dirTag -----
+
+  test("winnow store stale-guard content moment: a text swap at an IDENTICAL doc_id set rebuilds when n_chars moves") {
+    // ADVICE r17: the id-set-only signature let an in-place text
+    // mutation at the same ids silently probe a stale store. With the
+    // n_chars moment folded into the same aggregate, a swap that moves
+    // total n_chars (almost any real mutation) now rebuilds.
+    val s = spark
+    import s.implicits._
+    val isDeltaCol = graft.pipeline.TextFunctions
+      .hash64(col("doc_id").cast("string"), "inc") % Winnow.WinnowDeltaMod === 0
+    val ids = (0L until 64L).toDF("doc_id")
+      .select($"doc_id", isDeltaCol.as("d")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val deltaId = ids.find(_._2).get._1
+    val baseIds = ids.filter(!_._2).map(_._1)
+    val rng = new scala.util.Random(31)
+    def words(n: Int) = Seq.fill(n)("m" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    def withNc(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // corpus A: delta copies from baseIds(0); corpus B: SAME three
+    // doc_ids, but the copied run moved to baseIds(1) and every text
+    // changed length — only the n_chars moment can tell them apart
+    val corpusA = withNc(Seq((deltaId, words(10) + " " + run),
+      (baseIds(0), run + " " + words(15)), (baseIds(1), words(35))))
+    val corpusB = withNc(Seq((deltaId, words(12) + " " + run),
+      (baseIds(0), words(30)), (baseIds(1), run + " " + words(22))))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_moment").toString
+    try {
+      def pairsOf(c: org.apache.spark.sql.DataFrame) =
+        Winnow.winnowStoreOverlap(c, Winnow.WinnowDeltaMod,
+            "winnow_moment_tbl", dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(pairsOf(corpusA) == Seq((deltaId, baseIds(0))))
+      assert(pairsOf(corpusB) == Seq((deltaId, baseIds(1))))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_moment_tbl")
+  }
+
+  test("winnow store compaction: a stale pre-existing staging dir neither corrupts nor survives the rewrite") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(37)
+    def words(n: Int) = Seq.fill(n)("n" + rng.nextInt(9000)).mkString(" ")
+    val run = words(40)
+    val base = Seq((1L, run + " " + words(20)), (2L, words(30)))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, words(25))).toDF("doc_id", "text")
+    val probe = Seq((99L, words(10) + " " + run)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_crashstage").toString
+    Winnow.buildWinnowStore(base, "winnow_crashstage_tbl", dir)
+    Winnow.appendWinnowStore(batch, "winnow_crashstage_tbl")
+    Winnow.appendWinnowStore(batch, "winnow_crashstage_tbl")
+    // a crashed prior compaction's leftovers: junk of the WRONG schema
+    // under the old fixed name and a unique-suffixed one
+    for (stale <- Seq("_compact_staging", "_compact_staging_p1_dead")) {
+      Seq(("junk", 1)).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir + stale)
+    }
+    try {
+      val distinctRows =
+        s.table("winnow_crashstage_tbl").distinct().count()
+      Winnow.compactWinnowStore(s, "winnow_crashstage_tbl", dir)
+      assert(s.table("winnow_crashstage_tbl").count() == distinctRows)
+      val pairs = Winnow.winnowStorePairs(probe, "winnow_crashstage_tbl",
+          Winnow.WinnowK, Winnow.WinnowW, Winnow.WinnowMaxDf,
+          Winnow.WinnowMinShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == Seq((99L, 1L)), pairs.toString)
+      // every staging sibling — stale AND this run's — is gone
+      val parent = new java.io.File(dir).getParentFile
+      val leftovers = parent.listFiles().map(_.getName)
+        .filter(n => n.startsWith(new java.io.File(dir).getName) &&
+          n.contains("_compact_staging"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally s.sql("DROP TABLE IF EXISTS winnow_crashstage_tbl")
+  }
+
+  test("band store append: probe after a bucketed append == probe of the store rebuilt whole") {
+    // lifecycle parity with the winnow store (r17 VERDICT task 2):
+    // the probe doc near-copies a doc in BATCH 2 (the appended one) —
+    // the candidate join must see it through the append, identically
+    // to a store rebuilt from the whole base
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    def words(n: Int) = Seq.fill(n)("p" + rng.nextInt(9000)).mkString(" ")
+    val t20 = words(30)
+    val batch1 = Seq((10L, words(25)), (11L, words(28)))
+    val batch2 = Seq((20L, t20))
+    val probe = Seq((99L, t20)).toDF("doc_id", "text") // exact copy
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_band_append_a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_band_append_b").toString
+    Dedup.buildBandStore(batch1.toDF("doc_id", "text"),
+      "band_append_tbl", dirA)
+    Dedup.appendBandStore(batch2.toDF("doc_id", "text"), "band_append_tbl")
+    Dedup.buildBandStore((batch1 ++ batch2).toDF("doc_id", "text"),
+      "band_whole_tbl", dirB)
+    try {
+      def candsVia(table: String) =
+        Dedup.bandStoreCandidates(probe, table).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val appended = candsVia("band_append_tbl")
+      assert(appended == candsVia("band_whole_tbl"))
+      assert(appended == Seq((99L, 20L)), appended.toString)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS band_append_tbl")
+      s.sql("DROP TABLE IF EXISTS band_whole_tbl")
+    }
+  }
+
+  test("band store compaction: replayed appends dedupe; candidates identical; bucket spec survives") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(43)
+    def words(n: Int) = Seq.fill(n)("q" + rng.nextInt(9000)).mkString(" ")
+    val t2 = words(30)
+    val base = Seq((1L, words(26)), (2L, t2)).toDF("doc_id", "text")
+    val batch = Seq((3L, words(24))).toDF("doc_id", "text")
+    val probe = Seq((99L, t2)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_band_compact").toString
+    Dedup.buildBandStore(base, "band_compact_tbl", dir)
+    // replay the SAME batch twice — blind appends duplicate its rows
+    Dedup.appendBandStore(batch, "band_compact_tbl")
+    Dedup.appendBandStore(batch, "band_compact_tbl")
+    try {
+      def cands() = Dedup.bandStoreCandidates(probe, "band_compact_tbl")
+      val before = cands().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val rawBefore = s.table("band_compact_tbl").count()
+      val distinctRows = s.table("band_compact_tbl").distinct().count()
+      assert(rawBefore > distinctRows, s"$rawBefore vs $distinctRows")
+      Dedup.compactBandStore(s, "band_compact_tbl", dir)
+      assert(s.table("band_compact_tbl").count() == distinctRows)
+      val after = cands()
+      assert(after.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted == before)
+      assert(before == Seq((99L, 2L)), before.toString)
+      // the rewrite kept the ((band, bkey), 16) bucket spec: the
+      // candidate join still scans the store bucketed
+      assert(after.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"))
+    } finally s.sql("DROP TABLE IF EXISTS band_compact_tbl")
+  }
+
+  test("dirTag: same basename under different parents never aliases; tag is stable and sha-derived") {
+    val a = SparkEntry.dirTag("/tmp/graft_tag_a/corpus")
+    val b = SparkEntry.dirTag("/tmp/graft_tag_b/corpus")
+    assert(a != b)
+    assert(a == SparkEntry.dirTag("/tmp/graft_tag_a/corpus"))
+    assert(a.matches("corpus_[0-9a-f]{12}"), a)
+  }
 }
