@@ -108,6 +108,10 @@ object QueryRunner {
     // executes at build), so it is first-reference too
     "graft_winnow_apply" -> ((s, d) =>
       Winnow.winnowDedupCorpus(Corpus.table(s, d, "documents"))),
+    // span-level SCRUB — same CC-at-build reason (and an eager
+    // localCheckpoint of the pair-evidence stage)
+    "graft_winnow_scrub" -> ((s, d) =>
+      Winnow.winnowScrubSpans(Corpus.table(s, d, "documents"))),
     // the persisted-store tiers (r16 VERDICT task 5, closing the
     // q99 gap too): first-reference AND side-effecting — the builder
     // runs the bucketed store build (saveAsTable, memoized per

@@ -783,6 +783,21 @@ object SparkEntry {
         |  end_pos, n_fps
         |FROM graft_winnow_store_spans
         |ORDER BY delta_doc, base_doc, side, span_idx""".stripMargin)),
+    // q156: span-level SCRUB — the SURGICAL apply (r17 VERDICT
+    // task 1): q145 drops whole documents; this cuts exactly the
+    // copied token intervals q150 locates (ExactSubstr convention)
+    // and keeps the remainder, the component's best member keeping
+    // its text whole. '#ws' content hash over the ENTIRE post-scrub
+    // corpus certifies the shipped artifact.
+    "q156_winnow_scrub" -> ((s, dir) =>
+      Winnow.winnowScrubSpans(Corpus.table(s, dir, "documents"))),
+    // q157: the scrub from pure SQL via the first-reference
+    // graft_winnow_scrub mat-view (CC solve executes at build);
+    // shares q156's oracle.
+    "q157_sql_winnow_scrub" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_docs, n_scrubbed, n_tokens_removed,
+        |  n_tokens_kept, scrubbed_hash_sum
+        |FROM graft_winnow_scrub ORDER BY source""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1286,6 +1301,12 @@ object SparkEntry {
     "q154_winnow_store_spans" -> winnowStoreSpansSql,
     // the SQL spelling shares q154's oracle (lockstep)
     "q155_sql_winnow_store_spans" -> winnowStoreSpansSql,
+    // span-level scrub: CC + keep-best losers, per-doc position
+    // union, LAG/SUM islands, then the scrubbed texts REBUILT by
+    // token slicing and re-hashed — every byte recomputed in DuckDB
+    "q156_winnow_scrub" -> winnowScrubSql,
+    // the SQL spelling shares q156's oracle (lockstep)
+    "q157_sql_winnow_scrub" -> winnowScrubSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2342,6 +2363,82 @@ object SparkEntry {
         |  coalesce(khs, 0)::BIGINT AS kept_hash_sum
         |FROM tot t LEFT JOIN fl USING (source) LEFT JOIN dr USING (source)
         |  LEFT JOIN kp USING (source)
+        |ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The q156 oracle — the scrub recomputed from the parquet source
+    * with NO Spark reuse: the q145 CTEs (pairs → recursive CC →
+    * keep-best rank) decide the losers; the q150 matched-position
+    * CTEs, re-keyed to the doc each position belongs to and
+    * restricted to losers, feed the LAG/running-SUM island collapse
+    * per DOC (positions unioned across all of a loser's flagged
+    * pairs, exactly the Spark union-then-island order); intervals
+    * extend k − 1 trailing tokens; then the scrubbed texts are
+    * REBUILT by 1-based token slicing (i − 1 vs the 0-based token
+    * intervals), re-joined single-space, and '#ws'-hashed alongside
+    * the untouched docs' original texts. A fully-scrubbed doc
+    * LEFT-JOINs back as ('' , 0 kept) — kept, not dropped. */
+  private def winnowScrubSql: String =
+    s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |np AS (SELECT doc_a, doc_b FROM pr
+        |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        |  UNION SELECT doc_b, doc_a FROM np),
+        |reach(node, lab) AS (SELECT src, src FROM edges
+        |  UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+        |rk AS (SELECT c.node, row_number() OVER (PARTITION BY c.cluster
+        |  ORDER BY d.n_chars DESC, c.node) AS rn
+        |  FROM cl c JOIN documents d ON c.node = d.doc_id),
+        |rem AS (SELECT node FROM rk WHERE rn <> 1),
+        |mp AS (
+        |  SELECT DISTINCT np.doc_a AS doc_id, fa.fp_pos AS pos
+        |  FROM np JOIN fp fa ON fa.doc_id = np.doc_a
+        |    JOIN r ON fa.fp_hash = r.fp_hash
+        |    JOIN d fb ON fb.doc_id = np.doc_b AND fb.fp_hash = fa.fp_hash
+        |  UNION
+        |  SELECT DISTINCT np.doc_b AS doc_id, fb.fp_pos AS pos
+        |  FROM np JOIN fp fb ON fb.doc_id = np.doc_b
+        |    JOIN r ON fb.fp_hash = r.fp_hash
+        |    JOIN d fa ON fa.doc_id = np.doc_a AND fa.fp_hash = fb.fp_hash),
+        |lp AS (SELECT doc_id, pos FROM mp
+        |  WHERE doc_id IN (SELECT node FROM rem)),
+        |sq AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) > ${Winnow.WinnowSpanGap} THEN 1 ELSE 0 END AS brk
+        |  FROM lp),
+        |il AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM sq),
+        |iv AS (SELECT doc_id, min(pos) AS s,
+        |  max(pos) + ${Winnow.WinnowK - 1} AS e FROM il
+        |  GROUP BY doc_id, isl),
+        |tk2 AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id IN (SELECT node FROM rem)),
+        |tok AS (SELECT doc_id, source, len(t) AS nt, t,
+        |  unnest(range(1, len(t) + 1)) AS i FROM tk2),
+        |kp AS (SELECT doc_id, i, t[i] AS tokval FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |    WHERE iv.doc_id = k.doc_id AND k.i - 1 BETWEEN iv.s AND iv.e)),
+        |ka AS (SELECT doc_id, count(*) AS nk,
+        |  array_to_string(list(tokval ORDER BY i), ' ') AS newt
+        |  FROM kp GROUP BY doc_id),
+        |sc AS (SELECT t2.doc_id, t2.source, len(t2.t) AS nt,
+        |  coalesce(ka.nk, 0) AS nk, coalesce(ka.newt, '') AS newt
+        |  FROM tk2 t2 LEFT JOIN ka USING (doc_id)),
+        |su AS (SELECT source, count(*) AS nsc, sum(nt - nk) AS nrm,
+        |  sum(nk) AS nkp,
+        |  sum(('0x'||substr(sha256(newt||'#ws'),1,15))::BIGINT % 1000000000) AS hsc
+        |  FROM sc GROUP BY source),
+        |un AS (SELECT source,
+        |  sum(('0x'||substr(sha256(text||'#ws'),1,15))::BIGINT % 1000000000) AS hun
+        |  FROM documents WHERE doc_id NOT IN (SELECT node FROM rem)
+        |  GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        |SELECT t.source, n::BIGINT AS n_docs,
+        |  coalesce(nsc, 0)::BIGINT AS n_scrubbed,
+        |  coalesce(nrm, 0)::BIGINT AS n_tokens_removed,
+        |  coalesce(nkp, 0)::BIGINT AS n_tokens_kept,
+        |  (coalesce(hun, 0) + coalesce(hsc, 0))::BIGINT AS scrubbed_hash_sum
+        |FROM tot t LEFT JOIN su USING (source) LEFT JOIN un USING (source)
         |ORDER BY source""".stripMargin.replace("\n", " ")
 
   /** The q146 oracle: same winnow fingerprint CTEs over the whole

@@ -389,10 +389,17 @@ object Winnow {
     * any island interval are removed. Spans are TOKEN-indexed and the
     * corpus contract is single-space separation, so the cut is
     * token-filter + single-space rejoin (coordinate mapping
-    * spec-pinned); a fully-copied doc scrubs to the empty string but
-    * is KEPT — cut the span, not the doc.
+    * spec-pinned). A fully-copied doc scrubs to near-empty — at most
+    * w − 1 leading and trailing tokens outside the first/last
+    * SELECTED fingerprint survive (winnowing certifies copies at its
+    * own ~2/(w+1) resolution) — and is KEPT: cut the span, not the
+    * doc.
     *
-    * Returns per-source: n_docs, n_scrubbed, n_tokens_removed /
+    * [[winnowScrubbedDocs]] returns the per-doc artifact itself —
+    * one row per SCRUBBED doc: (doc_id, source, n_toks, n_kept,
+    * new_text), the frame a pipeline writes back over the loser
+    * docs. [[winnowScrubSpans]] (the q156 gate) digests it
+    * per-source: n_docs, n_scrubbed, n_tokens_removed /
     * n_tokens_kept (over scrubbed docs), and scrubbed_hash_sum — the
     * '#ws' 60-bit content hash over the ENTIRE post-scrub corpus
     * (untouched docs hash their original text), certifying the
@@ -408,10 +415,10 @@ object Winnow {
     * per-row token filter — while untouched docs contribute one
     * narrow scan + partial-agg for the corpus hash. No operation in
     * the scrub path touches more than (flagged docs × their tokens). */
-  def winnowScrubSpans(docs: DataFrame, k: Int = WinnowK,
-                       w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
-                       minShared: Long = WinnowMinShared,
-                       gap: Long = WinnowSpanGap): DataFrame = {
+  def winnowScrubbedDocs(docs: DataFrame, k: Int = WinnowK,
+                         w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                         minShared: Long = WinnowMinShared,
+                         gap: Long = WinnowSpanGap): DataFrame = {
     require(gap >= 1, s"gap $gap must be >= 1")
     val pp = pairPositionSets(docs, k, w, maxDf, minShared)
       .localCheckpoint(true) // feeds the CC solve AND the position union
@@ -445,13 +452,27 @@ object Winnow {
     val keptToks = filter(toksIdx, s => !exists(col("iv"), r =>
       s.getField("i") >= r.getField("s") &&
         s.getField("i") <= r.getField("e")))
-    val scrubbed = docs.join(spans, "doc_id")
+    docs.join(spans, "doc_id")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_toks"),
         size(keptToks).cast("long").as("n_kept"),
         array_join(transform(keptToks, s => s.getField("t")), " ")
           .as("new_text"))
-    val un = docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** The q156 gate digest over [[winnowScrubbedDocs]] — see the
+    * policy scaladoc above. */
+  def winnowScrubSpans(docs: DataFrame, k: Int = WinnowK,
+                       w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                       minShared: Long = WinnowMinShared,
+                       gap: Long = WinnowSpanGap): DataFrame = {
+    // loser-sized (flagged docs with their rebuilt texts), and read
+    // by three consumers below — the untouched anti-join, the scrub
+    // rollup, and the corpus hash
+    val scrubbed = winnowScrubbedDocs(docs, k, w, maxDf, minShared, gap)
+      .localCheckpoint(true)
+    val un = docs.join(scrubbed.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
       .groupBy(col("source"))
       .agg(sum(hash64(col("text"), "ws") % 1000000000L).as("hs_un"))
     val sc = scrubbed.groupBy(col("source"))

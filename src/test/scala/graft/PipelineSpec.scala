@@ -2173,6 +2173,59 @@ class PipelineSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS band_compact_tbl")
   }
 
+  test("winnow scrub: the cut nests inside the planted run, the winner keeps its text whole, a full copy scrubs to near-empty") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    def words(n: Int) = Seq.fill(n)("r" + rng.nextInt(9000)).mkString(" ")
+    val runLen = 20; val preW = 25; val preL = 8
+    val run = words(runLen)
+    val winnerText = words(preW) + " " + run + " " + words(10)
+    val loserText = words(preL) + " " + run
+    val cleanText = words(30)
+    val docs = Seq((1L, "sA", winnerText), (2L, "sA", loserText),
+        (3L, "sA", cleanText), (4L, "sA", winnerText))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val sc = Winnow.winnowScrubbedDocs(docs, minShared = 1L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // winner (longest, smallest id among the tied full copies) and
+    // the clean doc keep their text whole — absent from the frame
+    assert(sc.keySet == Set(2L, 4L), sc.keySet.toString)
+    // doc 2: the removed tokens are ONE contiguous interval nested
+    // inside the planted run's token coordinates [preL, preL+runLen)
+    val orig2 = loserText.split(" ", -1).toIndexedSeq
+    val (n2, k2, text2) = sc(2L)
+    val kept2 = if (text2.isEmpty) IndexedSeq.empty[String]
+      else text2.split(" ", -1).toIndexedSeq
+    assert(n2 == orig2.size && k2 == kept2.size && k2 < n2)
+    val a = kept2.zip(orig2).takeWhile { case (x, y) => x == y }.size
+    val removed = n2 - k2
+    assert(kept2 == orig2.take(a) ++ orig2.drop(a + removed.toInt),
+      s"cut is not one contiguous interval: kept=$kept2 orig=$orig2")
+    assert(a >= preL && a + removed - 1 <= preL + runLen - 1,
+      s"cut [$a, ${a + removed - 1}] outside planted run")
+    // doc 4 (full copy): scrubs to near-empty — at most w-1 leading
+    // and trailing tokens outside the first/last selected fingerprint
+    assert(sc(4L)._2 <= 2L * (Winnow.WinnowW - 1), sc(4L).toString)
+    // digest: counts + the '#ws' corpus hash split across untouched
+    // originals and rebuilt texts
+    def wsHash(t: String): Long = Seq(Tuple1(t)).toDF("text")
+      .select(graft.pipeline.TextFunctions.hash64(col("text"), "ws")
+        % 1000000000L).head.getLong(0)
+    val dig = Winnow.winnowScrubSpans(docs, minShared = 1L).collect()
+    assert(dig.length == 1)
+    val r = dig(0)
+    assert(r.getAs[Long]("n_docs") == 4L &&
+      r.getAs[Long]("n_scrubbed") == 2L)
+    assert(r.getAs[Long]("n_tokens_removed") +
+      r.getAs[Long]("n_tokens_kept") == n2 + sc(4L)._1)
+    assert(r.getAs[Long]("scrubbed_hash_sum") ==
+      wsHash(winnerText) + wsHash(cleanText) + wsHash(text2) +
+        wsHash(sc(4L)._3))
+  }
+
   test("dirTag: same basename under different parents never aliases; tag is stable and sha-derived") {
     val a = SparkEntry.dirTag("/tmp/graft_tag_a/corpus")
     val b = SparkEntry.dirTag("/tmp/graft_tag_b/corpus")

@@ -168,6 +168,42 @@ object WinnowProperties extends Properties("winnow") {
       partitionOk && arithmeticOk && monoOk
     }
 
+  property("scrub: n_scrubbed == apply's n_dropped; kept text is an order-preserving subsequence; token accounting exact") =
+    forAll(applyCorpusGen) { corpus =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val df = corpus.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")))
+      val dig = Winnow.winnowScrubSpans(df).collect()
+      // the scrub's loser set IS the apply's drop set (same CC +
+      // keep-best policy) — only the remedy differs
+      val dropped = Winnow.winnowDedupCorpus(df).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_dropped")).toMap
+      val scrubEqDrop = dig.forall(r =>
+        r.getAs[Long]("n_scrubbed") == dropped(r.getString(0)))
+      val sc = Winnow.winnowScrubbedDocs(df).collect()
+      val orig = corpus.map(c => (c._1, c._3)).toMap
+      def isSubseq(xs: Seq[String], ys: Seq[String]): Boolean = {
+        var i = 0
+        ys.foreach { y => if (i < xs.size && xs(i) == y) i += 1 }
+        i == xs.size
+      }
+      val subseqOk = sc.forall { r =>
+        val o = orig(r.getLong(0)).split(" ", -1).toIndexedSeq
+        val kt = r.getString(4)
+        val kept = if (kt.isEmpty) IndexedSeq.empty[String]
+          else kt.split(" ", -1).toIndexedSeq
+        r.getAs[Long]("n_toks") == o.size &&
+          r.getAs[Long]("n_kept") == kept.size &&
+          kept.size < o.size && isSubseq(kept, o)
+      }
+      val accountingOk =
+        dig.map(r => r.getAs[Long]("n_tokens_removed") +
+          r.getAs[Long]("n_tokens_kept")).sum ==
+          sc.map(_.getAs[Long]("n_toks")).sum
+      scrubEqDrop && subseqOk && accountingOk
+    }
+
   property("prefix-stability: growing a doc never un-selects an existing fingerprint") =
     forAll(Gen.choose(2, 5), Gen.choose(2, 4),
       Gen.choose(8, 30).flatMap(toksOf),
