@@ -798,6 +798,18 @@ object SparkEntry {
       """SELECT source, n_docs, n_scrubbed, n_tokens_removed,
         |  n_tokens_kept, scrubbed_hash_sum
         |FROM graft_winnow_scrub ORDER BY source""".stripMargin)),
+    // q158: STREAMING winnow admission — q149 at its production
+    // point (r17 VERDICT task 3): arriving docs fingerprint in the
+    // scan, probe the SAME persisted store stream-static, and
+    // quarantine on copy evidence the moment the threshold is
+    // crossed. Shares q149's oracle verbatim: ingest-time == batch
+    // sub-document copy admission, '#wa' hash included.
+    "q158_stream_winnow_admit" -> ((s, dir) => {
+      val (t, p) = winnowStoreLoc(dir)
+      graft.streaming.StreamingPipeline.winnowAdmitStreamFileFeed(
+        Corpus.table(s, dir, "documents"), Winnow.WinnowDeltaMod, t, p,
+        fixtureDir("q158", dir))
+    }),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1307,6 +1319,9 @@ object SparkEntry {
     "q156_winnow_scrub" -> winnowScrubSql,
     // the SQL spelling shares q156's oracle (lockstep)
     "q157_sql_winnow_scrub" -> winnowScrubSql,
+    // streaming winnow admission shares q149's oracle verbatim
+    // (ingest-time == batch, the q147/q141 precedent)
+    "q158_stream_winnow_admit" -> winnowStoreAdmitSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

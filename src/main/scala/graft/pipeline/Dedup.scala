@@ -845,7 +845,7 @@ object Dedup {
   }
 
   /** The q68 delta/base split, shared by every incremental tier. */
-  private[pipeline] def deltaSplit(docs: DataFrame, deltaMod: Long)
+  private[graft] def deltaSplit(docs: DataFrame, deltaMod: Long)
       : (DataFrame, DataFrame) = {
     val isDelta = hash64(col("doc_id").cast("string"), "inc") % deltaMod === 0
     (docs.where(!isDelta), docs.where(isDelta))

@@ -95,6 +95,38 @@ object Winnow {
       .distinct()
   }
 
+  /** [[winnowedFingerprints]] computed entirely WITHIN the row — an
+    * array<struct<fp_hash, fp_pos>> column, bit-identical selection
+    * (property-pinned): same '#wn' positional gram hashes (native
+    * kernel), same zero-padded (hash, pos) string-min per window,
+    * same full-windows-only bound and (hash, pos) distinct — but the
+    * window min is a per-row HOF fold over the gram array instead of
+    * a cross-row Window, so NO shuffle and NO window operator.
+    *
+    * This is the form a STREAMING scan needs (q158's ingest
+    * admission: window functions are unsupported on streaming
+    * DataFrames, and winnowing is per-doc local anyway — the batch
+    * operator's window-by-doc_id is an implementation convenience,
+    * not a data dependency) and what a SQL-surface function can
+    * evaluate per row. Cost is the same O(grams × w) key
+    * comparisons; the batch tier keeps the window spelling, which
+    * shares the key strings across overlapping windows. */
+  def winnowFpStructs(text: Column, k: Int = WinnowK,
+                      w: Int = WinnowW): Column = {
+    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    val gs = posShingleHashes(text, k, "wn")
+    val n = size(gs)
+    val sels = when(n >= w, array_distinct(
+      transform(sequence(lit(0), n - w), i =>
+        array_min(transform(sequence(i + 1, i + w), j =>
+          concat(lpad(element_at(gs, j).cast("string"), 20, "0"),
+            lpad((j - 1).cast("string"), 10, "0")))))))
+      .otherwise(array().cast("array<string>"))
+    transform(sels, s => struct(
+      substring(s, 1, 20).cast("long").as("fp_hash"),
+      substring(s, 21, 10).cast("long").as("fp_pos")))
+  }
+
   /** Per-document winnowing digest over a doc_id-mod sample — the q139
     * gate: fingerprint count plus hash- and position-sums, so the
     * oracle recompute pins the selection (which hashes) AND the
@@ -658,7 +690,18 @@ object Winnow {
     val (base, delta) = Dedup.deltaSplit(docs, deltaMod)
     ensureWinnowStore(base, table, path, k, w)
     val flagged = winnowStorePairs(delta, table, k, w, maxDf, minShared)
-      .select(col("delta_doc").as("doc_id")).distinct()
+      .select(col("delta_doc").as("doc_id"))
+    admitDigest(delta, flagged)
+  }
+
+  /** The q149 admission digest over an arbitrary flagged-id frame —
+    * shared verbatim by the batch gate ([[winnowStoreAdmit]]) and the
+    * STREAMING ingest admission (q158), which is what lets the
+    * streaming gate share q149's oracle: same digest, same '#wa'
+    * hash, only the flag TRANSPORT differs. */
+  private[graft] def admitDigest(delta: DataFrame,
+                                 flaggedIds: DataFrame): DataFrame = {
+    val flagged = flaggedIds.select(col("doc_id")).distinct()
     val admitted = delta.join(flagged, Seq("doc_id"), "left_anti")
     val bySource = delta.select(col("doc_id"), col("source"))
     delta.groupBy(col("source")).agg(count(lit(1)).as("n_delta"))
@@ -680,20 +723,7 @@ object Winnow {
   private[graft] def winnowStorePairs(delta: DataFrame, table: String,
                                       k: Int, w: Int, maxDf: Int,
                                       minShared: Long): DataFrame = {
-    // row_number cap at maxDf + 1 BEFORE the collect (the q140
-    // discipline): a boilerplate fingerprint's million holders are cut
-    // to maxDf + 1 rows map-side (WindowGroupLimit riding the store's
-    // fp_hash bucketing+sort), and a truncated maxDf+1 list IS the
-    // df > maxDf case — dropped, bit-identical to the true-df filter
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
-    val basePerFp = delta.sparkSession.table(table)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .withColumn("rn", row_number().over(wDf))
-      .where(col("rn") <= maxDf + 1)
-      .groupBy(col("fp_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= maxDf)
+    val basePerFp = storeDocLists(delta.sparkSession, table, maxDf)
     winnowedFingerprints(delta, k, w)
       .select(col("doc_id").as("delta_doc"), col("fp_hash")).distinct()
       .join(basePerFp, Seq("fp_hash"))
@@ -702,6 +732,27 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("delta_doc", "base_doc")
+  }
+
+  /** The store's df-bounded per-fingerprint doc lists — the probe
+    * tiers' shared base side (batch [[winnowStorePairs]] and the
+    * q158 streaming probe's static frame). row_number cap at
+    * maxDf + 1 BEFORE the collect (the q140 discipline): a
+    * boilerplate fingerprint's million holders are cut to maxDf + 1
+    * rows map-side (WindowGroupLimit riding the store's fp_hash
+    * bucketing+sort), and a truncated maxDf+1 list IS the df > maxDf
+    * case — dropped, bit-identical to the true-df filter. */
+  private[graft] def storeDocLists(spark: SparkSession, table: String,
+                                   maxDf: Int): DataFrame = {
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash")).orderBy(col("doc_id"))
+    spark.table(table)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .withColumn("rn", row_number().over(wDf))
+      .where(col("rn") <= maxDf + 1)
+      .groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
   }
 
   /** Span-level attribution THROUGH the persisted store — the reason

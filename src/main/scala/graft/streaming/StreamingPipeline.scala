@@ -12,6 +12,14 @@ case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                        session_end: java.sql.Timestamp,
                        n_events: Long, total_value: Double)
 
+/** Row/state shapes for the streaming winnow admission probe (q158;
+  * top level for Encoders): one hit row per (arriving doc, shared
+  * fingerprint, base holder); state = per-base shared-fingerprint
+  * counts plus the emitted latch. */
+case class WinnowHit(doc_id: Long, ts: java.sql.Timestamp, base_doc: Long)
+case class WinnowProbeState(counts: Map[Long, Long], emitted: Boolean)
+case class QuarantinedDoc(doc_id: Long)
+
 /** Data-plane Structured Streaming operators — the streaming spellings
   * of the batch pipeline's event aggregation (q14/q34) and exact dedup
   * (q16/q17). Each takes a streaming DataFrame (readStream source or
@@ -988,6 +996,126 @@ object StreamingPipeline {
       // completed; the digest reads train + the sink parquet only
       graft.pipeline.Dedup.deconShipDigest(train, quarantined)
     } finally evalHashes.unpersist(false)
+  }
+
+  /** Streaming sub-document copy admission — the q149 winnow-store
+    * ADMIT at INGEST TIME (r17 VERDICT task 3), completing the
+    * streaming front door exactly as q147 completes q141: whole-doc
+    * exact admission streams (q90), 13-gram decontamination streams
+    * (q147), and now sub-document COPY admission streams too.
+    *
+    * Dataflow: every arriving document fingerprints IN THE SCAN
+    * ([[graft.pipeline.Winnow.winnowFpStructs]] — winnowing is
+    * per-doc local, so the batch tier's window-by-doc_id is an
+    * implementation convenience a streaming scan simply doesn't
+    * need); its distinct fingerprint hashes explode into a STATELESS
+    * stream-static join against the store's df-bounded per-fingerprint
+    * doc lists (`basePerFp` — the same [[graft.pipeline.Winnow
+    * .storeDocLists]] frame the batch probe joins, built once by the
+    * caller and re-planned per micro-batch, so a nightly store
+    * refresh is picked up without restarting the query); base holders
+    * explode from ≤ maxDf-element lists. The only STATE is the
+    * per-doc threshold counter: flatMapGroupsWithState keyed by
+    * doc_id accumulates shared-fingerprint counts per base doc and
+    * emits the quarantine row THE MOMENT some base doc's count
+    * reaches minShared (an emitted latch prevents re-emission if
+    * late evidence arrives), holding each doc's counters only until
+    * the event-time timeout at ts + lateness — state tracks the
+    * in-flight lateness horizon, never stream history.
+    *
+    * Scale shape: fingerprints, not text, cross the join (16-byte
+    * rows); the static side is df-bounded so a boilerplate
+    * fingerprint in the store fans out to at most maxDf holders; a
+    * clean document (the overwhelming majority at ingest) joins
+    * nothing, reaches the stateful operator nowhere, and costs zero
+    * state. Flag set == the batch probe's by construction: same
+    * distinct (doc, fp_hash) pairs, same store lists, and the
+    * per-(doc, base) row count here IS winnowStorePairs' n_shared. */
+  def winnowProbeStream(docs: DataFrame, basePerFp: DataFrame,
+                        k: Int, w: Int, minShared: Long,
+                        lateness: String,
+                        latenessMs: Long): Dataset[QuarantinedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def update(doc: Long, incoming: Iterator[WinnowHit],
+               state: GroupState[WinnowProbeState])
+        : Iterator[QuarantinedDoc] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val prior = state.getOption
+          .getOrElse(WinnowProbeState(Map.empty, emitted = false))
+        var counts = prior.counts
+        var maxTsMs = 0L
+        incoming.foreach { h =>
+          counts = counts.updated(h.base_doc,
+            counts.getOrElse(h.base_doc, 0L) + 1L)
+          maxTsMs = math.max(maxTsMs, h.ts.getTime)
+        }
+        val hit = !prior.emitted && counts.valuesIterator.exists(_ >= minShared)
+        state.update(WinnowProbeState(counts, prior.emitted || hit))
+        state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
+          state.getCurrentWatermarkMs() + 1))
+        if (hit) Iterator(QuarantinedDoc(doc)) else Iterator.empty
+      }
+    }
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(transform(
+          graft.pipeline.Winnow.winnowFpStructs(col("text"), k, w),
+          s => s.getField("fp_hash")))).as("fp_hash"))
+      .join(basePerFp, Seq("fp_hash"))
+      .select(col("doc_id"), col("ts"), explode(col("ds")).as("base_doc"))
+      .as[WinnowHit]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Gate composition (q158): the q149 corpus split and store, the
+    * delta streamed through the PRODUCTION readStream ingress,
+    * quarantine decisions from [[winnowProbeStream]], and the digest
+    * computed by the SAME [[graft.pipeline.Winnow.admitDigest]] the
+    * batch gate uses — so q158 shares q149's ORACLE verbatim, pinning
+    * ingest-time == batch sub-document copy admission on the same
+    * corpus and ONE shared persisted store. The static probe side is
+    * persisted for the replay (computed once, not per micro-batch)
+    * and released in the finally; replay lateness spans the synthetic
+    * time range so the gate checks admission logic, not eviction
+    * (multi-wave arrival and the single-emission latch are pinned in
+    * StreamingPipelineSpec). */
+  def winnowAdmitStreamFileFeed(docs: DataFrame, deltaMod: Long,
+                                table: String, path: String,
+                                fixtureDir: String): DataFrame = {
+    import graft.pipeline.{Dedup, Winnow}
+    val (base, delta) = Dedup.deltaSplit(docs, deltaMod)
+    Winnow.ensureWinnowStore(base, table, path,
+      Winnow.WinnowK, Winnow.WinnowW)
+    val basePerFp = Winnow.storeDocLists(docs.sparkSession, table,
+        Winnow.WinnowMaxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statsRow = delta
+        .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+      require(statsRow.getLong(2) > 0L, "empty delta split")
+      val spanSec = statsRow.getLong(1) - statsRow.getLong(0) + 10L
+      val nRows = statsRow.getLong(2)
+      // fixed replay epoch + doc_id seconds (q90's convention)
+      val feed = delta.select(col("doc_id"),
+        expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
+        col("text"))
+      val stream = stageSingleWaveFeed(feed, nRows, fixtureDir, Nil)
+      val out = winnowProbeStream(stream, basePerFp,
+        Winnow.WinnowK, Winnow.WinnowW, Winnow.WinnowMinShared,
+        s"$spanSec seconds", spanSec * 1000L)
+      val quarantined = runReplayToFileSink(out.toDF(), "q158", nRows) {
+        query => query.processAllAvailable()
+      }.select(col("doc_id")).distinct()
+      Winnow.admitDigest(delta, quarantined)
+    } finally {
+      basePerFp.unpersist(false)
+      ()
+    }
   }
 
   /** Gate composition (q105): feed the batch documents table through

@@ -734,4 +734,61 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("q158 probe: evidence across waves quarantines on arrival, the latch emits each doc ONCE, flag set == batch probe") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Winnow
+    val rng = new scala.util.Random(53)
+    def words(n: Int) = Seq.fill(n)("s" + rng.nextInt(9000)).mkString(" ")
+    val runX = words(40); val runY = words(40)
+    val base = Seq((1L, runX + " " + words(12)),
+      (2L, words(8) + " " + runY)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q158_probe").toString
+    Winnow.buildWinnowStore(base, "q158_probe_tbl", dir)
+    val basePerFp = Winnow.storeDocLists(spark, "q158_probe_tbl",
+      Winnow.WinnowMaxDf)
+    val docA = (100L, ts("2024-01-01 10:00:00"), words(6) + " " + runX)
+    val docB = (101L, ts("2024-01-01 10:10:00"), words(5) + " " + runY)
+    val clean = (102L, ts("2024-01-01 10:01:00"), words(30))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingPipeline.winnowProbeStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), basePerFp,
+      Winnow.WinnowK, Winnow.WinnowW, minShared = 1L,
+      lateness = "1 hour", latenessMs = 3600000L)
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("q158_probe").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_q158ck").toString)
+      .start()
+    try {
+      // wave 1: the runX copy quarantines IN ITS ARRIVAL BATCH (no
+      // watermark advance needed — emission is threshold-triggered)
+      stream.addData(docA, clean)
+      query.processAllAvailable()
+      assert(spark.table("q158_probe").collect()
+        .map(_.getLong(0)).toSeq == Seq(100L))
+      // wave 2: a new copier emits; docA REPLAYED (a re-delivered
+      // file) accumulates more counts but the latch blocks re-emission
+      stream.addData(docB, docA)
+      query.processAllAvailable()
+      val rows = spark.table("q158_probe").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(rows == Seq(100L, 101L), rows.toString)
+      // the streamed flag set == the batch probe's on the same store
+      val batchFlags = Winnow.winnowStorePairs(
+          Seq((100L, docA._3), (101L, docB._3), (102L, clean._3))
+            .toDF("doc_id", "text"),
+          "q158_probe_tbl", Winnow.WinnowK, Winnow.WinnowW,
+          Winnow.WinnowMaxDf, 1L)
+        .select("delta_doc").distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(batchFlags == Set(100L, 101L))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS q158_probe_tbl")
+    }
+  }
 }

@@ -168,6 +168,24 @@ object WinnowProperties extends Properties("winnow") {
       partitionOk && arithmeticOk && monoOk
     }
 
+  property("per-row kernel: winnowFpStructs == winnowedFingerprints, any (k, w)") =
+    forAll(Gen.choose(2, 6), Gen.choose(2, 5),
+      Gen.choose(0, 40).flatMap(toksOf),
+      Gen.choose(0, 40).flatMap(toksOf)) { (k, w, ta, tb) =>
+      val s = SparkTestSession.spark
+      import s.implicits._
+      val df = Seq((1L, ta.mkString(" ")), (2L, tb.mkString(" ")))
+        .toDF("doc_id", "text")
+      val win = Winnow.winnowedFingerprints(df, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val perRow = df.select(col("doc_id"),
+          explode(Winnow.winnowFpStructs(col("text"), k, w)).as("f"))
+        .select(col("doc_id"), col("f.fp_hash"), col("f.fp_pos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      win == perRow
+    }
+
   property("scrub: n_scrubbed == apply's n_dropped; kept text is an order-preserving subsequence; token accounting exact") =
     forAll(applyCorpusGen) { corpus =>
       val s = SparkTestSession.spark
