@@ -85,8 +85,82 @@ object QueryRunner {
       .createOrReplaceTempView("graft_winnow_neighbors")
     Winnow.winnowCopySpans(docs)
       .createOrReplaceTempView("graft_winnow_spans")
+    registerWinnowTvfs(spark, docs)
     lastInit.put(spark, sfDir)
   }
+
+  // ----- parameterized winnow surface: genuine table-valued functions -----
+  //
+  // The graft_winnow_* views above are pinned at gate-standard
+  // parameters (k=5, w=4, maxDf=8, minShared=5) — the r17 VERDICT's
+  // residual (c): ad-hoc SQL could not tune the tier without Scala.
+  // These register the SAME Scala operators as session TABLE-VALUED
+  // FUNCTIONS through Spark's own TableFunctionRegistry (the registry
+  // `range(...)` and `explode(...)` live in), so
+  //   SELECT * FROM graft_winnow_pairs(7, 4, 16)
+  // analyzes to the winnowOverlapPairs plan at those parameters — the
+  // builder runs at ANALYSIS time and only constructs a lazy logical
+  // plan, so registration and resolution cost no Spark jobs. The bare
+  // relation name still resolves to the gate-standard temp VIEW
+  // (UnresolvedRelation and UnresolvedTableValuedFunction live in
+  // different namespaces), so q144's spelling is untouched and
+  // `graft_winnow_pairs()` == `graft_winnow_pairs` by construction.
+  // Arguments must be integer LITERALS — the plan is chosen during
+  // analysis, exactly like the arguments of range(); trailing
+  // arguments are optional and default to the gate-standard values.
+
+  private def tvfIntArg(fn: String, arg: String,
+                        e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+          if v.isValidInt => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got ${other.sql}")
+    }
+
+  /** (function name, arg names, plan builder from parsed int args). */
+  private def winnowTvfDefs(docs: DataFrame)
+      : Seq[(String, Seq[String], Seq[Int] => DataFrame)] = Seq(
+    ("graft_winnow_pairs", Seq("k", "w", "max_df", "min_shared"),
+      a => Winnow.winnowOverlapPairs(docs,
+        k = a(0), w = a(1), maxDf = a(2), minShared = a(3).toLong)),
+    ("graft_winnow_neighbors", Seq("k", "w", "max_df", "top_k"),
+      a => Winnow.winnowTopNeighbors(docs,
+        k = a(0), w = a(1), maxDf = a(2), topK = a(3))),
+    ("graft_winnow_spans", Seq("k", "w", "max_df", "min_shared"),
+      a => Winnow.winnowCopySpans(docs,
+        k = a(0), w = a(1), maxDf = a(2), minShared = a(3).toLong)))
+
+  private def tvfDefault(fn: String, arg: String): Int = (fn, arg) match {
+    case (_, "k") => Winnow.WinnowK
+    case (_, "w") => Winnow.WinnowW
+    case (_, "max_df") => Winnow.WinnowMaxDf
+    case (_, "min_shared") => Winnow.WinnowMinShared.toInt
+    case (_, "top_k") => Winnow.WinnowTopK
+    case _ => throw new IllegalStateException(s"no default for $fn($arg)")
+  }
+
+  private def registerWinnowTvfs(spark: SparkSession, docs: DataFrame): Unit =
+    winnowTvfDefs(docs).foreach { case (fn, argNames, mk) =>
+      val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        Winnow.getClass.getCanonicalName, fn)
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn), info,
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (args.size > argNames.size)
+            throw new IllegalArgumentException(
+              s"$fn takes at most ${argNames.size} arguments " +
+                s"(${argNames.mkString(", ")}), got ${args.size}")
+          val resolved = argNames.indices.map { i =>
+            args.lift(i).map(tvfIntArg(fn, argNames(i), _))
+              .getOrElse(tvfDefault(fn, argNames(i)))
+          }
+          mk(resolved).queryExecution.logical
+        })
+    }
 
   // The clustering-tier views are MATERIALIZED plans — the session
   // pair index plus the driver-iterative CC solve run when the

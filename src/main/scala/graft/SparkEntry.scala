@@ -810,6 +810,19 @@ object SparkEntry {
         Corpus.table(s, dir, "documents"), Winnow.WinnowDeltaMod, t, p,
         fixtureDir("q158", dir))
     }),
+    // q159: the PARAMETERIZED winnow SQL surface (r17 VERDICT
+    // task 5): graft_winnow_pairs is also a session TABLE-VALUED
+    // FUNCTION (Spark's TableFunctionRegistry — range()'s registry),
+    // so ad-hoc SQL tunes k/w/maxDf/minShared without Scala. The
+    // gate spells the TVF at gate-standard arguments and shares
+    // q140's oracle, certifying the parameterized path IS the same
+    // computation (SqlSurfaceSpec pins the non-standard-argument
+    // behavior and literal-only validation).
+    "q159_sql_winnow_pairs_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      s"""SELECT doc_a, doc_b, n_shared
+        |FROM graft_winnow_pairs(${Winnow.WinnowK}, ${Winnow.WinnowW},
+        |  ${Winnow.WinnowMaxDf}, ${Winnow.WinnowMinShared})
+        |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1322,6 +1335,9 @@ object SparkEntry {
     // streaming winnow admission shares q149's oracle verbatim
     // (ingest-time == batch, the q147/q141 precedent)
     "q158_stream_winnow_admit" -> winnowStoreAdmitSql,
+    // the TVF spelling at gate-standard arguments shares q140's
+    // oracle (lockstep with q144's view spelling)
+    "q159_sql_winnow_pairs_tvf" -> winnowOverlapSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

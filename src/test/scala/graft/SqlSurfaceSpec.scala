@@ -246,6 +246,68 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(sql) == rows(scala))
   }
 
+  // ----- r18: parameterized winnow TVFs (VERDICT r17 task 5) -----
+
+  test("q159 / graft_winnow_pairs(k,w,maxDf,minShared) TVF at gate-standard args == view == Scala") {
+    val tvf = SparkEntry.queries("q159_sql_winnow_pairs_tvf")(spark, sf)
+    val view = SparkEntry.queries("q144_sql_winnow_pairs")(spark, sf)
+    val scala = Winnow.winnowOverlapPairs(docsDf)
+    assert(rows(tvf) == rows(view))
+    assert(rows(tvf) == rows(scala))
+    assert(tvf.count() > 0)
+  }
+
+  test("graft_winnow_pairs TVF: trailing args default to gate-standard; non-standard args change the plan") {
+    val noArgs = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_pairs()")
+    assert(rows(noArgs) == rows(Winnow.winnowOverlapPairs(docsDf)))
+    // minShared=1 admits single-fingerprint evidence: strictly more
+    // pairs than the gate-standard floor of 5 (non-vacuous knob)
+    val loose = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_pairs(5, 4, 8, 1)")
+    val looseScala = Winnow.winnowOverlapPairs(docsDf, minShared = 1L)
+    assert(rows(loose) == rows(looseScala))
+    assert(loose.count() > noArgs.count())
+  }
+
+  test("graft_winnow_neighbors / graft_winnow_spans TVFs == their Scala operators at non-default args") {
+    val nb = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_neighbors(5, 4, 8, 1)")
+    assert(rows(nb) == rows(Winnow.winnowTopNeighbors(docsDf, topK = 1)))
+    assert(nb.count() > 0)
+    val sp = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_spans(5, 4, 8, 5)")
+    assert(rows(sp) == rows(Winnow.winnowCopySpans(docsDf)))
+    assert(sp.count() > 0)
+  }
+
+  test("graft_winnow_pairs TVF rejects non-literal args and excess arity at analysis time") {
+    val e1 = intercept[Exception] {
+      QueryRunner.sql(spark, sf,
+        "SELECT * FROM graft_winnow_pairs(n_chars, 4, 8, 5)").collect()
+    }
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception] {
+      QueryRunner.sql(spark, sf,
+        "SELECT * FROM graft_winnow_pairs(5, 4, 8, 5, 99)").collect()
+    }
+    assert(e2.getMessage.contains("at most") ||
+      e2.getMessage.contains("arguments"))
+    // invalid VALUES surface the operator's own require() message
+    val e3 = intercept[Exception] {
+      QueryRunner.sql(spark, sf,
+        "SELECT * FROM graft_winnow_pairs(5, 4, 1, 5)").collect()
+    }
+    assert(e3.getMessage.contains("maxDf") ||
+      e3.getMessage.contains("1"))
+  }
+
+  test("bare graft_winnow_pairs still resolves to the VIEW: the TVF registration does not shadow q144") {
+    val view = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_winnow_pairs")
+    assert(rows(view) == rows(Winnow.winnowOverlapPairs(docsDf)))
+  }
+
   test("mat-view dispatch matches identifiers, not substrings: a string literal naming a view does not build it") {
     // parses to a plain scan of `documents` — graft_winnow_apply (and a
     // commented graft_dedup_clusters) appear only as TEXT, so no
