@@ -2270,7 +2270,7 @@ object SparkEntry {
         |s AS (SELECT doc_id, n, pos, min(lpad(g::VARCHAR, 20, '0') ||
         |  lpad(pos::VARCHAR, 10, '0')) OVER (PARTITION BY doc_id ORDER BY pos
         |  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel FROM h),
-        |fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 20)::BIGINT AS fp_hash,
+        |fp AS MATERIALIZED (SELECT DISTINCT doc_id, substr(sel, 1, 20)::BIGINT AS fp_hash,
         |  substr(sel, 21, 10)::BIGINT AS fp_pos FROM s WHERE pos <= n - $w)""".stripMargin
   }
 
@@ -2309,7 +2309,7 @@ object SparkEntry {
     * applies its own, q142 ranks instead). */
   private def winnowPairCtes: String =
     s"""${winnowFpCte("")},
-        |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |d AS MATERIALIZED (SELECT DISTINCT doc_id, fp_hash FROM fp),
         |r AS (SELECT fp_hash FROM d GROUP BY fp_hash
         |  HAVING count(*) BETWEEN 2 AND ${Winnow.WinnowMaxDf}),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
@@ -2333,7 +2333,7 @@ object SparkEntry {
     * k − 1 trailing tokens, exactly as the Spark fold does. */
   private def winnowSpansSql: String =
     s"""$winnowPairCtes,
-        |np AS (SELECT doc_a, doc_b FROM pr
+        |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
         |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
         |mp AS (
         |  SELECT DISTINCT np.doc_a, np.doc_b, 'a' AS side, fa.fp_pos AS pos
@@ -2367,9 +2367,9 @@ object SparkEntry {
     * recomputed from the parquet source. */
   private def winnowApplySql: String =
     s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |np AS (SELECT doc_a, doc_b FROM pr
+        |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
         |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM np
         |  UNION SELECT doc_b, doc_a FROM np),
         |reach(node, lab) AS (SELECT src, src FROM edges
         |  UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
@@ -2377,7 +2377,7 @@ object SparkEntry {
         |rk AS (SELECT c.node, row_number() OVER (PARTITION BY c.cluster
         |  ORDER BY d.n_chars DESC, c.node) AS rn
         |  FROM cl c JOIN documents d ON c.node = d.doc_id),
-        |rem AS (SELECT node FROM rk WHERE rn <> 1),
+        |rem AS MATERIALIZED (SELECT node FROM rk WHERE rn <> 1),
         |fl AS (SELECT d.source, count(*) AS nf FROM cl
         |  JOIN documents d ON cl.node = d.doc_id GROUP BY 1),
         |dr AS (SELECT d.source, count(*) AS nd FROM rem
@@ -2410,9 +2410,9 @@ object SparkEntry {
     * LEFT-JOINs back as ('' , 0 kept) — kept, not dropped. */
   private def winnowScrubSql: String =
     s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |np AS (SELECT doc_a, doc_b FROM pr
+        |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
         |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM np
         |  UNION SELECT doc_b, doc_a FROM np),
         |reach(node, lab) AS (SELECT src, src FROM edges
         |  UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
@@ -2420,7 +2420,7 @@ object SparkEntry {
         |rk AS (SELECT c.node, row_number() OVER (PARTITION BY c.cluster
         |  ORDER BY d.n_chars DESC, c.node) AS rn
         |  FROM cl c JOIN documents d ON c.node = d.doc_id),
-        |rem AS (SELECT node FROM rk WHERE rn <> 1),
+        |rem AS MATERIALIZED (SELECT node FROM rk WHERE rn <> 1),
         |mp AS (
         |  SELECT DISTINCT np.doc_a AS doc_id, fa.fp_pos AS pos
         |  FROM np JOIN fp fa ON fa.doc_id = np.doc_a
@@ -2480,15 +2480,15 @@ object SparkEntry {
     * whole-corpus fingerprint table). */
   private def winnowStoreCtes: String =
     s"""${winnowFpCte("")},
-        |d AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
-        |dl AS (SELECT doc_id FROM documents
+        |d AS MATERIALIZED (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |dl AS MATERIALIZED (SELECT doc_id FROM documents
         |  WHERE ('0x'||substr(sha256(doc_id::VARCHAR||'#inc'),1,15))::BIGINT
         |    % ${Winnow.WinnowDeltaMod} = 0),
-        |bf AS (SELECT doc_id, fp_hash FROM d
+        |bf AS MATERIALIZED (SELECT doc_id, fp_hash FROM d
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
-        |dfp AS (SELECT doc_id, fp_hash FROM d
+        |dfp AS MATERIALIZED (SELECT doc_id, fp_hash FROM d
         |  WHERE doc_id IN (SELECT doc_id FROM dl)),
-        |el AS (SELECT fp_hash FROM bf GROUP BY fp_hash
+        |el AS MATERIALIZED (SELECT fp_hash FROM bf GROUP BY fp_hash
         |  HAVING count(*) <= ${Winnow.WinnowMaxDf}),
         |pr AS (SELECT dfp.doc_id AS delta_doc, bf.doc_id AS base_doc,
         |  count(*)::BIGINT AS n_shared
@@ -2509,11 +2509,11 @@ object SparkEntry {
     * BOTH members. */
   private def winnowStoreSpansSql: String =
     s"""$winnowStoreCtes,
-        |np AS (SELECT delta_doc, base_doc FROM pr
+        |np AS MATERIALIZED (SELECT delta_doc, base_doc FROM pr
         |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
-        |bfp AS (SELECT doc_id, fp_hash, fp_pos FROM fp
+        |bfp AS MATERIALIZED (SELECT doc_id, fp_hash, fp_pos FROM fp
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
-        |dpp AS (SELECT doc_id, fp_hash, fp_pos FROM fp
+        |dpp AS MATERIALIZED (SELECT doc_id, fp_hash, fp_pos FROM fp
         |  WHERE doc_id IN (SELECT doc_id FROM dl)),
         |mp AS (
         |  SELECT DISTINCT np.delta_doc, np.base_doc, 'delta' AS side,

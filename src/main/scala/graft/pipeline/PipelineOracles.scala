@@ -24,7 +24,7 @@ object PipelineOracles {
     * hashes the affine minhash family permutes (TextFunctions.minhash). */
   private val shingleCtes =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+       |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk),
        |bh AS (SELECT doc_id, s, list_transform(s, x -> ${h64("x", "mh")}) AS hs FROM sh)""".stripMargin
 
@@ -54,17 +54,17 @@ object PipelineOracles {
       h64("mh[band*2+1]::VARCHAR || '_' || mh[band*2+2]::VARCHAR", "band'||band||'")
     s"""$shingleCtes,
        |m AS (SELECT doc_id, s, [$mhList] AS mh FROM bh),
-       |bands AS (SELECT doc_id, s, band, $bandKey AS bkey
+       |bands AS MATERIALIZED (SELECT doc_id, s, band, $bandKey AS bkey
        |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |verified AS (SELECT doc_a, doc_b,
+       |verified AS MATERIALIZED (SELECT doc_a, doc_b,
        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
        |        len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
        |            JOIN sh sb ON sb.doc_id = cand.doc_b),
-       |near_pairs AS (SELECT doc_a, doc_b FROM verified
+       |near_pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM verified
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
 
@@ -79,13 +79,13 @@ object PipelineOracles {
     * fixed-point mirrors the Spark side's min-label propagation). */
   private def clusterCtes(threshold: Double): String =
     s"""${lshCtes(threshold)},
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM near_pairs
        |  UNION SELECT doc_b, doc_a FROM near_pairs),
        |reach(node, lab) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
-       |clusters AS (SELECT node, min(lab) AS cluster FROM reach
+       |clusters AS MATERIALIZED (SELECT node, min(lab) AS cluster FROM reach
        |  GROUP BY node)""".stripMargin
 
   def dedupClusters(threshold: Double): String =
@@ -142,7 +142,7 @@ object PipelineOracles {
     val chunkBits = 64 / chunks
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |h AS (SELECT doc_id, list_transform(t, tok -> ${h64("tok", "sim")}) AS th FROM tk),
-       |s AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
+       |s AS MATERIALIZED (SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
        |  CASE WHEN list_reduce(list_transform(th, x ->
        |    CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), (p, q) -> p + q) > 0
        |  THEN '1' ELSE '0' END), 'string_agg', '') AS sh FROM h),
@@ -176,9 +176,9 @@ object PipelineOracles {
     def notDelta(c: String) = s"${h64(s"$c::VARCHAR", "inc")} % $deltaMod <> 0"
     s"""WITH $shingleCtes,
        |m AS (SELECT doc_id, s, [$mhList] AS mh FROM bh),
-       |bands AS (SELECT doc_id, band, $bandKey AS bkey
+       |bands AS MATERIALIZED (SELECT doc_id, band, $bandKey AS bkey
        |  FROM m, (SELECT unnest(range(0, 4)) AS band) b),
-       |dd AS (SELECT doc_id FROM documents WHERE ${isDelta("doc_id")}),
+       |dd AS MATERIALIZED (SELECT doc_id FROM documents WHERE ${isDelta("doc_id")}),
        |cand AS (SELECT DISTINCT d.doc_id AS delta_id, bb.doc_id AS base_id
        |  FROM bands d JOIN bands bb ON d.band = bb.band AND d.bkey = bb.bkey
        |  WHERE d.doc_id IN (SELECT doc_id FROM dd)
@@ -221,7 +221,7 @@ object PipelineOracles {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   def ngramJaccard(maxId: Long, threshold: Double): String =
-    s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
        |  range(1, length(text)-1), i -> substr(text, i, 3))) AS ng
        |  FROM documents WHERE doc_id < $maxId)
        |SELECT * FROM (
@@ -274,7 +274,7 @@ object PipelineOracles {
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   def cosineNearDups(threshold: Double, nBits: Int): String =
-    s"""WITH b AS (SELECT vec_id, embedding,
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings)
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -315,7 +315,7 @@ object PipelineOracles {
   def cosineNearDupsAuto(threshold: Double, target: Long,
                          maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH ${adaptiveNbCte(target)},
-       |b AS (SELECT vec_id, embedding,
+       |b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |${cappedCosinePairCtes(threshold, maxBucket)}
        |SELECT vec_a, vec_b, cos FROM bucket_pairs
@@ -332,37 +332,37 @@ object PipelineOracles {
   def embeddingClusterKeptAuto(threshold: Double, target: Long,
                                maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH RECURSIVE ${adaptiveNbCte(target)},
-       |b AS (SELECT vec_id, embedding,
+       |b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |${cappedCosinePairCtes(threshold, maxBucket)},
-       |near_pairs AS (SELECT vec_a, vec_b FROM bucket_pairs),
-       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
+       |near_pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM bucket_pairs),
+       |edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
        |  UNION SELECT vec_b, vec_a FROM near_pairs),
        |reach(node, lab) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
-       |clusters AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+       |clusters AS MATERIALIZED (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
        |removed AS (SELECT node FROM clusters WHERE node <> cluster)
        |SELECT label, count(*) AS n_kept FROM embeddings
        |WHERE vec_id NOT IN (SELECT node FROM removed)
        |GROUP BY label ORDER BY label""".stripMargin
 
   def embeddingClusterKept(threshold: Double, nBits: Int): String =
-    s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+    s"""WITH RECURSIVE b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
-       |near_pairs AS (SELECT * FROM (
+       |near_pairs AS MATERIALIZED (SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
        |  WHERE cos >= $threshold),
-       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
+       |edges AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM near_pairs
        |  UNION SELECT vec_b, vec_a FROM near_pairs),
        |reach(node, lab) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
-       |clusters AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+       |clusters AS MATERIALIZED (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
        |removed AS (SELECT node FROM clusters WHERE node <> cluster)
        |SELECT label, count(*) AS n_kept FROM embeddings
        |WHERE vec_id NOT IN (SELECT node FROM removed)
@@ -373,7 +373,7 @@ object PipelineOracles {
     * Similarity.bucketRecallAudit: rank on the ROUNDED cosine with
     * vec_id tie-break in both rankings. */
   def bucketRecallAudit(k: Int, nBits: Int, queryMod: Long): String =
-    s"""WITH b AS (SELECT vec_id, embedding,
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
        |  FROM b WHERE vec_id % $queryMod = 0),
@@ -438,7 +438,7 @@ object PipelineOracles {
        |GROUP BY qid ORDER BY qid""".stripMargin
 
   def bucketKnnJoin(k: Int, nBits: Int): String =
-    s"""WITH b AS (SELECT vec_id, embedding,
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
        |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
@@ -452,7 +452,7 @@ object PipelineOracles {
     * Similarity.bucketKnnJoinAuto at any scale. */
   def bucketKnnJoinAuto(k: Int, target: Long): String =
     s"""WITH ${adaptiveNbCte(target)},
-       |b AS (SELECT vec_id, embedding,
+       |b AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
        |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
