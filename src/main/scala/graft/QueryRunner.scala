@@ -85,7 +85,7 @@ object QueryRunner {
       .createOrReplaceTempView("graft_winnow_neighbors")
     Winnow.winnowCopySpans(docs)
       .createOrReplaceTempView("graft_winnow_spans")
-    registerWinnowTvfs(spark, docs)
+    registerTvfs(spark, docs, Corpus.table(spark, sfDir, "embeddings"))
     lastInit.put(spark, sfDir)
   }
 
@@ -109,54 +109,70 @@ object QueryRunner {
   // analysis, exactly like the arguments of range(); trailing
   // arguments are optional and default to the gate-standard values.
 
-  private def tvfIntArg(fn: String, arg: String,
-                        e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  /** Numeric literal → Double (ints, longs, decimals, doubles): the
+    * arguments choose the PLAN, so — exactly like `range(...)` — they
+    * must be literals the analyzer can read. */
+  private def tvfNumArg(fn: String, arg: String,
+                        e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
     e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-          if v.isValidInt => v.toInt
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
       case other => throw new IllegalArgumentException(
-        s"$fn: argument '$arg' must be an integer literal, got ${other.sql}")
+        s"$fn: argument '$arg' must be a numeric literal, got ${other.sql}")
     }
 
-  /** (function name, arg names, plan builder from parsed int args). */
-  private def winnowTvfDefs(docs: DataFrame)
-      : Seq[(String, Seq[String], Seq[Int] => DataFrame)] = Seq(
-    ("graft_winnow_pairs", Seq("k", "w", "max_df", "min_shared"),
-      a => Winnow.winnowOverlapPairs(docs,
-        k = a(0), w = a(1), maxDf = a(2), minShared = a(3).toLong)),
-    ("graft_winnow_neighbors", Seq("k", "w", "max_df", "top_k"),
-      a => Winnow.winnowTopNeighbors(docs,
-        k = a(0), w = a(1), maxDf = a(2), topK = a(3))),
-    ("graft_winnow_spans", Seq("k", "w", "max_df", "min_shared"),
-      a => Winnow.winnowCopySpans(docs,
-        k = a(0), w = a(1), maxDf = a(2), minShared = a(3).toLong)))
+  /** (function name, (arg name, default) pairs, plan builder). Args
+    * arrive as Double; int-shaped parameters truncate explicitly. */
+  private def tvfDefs(docs: DataFrame, emb: DataFrame)
+      : Seq[(String, Seq[(String, Double)], Seq[Double] => DataFrame)] = Seq(
+    ("graft_winnow_pairs", Seq(
+      "k" -> Winnow.WinnowK.toDouble, "w" -> Winnow.WinnowW.toDouble,
+      "max_df" -> Winnow.WinnowMaxDf.toDouble,
+      "min_shared" -> Winnow.WinnowMinShared.toDouble),
+      a => Winnow.winnowOverlapPairs(docs, k = a(0).toInt, w = a(1).toInt,
+        maxDf = a(2).toInt, minShared = a(3).toLong)),
+    ("graft_winnow_neighbors", Seq(
+      "k" -> Winnow.WinnowK.toDouble, "w" -> Winnow.WinnowW.toDouble,
+      "max_df" -> Winnow.WinnowMaxDf.toDouble,
+      "top_k" -> Winnow.WinnowTopK.toDouble),
+      a => Winnow.winnowTopNeighbors(docs, k = a(0).toInt, w = a(1).toInt,
+        maxDf = a(2).toInt, topK = a(3).toInt)),
+    ("graft_winnow_spans", Seq(
+      "k" -> Winnow.WinnowK.toDouble, "w" -> Winnow.WinnowW.toDouble,
+      "max_df" -> Winnow.WinnowMaxDf.toDouble,
+      "min_shared" -> Winnow.WinnowMinShared.toDouble),
+      a => Winnow.winnowCopySpans(docs, k = a(0).toInt, w = a(1).toInt,
+        maxDf = a(2).toInt, minShared = a(3).toLong)),
+    // near-dup detection at an ad-hoc Jaccard threshold — the view's
+    // 0.8 is the gate standard, not the only sensible cutoff
+    ("graft_lsh_near_dups", Seq("threshold" -> 0.8),
+      a => Dedup.lshNearDupPairs(docs, a(0))),
+    // similarity search from SQL: exact cosine top-k for ANY query
+    // vector id, not just the view's pinned (0, 10)
+    ("graft_cosine_topk", Seq("query_id" -> 0.0, "k" -> 10.0),
+      a => Similarity.cosineTopK(emb, a(0).toLong, a(1).toInt)))
 
-  private def tvfDefault(fn: String, arg: String): Int = (fn, arg) match {
-    case (_, "k") => Winnow.WinnowK
-    case (_, "w") => Winnow.WinnowW
-    case (_, "max_df") => Winnow.WinnowMaxDf
-    case (_, "min_shared") => Winnow.WinnowMinShared.toInt
-    case (_, "top_k") => Winnow.WinnowTopK
-    case _ => throw new IllegalStateException(s"no default for $fn($arg)")
-  }
-
-  private def registerWinnowTvfs(spark: SparkSession, docs: DataFrame): Unit =
-    winnowTvfDefs(docs).foreach { case (fn, argNames, mk) =>
+  private def registerTvfs(spark: SparkSession, docs: DataFrame,
+                           emb: DataFrame): Unit =
+    tvfDefs(docs, emb).foreach { case (fn, argDefs, mk) =>
       val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         Winnow.getClass.getCanonicalName, fn)
       spark.sessionState.tableFunctionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(fn), info,
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          if (args.size > argNames.size)
+          if (args.size > argDefs.size)
             throw new IllegalArgumentException(
-              s"$fn takes at most ${argNames.size} arguments " +
-                s"(${argNames.mkString(", ")}), got ${args.size}")
-          val resolved = argNames.indices.map { i =>
-            args.lift(i).map(tvfIntArg(fn, argNames(i), _))
-              .getOrElse(tvfDefault(fn, argNames(i)))
+              s"$fn takes at most ${argDefs.size} arguments " +
+                s"(${argDefs.map(_._1).mkString(", ")}), got ${args.size}")
+          val resolved = argDefs.indices.map { i =>
+            args.lift(i).map(tvfNumArg(fn, argDefs(i)._1, _))
+              .getOrElse(argDefs(i)._2)
           }
           mk(resolved).queryExecution.logical
         })

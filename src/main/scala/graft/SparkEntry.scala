@@ -823,6 +823,17 @@ object SparkEntry {
         |FROM graft_winnow_pairs(${Winnow.WinnowK}, ${Winnow.WinnowW},
         |  ${Winnow.WinnowMaxDf}, ${Winnow.WinnowMinShared})
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // q160: parameterized near-dup detection — the LSH tier's
+    // Jaccard threshold as a TVF argument (the view pins 0.8);
+    // gate-standard argument shares q19's oracle.
+    "q160_sql_lsh_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_a, doc_b, jaccard FROM graft_lsh_near_dups(0.8)
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // q161: similarity SEARCH from SQL — exact cosine top-k for an
+    // arbitrary query vector id (the view pins (0, 10)); gate-standard
+    // arguments share q22's oracle.
+    "q161_sql_cosine_topk_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      "SELECT vec_id, label, cos FROM graft_cosine_topk(0, 10)")),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1338,6 +1349,10 @@ object SparkEntry {
     // the TVF spelling at gate-standard arguments shares q140's
     // oracle (lockstep with q144's view spelling)
     "q159_sql_winnow_pairs_tvf" -> winnowOverlapSql,
+    // TVF spellings of the LSH pair tier and cosine search share
+    // q19's / q22's oracles at gate-standard arguments
+    "q160_sql_lsh_tvf" -> PO.lshNearDups(0.8),
+    "q161_sql_cosine_topk_tvf" -> PO.cosineTopK(0L, 10),
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->

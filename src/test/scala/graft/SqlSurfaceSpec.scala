@@ -302,6 +302,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
       e3.getMessage.contains("1"))
   }
 
+  test("q160/q161 TVFs at non-default args == their Scala operators (LSH threshold, cosine query/k)") {
+    val loose = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_lsh_near_dups(0.7) ORDER BY doc_a, doc_b")
+    assert(rows(loose) == rows(Dedup.lshNearDupPairs(docsDf, 0.7)))
+    val std = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_lsh_near_dups(0.8)")
+    assert(loose.count() >= std.count() && std.count() > 0)
+    val emb = Corpus.table(spark, sf, "embeddings")
+    val topk = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_cosine_topk(3, 5)")
+    assert(rows(topk) == rows(Similarity.cosineTopK(emb, 3L, 5)))
+    assert(topk.count() == 5)
+  }
+
   test("bare graft_winnow_pairs still resolves to the VIEW: the TVF registration does not shadow q144") {
     val view = QueryRunner.sql(spark, sf,
       "SELECT * FROM graft_winnow_pairs")
