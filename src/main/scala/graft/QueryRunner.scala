@@ -202,6 +202,9 @@ object QueryRunner {
     // localCheckpoint of the pair-evidence stage)
     "graft_winnow_scrub" -> ((s, d) =>
       Winnow.winnowScrubSpans(Corpus.table(s, d, "documents"))),
+    // the per-doc scrub artifact behind the digest (q162's twin)
+    "graft_winnow_scrubbed_docs" -> ((s, d) =>
+      Winnow.winnowScrubbedDocReport(Corpus.table(s, d, "documents"))),
     // the persisted-store tiers (r16 VERDICT task 5, closing the
     // q99 gap too): first-reference AND side-effecting — the builder
     // runs the bucketed store build (saveAsTable, memoized per

@@ -834,6 +834,18 @@ object SparkEntry {
     // arguments share q22's oracle.
     "q161_sql_cosine_topk_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
       "SELECT vec_id, label, cos FROM graft_cosine_topk(0, 10)")),
+    // q162: the per-document scrub artifact behind q156's digest —
+    // every flagged non-winner doc with token accounting and a '#wd'
+    // hash over ITS rebuilt text, so each shipped scrubbed document
+    // is certified individually (a per-doc error that cancels in the
+    // digest sum cannot hide in per-doc hashes).
+    "q162_winnow_scrubbed_docs" -> ((s, dir) =>
+      Winnow.winnowScrubbedDocReport(Corpus.table(s, dir, "documents"))),
+    // q163: the per-doc artifact from pure SQL via the first-reference
+    // graft_winnow_scrubbed_docs mat-view; shares q162's oracle.
+    "q163_sql_winnow_scrubbed_docs" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_id, source, n_toks, n_kept, scrubbed_hash
+        |FROM graft_winnow_scrubbed_docs ORDER BY doc_id""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1353,6 +1365,11 @@ object SparkEntry {
     // q19's / q22's oracles at gate-standard arguments
     "q160_sql_lsh_tvf" -> PO.lshNearDups(0.8),
     "q161_sql_cosine_topk_tvf" -> PO.cosineTopK(0L, 10),
+    // per-doc scrub artifact: the scrub CTEs' sc rows with per-doc
+    // '#wd' hashes (q156's digest is a rollup of the same recompute)
+    "q162_winnow_scrubbed_docs" -> winnowScrubbedDocsSql,
+    // the SQL spelling shares q162's oracle (lockstep)
+    "q163_sql_winnow_scrubbed_docs" -> winnowScrubbedDocsSql,
     // same '#nv' 60-bit shingle hash both sides (q64's construction);
     // first occurrence = min(doc_id) per hash; int counts, one divide
     "q86_novelty" ->
@@ -2423,7 +2440,10 @@ object SparkEntry {
     * intervals), re-joined single-space, and '#ws'-hashed alongside
     * the untouched docs' original texts. A fully-scrubbed doc
     * LEFT-JOINs back as ('' , 0 kept) — kept, not dropped. */
-  private def winnowScrubSql: String =
+  /** Shared scrub CTE chain (through `sc`, the per-doc rebuilt
+    * texts) — the q156 digest and the q162 per-doc report are two
+    * selects over the SAME recompute, exactly like the Spark side. */
+  private def winnowScrubCtes: String =
     s"""${winnowPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
         |  WHERE n_shared >= ${Winnow.WinnowMinShared}),
@@ -2469,7 +2489,10 @@ object SparkEntry {
         |  FROM kp GROUP BY doc_id),
         |sc AS (SELECT t2.doc_id, t2.source, len(t2.t) AS nt,
         |  coalesce(ka.nk, 0) AS nk, coalesce(ka.newt, '') AS newt
-        |  FROM tk2 t2 LEFT JOIN ka USING (doc_id)),
+        |  FROM tk2 t2 LEFT JOIN ka USING (doc_id))""".stripMargin
+
+  private def winnowScrubSql: String =
+    s"""$winnowScrubCtes,
         |su AS (SELECT source, count(*) AS nsc, sum(nt - nk) AS nrm,
         |  sum(nk) AS nkp,
         |  sum(('0x'||substr(sha256(newt||'#ws'),1,15))::BIGINT % 1000000000) AS hsc
@@ -2486,6 +2509,15 @@ object SparkEntry {
         |  (coalesce(hun, 0) + coalesce(hsc, 0))::BIGINT AS scrubbed_hash_sum
         |FROM tot t LEFT JOIN su USING (source) LEFT JOIN un USING (source)
         |ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The q162 oracle: the scrub CTEs' per-doc rows verbatim, each
+    * rebuilt text certified individually with the '#wd' 60-bit hash
+    * (the digest's sum cannot hide a per-doc error here). */
+  private def winnowScrubbedDocsSql: String =
+    s"""$winnowScrubCtes
+        |SELECT doc_id, source, nt::BIGINT AS n_toks, nk::BIGINT AS n_kept,
+        |  ('0x'||substr(sha256(newt||'#wd'),1,15))::BIGINT AS scrubbed_hash
+        |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** The q146 oracle: same winnow fingerprint CTEs over the whole
     * corpus, the '#inc' hash split (q68's spelling), base-side df

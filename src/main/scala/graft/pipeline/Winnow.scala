@@ -523,6 +523,22 @@ object Winnow {
       .orderBy("source")
   }
 
+  /** Per-document scrub artifact (q162) — the reviewer-facing rows
+    * BEHIND the q156 digest: every flagged non-winner doc with its
+    * token accounting and a '#wd' 60-bit hash over the rebuilt text,
+    * so each shipped scrubbed document is certified individually, not
+    * only in per-source aggregate (a per-doc error that cancels in a
+    * digest sum cannot hide here). Output is loser-sized; the rebuilt
+    * texts themselves stay distributed — only their hashes surface. */
+  def winnowScrubbedDocReport(docs: DataFrame, k: Int = WinnowK,
+                              w: Int = WinnowW, maxDf: Int = WinnowMaxDf,
+                              minShared: Long = WinnowMinShared,
+                              gap: Long = WinnowSpanGap): DataFrame =
+    winnowScrubbedDocs(docs, k, w, maxDf, minShared, gap)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("n_kept"),
+        hash64(col("new_text"), "wd").as("scrubbed_hash"))
+      .orderBy("doc_id")
+
   // ----- persisted winnow fingerprint store (incremental tier) -----
 
   /** Build the PERSISTED winnow fingerprint store — the q68/q99 band-

@@ -316,6 +316,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(topk.count() == 5)
   }
 
+  test("q163 / graft_winnow_scrubbed_docs mat-view == Winnow.winnowScrubbedDocReport") {
+    val sql = SparkEntry.queries("q163_sql_winnow_scrubbed_docs")(spark, sf)
+    val scala = Winnow.winnowScrubbedDocReport(docsDf)
+    assert(rows(sql) == rows(scala))
+    assert(sql.count() > 0) // the planted copies flag losers at this SF
+  }
+
+  test("q162 per-doc scrub rows roll up to q156's digest: counts and token accounting agree per source") {
+    val perDoc = Winnow.winnowScrubbedDocReport(docsDf)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_scrubbed"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("n_toks") -
+            org.apache.spark.sql.functions.col("n_kept"))
+          .as("n_tokens_removed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val digest = Winnow.winnowScrubSpans(docsDf)
+      .where("n_scrubbed > 0")
+      .select("source", "n_scrubbed", "n_tokens_removed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(perDoc == digest && digest.nonEmpty)
+  }
+
   test("bare graft_winnow_pairs still resolves to the VIEW: the TVF registration does not shadow q144") {
     val view = QueryRunner.sql(spark, sf,
       "SELECT * FROM graft_winnow_pairs")
