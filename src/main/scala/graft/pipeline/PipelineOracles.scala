@@ -208,15 +208,16 @@ object PipelineOracles {
   /** MinHash-estimate audit: verified pairs + the signature-agreement
     * estimate (fraction of the 8 minhashes agreeing) vs true jaccard. */
   def minhashEstimateAudit(threshold: Double): String =
-    s"""WITH ${lshCtes(threshold)}
+    s"""WITH ${lshCtes(threshold)},
+       |m2 AS MATERIALIZED (SELECT doc_id, mh FROM m)
        |SELECT v.doc_a, v.doc_b, v.jaccard,
        |  round(len(list_filter(range(1, 9), i -> ma.mh[i] = mb.mh[i]))::DOUBLE / 8, 6)
        |    AS mh_est,
        |  round(abs(v.jaccard -
        |    len(list_filter(range(1, 9), i -> ma.mh[i] = mb.mh[i]))::DOUBLE / 8), 6)
        |    AS abs_err
-       |FROM verified v JOIN m ma ON ma.doc_id = v.doc_a
-       |                JOIN m mb ON mb.doc_id = v.doc_b
+       |FROM verified v JOIN m2 ma ON ma.doc_id = v.doc_a
+       |                JOIN m2 mb ON mb.doc_id = v.doc_b
        |WHERE v.jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
