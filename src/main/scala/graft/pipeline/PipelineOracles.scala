@@ -275,7 +275,7 @@ object PipelineOracles {
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   def cosineNearDups(threshold: Double, nBits: Int): String =
-    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
+    s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings)
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -316,7 +316,7 @@ object PipelineOracles {
   def cosineNearDupsAuto(threshold: Double, target: Long,
                          maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH ${adaptiveNbCte(target)},
-       |b AS MATERIALIZED (SELECT vec_id, embedding,
+       |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |${cappedCosinePairCtes(threshold, maxBucket)}
        |SELECT vec_a, vec_b, cos FROM bucket_pairs
@@ -333,7 +333,7 @@ object PipelineOracles {
   def embeddingClusterKeptAuto(threshold: Double, target: Long,
                                maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""WITH RECURSIVE ${adaptiveNbCte(target)},
-       |b AS MATERIALIZED (SELECT vec_id, embedding,
+       |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |${cappedCosinePairCtes(threshold, maxBucket)},
        |near_pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM bucket_pairs),
@@ -350,7 +350,7 @@ object PipelineOracles {
        |GROUP BY label ORDER BY label""".stripMargin
 
   def embeddingClusterKept(threshold: Double, nBits: Int): String =
-    s"""WITH RECURSIVE b AS MATERIALIZED (SELECT vec_id, embedding,
+    s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
        |near_pairs AS MATERIALIZED (SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -374,7 +374,7 @@ object PipelineOracles {
     * Similarity.bucketRecallAudit: rank on the ROUNDED cosine with
     * vec_id tie-break in both rankings. */
   def bucketRecallAudit(k: Int, nBits: Int, queryMod: Long): String =
-    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
+    s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
        |  FROM b WHERE vec_id % $queryMod = 0),
@@ -439,7 +439,7 @@ object PipelineOracles {
        |GROUP BY qid ORDER BY qid""".stripMargin
 
   def bucketKnnJoin(k: Int, nBits: Int): String =
-    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
+    s"""WITH b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
        |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
@@ -453,7 +453,7 @@ object PipelineOracles {
     * Similarity.bucketKnnJoinAuto at any scale. */
   def bucketKnnJoinAuto(k: Int, target: Long): String =
     s"""WITH ${adaptiveNbCte(target)},
-       |b AS MATERIALIZED (SELECT vec_id, embedding,
+       |b AS (SELECT vec_id, embedding,
        |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor,
        |    round(${cosineExpr("a.embedding", "b2.embedding")}, 6) AS cos
