@@ -16,7 +16,7 @@ case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
   * top level for Encoders): one hit row per (arriving doc, shared
   * fingerprint, base holder); state = per-base shared-fingerprint
   * counts plus the emitted latch. */
-case class WinnowHit(doc_id: Long, ts: java.sql.Timestamp, base_doc: Long)
+case class WinnowHit(doc_id: Long, ts: java.sql.Timestamp, ds: Seq[Long])
 case class WinnowProbeState(counts: Map[Long, Long], emitted: Boolean)
 case class QuarantinedDoc(doc_id: Long)
 
@@ -380,7 +380,8 @@ object StreamingPipeline {
     * itself is gate plumbing — a production deployment points
     * readStream at its landing directory. */
   private[graft] def stageSingleWaveFeed(corpus: DataFrame, nRows: Long,
-      fixtureDir: String, sentinels: Seq[DataFrame]): DataFrame = {
+      fixtureDir: String, sentinels: Seq[DataFrame],
+      minFiles: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val root = new java.io.File(fixtureDir)
     rmTree(root)
@@ -389,9 +390,15 @@ object StreamingPipeline {
 
     // one mtime WAVE per intended micro-batch, every wave the same
     // file count (Spark writes a directory; the part files move into
-    // the watched dir under ordered names + an explicit shared mtime)
-    val targetFiles =
-      math.max(1L, math.min(32L, (nRows + 249999L) / 250000L)).toInt
+    // the watched dir under ordered names + an explicit shared mtime).
+    // The 250k-rows-per-file heuristic is tuned for THIN event rows;
+    // staged file count is also the stream's SCAN parallelism floor
+    // (FileStreamSource splits by file), so a feed of FAT rows with
+    // heavy per-row stream work must raise `minFiles` — measured on
+    // q158 at sf1: the 125k-doc delta in ONE file ran the stream-side
+    // winnow fingerprinting near single-threaded, 52 s of a 52 s gate.
+    val targetFiles = math.max(minFiles,
+      math.max(1L, math.min(32L, (nRows + 249999L) / 250000L)).toInt)
     def stage(df: DataFrame, wave: String, mtime: Long): Int = {
       val tmp = new java.io.File(root, s"stage_$wave")
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -1013,8 +1020,14 @@ object StreamingPipeline {
     * doc lists (`basePerFp` — the same [[graft.pipeline.Winnow
     * .storeDocLists]] frame the batch probe joins, built once by the
     * caller and re-planned per micro-batch, so a nightly store
-    * refresh is picked up without restarting the query); base holders
-    * explode from ≤ maxDf-element lists. The only STATE is the
+    * refresh is picked up without restarting the query); the
+    * ≤ maxDf-element holder lists ride the shuffle UN-exploded and
+    * the per-base counting folds into the state update (identical
+    * increments; measured hit volume is small — 18.6k rows over 2.0k
+    * docs at sf1 — so this is shuffle hygiene, not the wall: the
+    * gate's wall was the staged feed's SCAN parallelism, see the
+    * minFiles note at stageSingleWaveFeed — 52 → 6 s at sf1 warm,
+    * identical flag set). The only STATE is the
     * per-doc threshold counter: flatMapGroupsWithState keyed by
     * doc_id accumulates shared-fingerprint counts per base doc and
     * emits the quarantine row THE MOMENT some base doc's count
@@ -1047,8 +1060,9 @@ object StreamingPipeline {
         var counts = prior.counts
         var maxTsMs = 0L
         incoming.foreach { h =>
-          counts = counts.updated(h.base_doc,
-            counts.getOrElse(h.base_doc, 0L) + 1L)
+          h.ds.foreach { b =>
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          }
           maxTsMs = math.max(maxTsMs, h.ts.getTime)
         }
         val hit = !prior.emitted && counts.valuesIterator.exists(_ >= minShared)
@@ -1065,7 +1079,7 @@ object StreamingPipeline {
           graft.pipeline.Winnow.winnowFpStructs(col("text"), k, w),
           s => s.getField("fp_hash")))).as("fp_hash"))
       .join(basePerFp, Seq("fp_hash"))
-      .select(col("doc_id"), col("ts"), explode(col("ds")).as("base_doc"))
+      .select(col("doc_id"), col("ts"), col("ds"))
       .as[WinnowHit]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -1104,7 +1118,11 @@ object StreamingPipeline {
       val feed = delta.select(col("doc_id"),
         expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
         col("text"))
-      val stream = stageSingleWaveFeed(feed, nRows, fixtureDir, Nil)
+      // fat text rows + the per-doc winnow fingerprint fold: stage at
+      // full width so the stream scan parallelizes (see the minFiles
+      // note at stageSingleWaveFeed)
+      val stream = stageSingleWaveFeed(feed, nRows, fixtureDir, Nil,
+        minFiles = 32)
       val out = winnowProbeStream(stream, basePerFp,
         Winnow.WinnowK, Winnow.WinnowW, Winnow.WinnowMinShared,
         s"$spanSec seconds", spanSec * 1000L)
