@@ -71,7 +71,8 @@ object Bench {
     // expression/plan ids, object addresses, and per-run temp paths
     // are run-local and must not perturb the hash.
     val planFpByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
-    def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    def planFingerprint(df: org.apache.spark.sql.DataFrame,
+                        planDumpName: Option[String] = None): String =
       try {
         val norm = df.queryExecution.sparkPlan.toString
           .replaceAll("#\\d+", "#")
@@ -83,14 +84,33 @@ object Bench {
           // misclassify a real plan change as noise (ADVICE r10)
           .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid")
           .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
-          // per-process band-store table names (q99) are run-local;
-          // scoped to the store naming scheme — a bare _p\d+ rule
-          // would also collapse legitimate identifiers like len_p50
+          // per-process band/winnow-store table names (q99/q146 tier)
+          // are run-local; scoped to the store naming schemes — a bare
+          // _p\d+ rule would also collapse identifiers like len_p50
           .replaceAll("graft_band_store_\\w+", "band_store")
+          .replaceAll("graft_winnow_store_\\w+", "winnow_store")
           // JVM-assigned lambda identifiers (MapPartitions operators):
           // Lambda$<counter>/0x<addr> differs every run for identical
           // code, which made every codec-tier fingerprint unstable
           .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+          // higher-order-function lambda VARIABLES carry a
+          // session-global fresh-name counter (`lambda x_645#`): the
+          // number depends on how many lambda expressions the session
+          // built before this plan, i.e. on run order and adaptive
+          // reruns — it made every HOF-bearing fingerprint (the whole
+          // text/embedding tier) order-dependent (r18 diagnosis via
+          // SPARK_GRAFT_PLAN_DUMP_DIR diffs)
+          .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+#", "lambda $1_#")
+        // diagnostics: SPARK_GRAFT_PLAN_DUMP_DIR=<dir> writes each
+        // normalized plan text out, so two runs can be DIFFED when a
+        // fingerprint moves (how the r18 run-order instability below
+        // was found)
+        sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR").foreach { d =>
+          new java.io.File(d).mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/${planDumpName.getOrElse("plan")}.txt"),
+            norm)
+        }
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(norm.getBytes("UTF-8")).take(6)
           .map(b => "%02x".format(b & 0xff)).mkString
@@ -109,7 +129,7 @@ object Bench {
           // only — no extra fn() call, which for the index-building
           // and streaming-replay entries would redo real work)
           if (!planFpByQuery.contains(name))
-            planFpByQuery(name) = planFingerprint(df)
+            planFpByQuery(name) = planFingerprint(df, Some(name))
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.functions.GraftFunctions
-import graft.pipeline.{Dedup, Similarity, Winnow}
+import graft.pipeline.{Curation, Dedup, Similarity, TextStats, Winnow}
 import graft.sources.Corpus
 
 /** SQL entry surface: registers the security fixtures and the driver
@@ -85,7 +85,15 @@ object QueryRunner {
       .createOrReplaceTempView("graft_winnow_neighbors")
     Winnow.winnowCopySpans(docs)
       .createOrReplaceTempView("graft_winnow_spans")
-    registerTvfs(spark, docs, Corpus.table(spark, sfDir, "embeddings"))
+    TextStats.bigramLmScores(docs)
+      .createOrReplaceTempView("graft_bigram_lm")
+    graft.operators.IntervalJoin
+      .burstWindowsOver(Corpus.table(spark, sfDir, "events"))
+      .createOrReplaceTempView("graft_burst_windows")
+    Curation.weightedSample(docs, 50)
+      .createOrReplaceTempView("graft_weighted_sample")
+    registerTvfs(spark, docs, Corpus.table(spark, sfDir, "embeddings"),
+      Corpus.table(spark, sfDir, "events"))
     lastInit.put(spark, sfDir)
   }
 
@@ -129,7 +137,7 @@ object QueryRunner {
 
   /** (function name, (arg name, default) pairs, plan builder). Args
     * arrive as Double; int-shaped parameters truncate explicitly. */
-  private def tvfDefs(docs: DataFrame, emb: DataFrame)
+  private def tvfDefs(docs: DataFrame, emb: DataFrame, ev: DataFrame)
       : Seq[(String, Seq[(String, Double)], Seq[Double] => DataFrame)] = Seq(
     ("graft_winnow_pairs", Seq(
       "k" -> Winnow.WinnowK.toDouble, "w" -> Winnow.WinnowW.toDouble,
@@ -156,11 +164,27 @@ object QueryRunner {
     // similarity search from SQL: exact cosine top-k for ANY query
     // vector id, not just the view's pinned (0, 10)
     ("graft_cosine_topk", Seq("query_id" -> 0.0, "k" -> 10.0),
-      a => Similarity.cosineTopK(emb, a(0).toLong, a(1).toInt)))
+      a => Similarity.cosineTopK(emb, a(0).toLong, a(1).toInt)),
+    // interval join at an ad-hoc anchor threshold / window width —
+    // the bucket decomposition re-derives its bucket size from the
+    // width argument, so every parameterization keeps the equi-join
+    // shape (never a nested-loop range join)
+    ("graft_burst_windows", Seq("threshold" -> 250.0,
+      "half_width_minutes" -> 5.0),
+      a => graft.operators.IntervalJoin.burstWindowsOver(ev, a(0),
+        a(1).toInt)),
+    // weighted sampling at an ad-hoc k per source
+    ("graft_weighted_sample", Seq("k" -> 50.0),
+      a => Curation.weightedSample(docs, a(0).toInt)),
+    // bigram LM scoring at an ad-hoc interpolation λ (the gate's
+    // 0.875 is dyadic by design; ad-hoc λ keeps Spark-side
+    // determinism, only cross-ENGINE parity needs dyadic)
+    ("graft_bigram_lm", Seq("lambda" -> 0.875),
+      a => TextStats.bigramLmScores(docs, a(0))))
 
   private def registerTvfs(spark: SparkSession, docs: DataFrame,
-                           emb: DataFrame): Unit =
-    tvfDefs(docs, emb).foreach { case (fn, argDefs, mk) =>
+                           emb: DataFrame, ev: DataFrame): Unit =
+    tvfDefs(docs, emb, ev).foreach { case (fn, argDefs, mk) =>
       val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         Winnow.getClass.getCanonicalName, fn)
       spark.sessionState.tableFunctionRegistry.registerFunction(
@@ -224,7 +248,14 @@ object QueryRunner {
       val (t, p) = SparkEntry.bandStoreLoc(d)
       Dedup.incrementalDedupViaBandStore(
         Corpus.table(s, d, "documents"), 10L, 0.8, t, p)
-    }))
+    }),
+    // the PQ tier: first-reference because the codebook's config-sized
+    // TakeOrdered collect (and the recall audit's persist-and-release
+    // cycle) run at BUILD, not at registration
+    "graft_pq_error" -> ((s, d) =>
+      Similarity.pqErrorProfile(Corpus.table(s, d, "embeddings"))),
+    "graft_pq_recall" -> ((s, d) =>
+      Similarity.pqRecallAuditSized(Corpus.table(s, d, "embeddings"), 10)))
 
   // inner map is a ConcurrentHashMap and the name-level update is an
   // atomic compute() (ADVICE r16: the old plain HashMap could corrupt

@@ -846,6 +846,56 @@ object SparkEntry {
     "q163_sql_winnow_scrubbed_docs" -> ((s, dir) => QueryRunner.sql(s, dir,
       """SELECT doc_id, source, n_toks, n_kept, scrubbed_hash
         |FROM graft_winnow_scrubbed_docs ORDER BY doc_id""".stripMargin)),
+    // q164: interpolated bigram LM score (CCNet/KenLM-style perplexity
+    // filter), self-scored on the corpus's own counts. ONE ln per
+    // distinct bigram type, quantized to integer nanolog; all doc- and
+    // source-level accumulation is exact integer arithmetic with one
+    // final divide.
+    "q164_bigram_lm" -> ((s, dir) =>
+      TextStats.bigramLmScores(Corpus.table(s, dir, "documents"))),
+    // q165: batch interval join via bucket decomposition — burst-window
+    // attribution with NO equality key; bucket width == window width
+    // keeps the candidate set O(matches) and the plan a plain
+    // equi-join (no cartesian/BNLJ; the oracle is DuckDB's IEJoin).
+    "q165_interval_join" -> ((s, dir) =>
+      graft.operators.IntervalJoin.burstWindows(s, dir)),
+    // q166: weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res, w = n_chars) — fixed-k per source with inclusion
+    // probability ∝ length, deterministic under retries and re-runs.
+    "q166_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(Corpus.table(s, dir, "documents"), 50)),
+    // q167–q169: the new tier's SQL surface — session table-valued
+    // functions at gate-standard arguments, each sharing its Scala
+    // twin's oracle (the q159 lockstep discipline).
+    "q167_sql_bigram_lm_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_docs, avg_lp, p50_doc_lp
+        |FROM graft_bigram_lm(0.875) ORDER BY source""".stripMargin)),
+    "q168_sql_burst_windows_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT anchor_id, n_events, n_users
+        |FROM graft_burst_windows(250.0, 5)
+        |ORDER BY anchor_id""".stripMargin)),
+    "q169_sql_weighted_sample_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, rn, doc_id, n_chars, es_key
+        |FROM graft_weighted_sample(50) ORDER BY source, rn""".stripMargin)),
+    // q170/q171: PRODUCT quantization — the codebook member of the
+    // quantized-search family (q63/q136 are scalar int8). Deterministic
+    // hash-sampled codebook (closed-form, no k-means) ⇒ codes,
+    // reconstructions, and recall values are bit-identical across
+    // engines, so this tier gates on VALUES where q128's k-means
+    // ladder can only gate on invariants.
+    "q170_pq_error" -> ((s, dir) =>
+      Similarity.pqErrorProfile(Corpus.table(s, dir, "embeddings"))),
+    "q171_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecallAuditSized(Corpus.table(s, dir, "embeddings"), 10)),
+    // q172/q173: the PQ tier from pure SQL — first-reference mat-views
+    // (the codebook TakeOrdered collect runs at build); share the
+    // Scala twins' oracles.
+    "q172_sql_pq_error" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT label, n, min_pqerr, max_pqerr, p50_pqerr
+        |FROM graft_pq_error ORDER BY label""".stripMargin)),
+    "q173_sql_pq_recall" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT qid, n_hit, recall, n_hit_r, recall_r
+        |FROM graft_pq_recall ORDER BY qid""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -2646,5 +2696,178 @@ object SparkEntry {
       """SELECT sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
         |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt
         |FROM documents WHERE doc_id < 200""".stripMargin.replace("\n", " "),
+    // interpolated bigram LM (q164): identical model — one ln per
+    // distinct bigram type on a bit-identical double (0.875 and 0.125
+    // are dyadic, exact in every literal path), quantized to integer
+    // nanolog; doc/source accumulation is exact integer sums with one
+    // final divide. Parallel unnests zip positionally (w1_i, w2_i).
+    "q164_bigram_lm" -> bigramLmSql,
+    // batch interval join (q165): the oracle states the plain non-equi
+    // range predicate (DuckDB executes an IEJoin); integer-microsecond
+    // bounds, inclusive both ends — the Spark side's bucket
+    // decomposition must reproduce it exactly
+    "q165_interval_join" -> intervalJoinSql,
+    // weighted sampling (q166): the same E-S priority — deterministic
+    // 60-bit hash uniform, ln(u)/n_chars, rank on the RAW key with
+    // doc_id tie-break (a rank flip would need two keys within one
+    // ulp), emitted rounded to 9 dp
+    "q166_weighted_sample" -> weightedSampleSql,
+    // TVF spellings at gate-standard arguments share the Scala twins'
+    // oracles (lockstep: one oracle text per computation)
+    "q167_sql_bigram_lm_tvf" -> bigramLmSql,
+    "q168_sql_burst_windows_tvf" -> intervalJoinSql,
+    "q169_sql_weighted_sample_tvf" -> weightedSampleSql,
+    // PQ: full DuckDB recompute — same hash-sampled codebook, same
+    // argmin assignment (ORDER BY d2, c == array_position-of-min), all
+    // folds sequential IEEE arithmetic with no libm, so values
+    // hash-match exactly (see Similarity.scala PQ scaladocs)
+    "q170_pq_error" -> pqErrorSql,
+    "q171_pq_recall" -> pqRecallSql,
+    "q172_sql_pq_error" -> pqErrorSql,
+    "q173_sql_pq_recall" -> pqRecallSql,
   )
+
+  /** Shared PQ model CTEs: codebook by hash rank, per-(vec, subspace)
+    * nearest-centroid assignment. Subspace slices are 1-based
+    * inclusive [m·8+1 .. m·8+8]; every fold is left-to-right (DuckDB
+    * list_reduce == Spark aggregate-with-0.0 since 0+x = x). */
+  private def pqModelCtes: String =
+    s"""b AS MATERIALIZED (SELECT vec_id, label,
+       |  list_transform(embedding, v -> v::DOUBLE) AS ed FROM embeddings),
+       |cbv AS (SELECT ed, row_number() OVER (ORDER BY
+       |  ('0x'||substr(sha256(vec_id::VARCHAR||'#pq'),1,15))::BIGINT,
+       |  vec_id) AS rc FROM b QUALIFY rc <= ${Similarity.PqC}),
+       |cb AS MATERIALIZED (SELECT rc - 1 AS c, mm.m AS m,
+       |  ed[mm.m*8+1 : mm.m*8+8] AS cv FROM cbv
+       |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqM})) AS m) mm),
+       |ad AS (SELECT b.vec_id, cb.m, cb.c,
+       |  list_reduce(list_transform(range(1, 9),
+       |    j -> (b.ed[cb.m*8+j] - cb.cv[j]) * (b.ed[cb.m*8+j] - cb.cv[j])),
+       |    (x, y) -> x + y) AS d2
+       |  FROM b CROSS JOIN cb),
+       |asg AS MATERIALIZED (SELECT vec_id, m, c, d2 FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, c) = 1)""".stripMargin
+
+  private def pqErrorSql: String =
+    s"""WITH $pqModelCtes,
+       |nv AS (SELECT vec_id, label,
+       |  sqrt(list_reduce(list_transform(ed, v -> v * v), (x, y) -> x + y))
+       |    AS norm FROM b),
+       |e2 AS (SELECT vec_id,
+       |  list_reduce(list(d2 ORDER BY m), (x, y) -> x + y) AS err2
+       |  FROM asg GROUP BY vec_id),
+       |er AS (SELECT nv.label, CASE WHEN nv.norm = 0 THEN 0.0
+       |  ELSE sqrt(e2.err2) / nv.norm END AS pqerr
+       |  FROM nv JOIN e2 USING (vec_id))
+       |SELECT label, count(*)::BIGINT AS n,
+       |  round(min(pqerr), 6) AS min_pqerr,
+       |  round(max(pqerr), 6) AS max_pqerr,
+       |  round(quantile_cont(pqerr, 0.5), 6) AS p50_pqerr
+       |FROM er GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
+
+  private def pqRecallSql: String =
+    s"""WITH $pqModelCtes,
+       |qm AS (SELECT greatest(1, (count(*) + 255) // 256) AS m
+       |  FROM embeddings),
+       |nv AS MATERIALIZED (SELECT vec_id, ed,
+       |  list_reduce(list_transform(ed, v -> v * v), (x, y) -> x + y) AS nv
+       |  FROM b),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, ed AS q_ed, nv AS nq
+       |  FROM nv WHERE vec_id % (SELECT m FROM qm) = 0),
+       |lut AS MATERIALIZED (SELECT q.qid, cb.m, cb.c,
+       |  list_reduce(list_transform(range(1, 9),
+       |    j -> (q.q_ed[cb.m*8+j] - cb.cv[j]) * (q.q_ed[cb.m*8+j] - cb.cv[j])),
+       |    (x, y) -> x + y) AS d
+       |  FROM q CROSS JOIN cb),
+       |pa AS (SELECT lut.qid, asg.vec_id,
+       |  list_reduce(list(lut.d ORDER BY lut.m), (x, y) -> x + y) AS adist
+       |  FROM asg JOIN lut ON asg.m = lut.m AND asg.c = lut.c
+       |  WHERE asg.vec_id <> lut.qid
+       |  GROUP BY lut.qid, asg.vec_id),
+       |ex0 AS (SELECT q.qid, nv.vec_id,
+       |  (nv.nv + q.nq) - (2.0 * list_reduce(list_transform(
+       |    range(1, len(nv.ed) + 1), i -> nv.ed[i] * q.q_ed[i]),
+       |    (x, y) -> x + y)) AS l2
+       |  FROM nv CROSS JOIN q WHERE nv.vec_id <> q.qid),
+       |ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rn
+       |  FROM ex0) x WHERE rn <= 10),
+       |short AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM pa) y WHERE rn <= ${Similarity.PqRescoreR}),
+       |qt AS (SELECT qid AS bqid, vec_id AS bvec FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM pa) z WHERE rn <= 10),
+       |resc AS (SELECT ex0.qid AS rqid, ex0.vec_id AS rvec FROM ex0
+       |  JOIN short ON ex0.qid = short.qid AND ex0.vec_id = short.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY ex0.qid
+       |    ORDER BY ex0.l2, ex0.vec_id) <= 10)
+       |SELECT qid,
+       |  sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  round(sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall,
+       |  sum(CASE WHEN rvec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_r,
+       |  round(sum(CASE WHEN rvec IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall_r
+       |FROM ex LEFT JOIN qt ON qid = bqid AND vec_id = bvec
+       |  LEFT JOIN resc ON qid = rqid AND vec_id = rvec
+       |GROUP BY qid ORDER BY qid""".stripMargin.replace("\n", " ")
+
+  private def bigramLmSql: String =
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |d0 AS (SELECT doc_id, source, len(tk)::BIGINT AS n_toks,
+        |  tk[1] AS w0, tk FROM t WHERE len(tk) >= 1),
+        |bgx AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |  unnest(tk[2:len(tk)]) AS w2 FROM d0 WHERE len(tk) >= 2),
+        |bgd AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+        |  FROM bgx GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(c)::BIGINT AS cb FROM bgd GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(cb)::BIGINT AS cctx FROM cb GROUP BY 1),
+        |tok AS (SELECT unnest(tk) AS w FROM d0),
+        |cuw AS (SELECT w, count(*)::BIGINT AS cu FROM tok GROUP BY 1),
+        |nn AS (SELECT sum(cu)::BIGINT AS n_corpus FROM cuw),
+        |lp AS (SELECT cb.w1, cb.w2,
+        |  CAST(round(ln(0.875::DOUBLE * (cb.cb::DOUBLE / cx.cctx::DOUBLE)
+        |    + 0.125::DOUBLE * (cu2.cu::DOUBLE / nn.n_corpus::DOUBLE)) * 1e9)
+        |    AS BIGINT) AS lp_nano
+        |  FROM cb JOIN cx USING (w1) JOIN cuw cu2 ON cu2.w = cb.w2
+        |  CROSS JOIN nn),
+        |db AS (SELECT doc_id, sum(c * lp_nano)::BIGINT AS bg_nano
+        |  FROM bgd JOIN lp USING (w1, w2) GROUP BY doc_id),
+        |pd AS (SELECT d0.doc_id, d0.source, d0.n_toks,
+        |  CAST(round(ln(cu0.cu::DOUBLE / nn.n_corpus::DOUBLE) * 1e9) AS BIGINT)
+        |    + coalesce(db.bg_nano, 0) AS doc_nano
+        |  FROM d0 JOIN cuw cu0 ON cu0.w = d0.w0 CROSS JOIN nn
+        |  LEFT JOIN db USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  round(sum(doc_nano)::DOUBLE / sum(n_toks)::DOUBLE / 1e9, 6) AS avg_lp,
+        |  round(quantile_cont(doc_nano::DOUBLE / n_toks::DOUBLE / 1e9, 0.5), 6)
+        |    AS p50_doc_lp
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  private def intervalJoinSql: String =
+      """WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS aus
+        |  FROM events WHERE event_type = 'error' AND value > 250.0)
+        |SELECT a.anchor_id, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM a JOIN events e
+        |  ON epoch_us(e.ts) >= a.aus - 300000000
+        |  AND epoch_us(e.ts) <= a.aus + 300000000
+        |GROUP BY a.anchor_id ORDER BY a.anchor_id""".stripMargin.replace("\n", " ")
+
+  private def weightedSampleSql: String =
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |  ln(greatest(
+        |    ('0x'||substr(sha256(doc_id::VARCHAR||'#ws'),1,15))::BIGINT,
+        |    1)::DOUBLE / 1152921504606846976.0::DOUBLE)
+        |    / n_chars::DOUBLE AS k0
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY k0 DESC, doc_id) AS rn FROM h)
+        |SELECT source, rn::BIGINT AS rn, doc_id, n_chars,
+        |  round(k0, 9) AS es_key
+        |FROM r WHERE rn <= 50 ORDER BY source, rn""".stripMargin.replace("\n", " ")
 }

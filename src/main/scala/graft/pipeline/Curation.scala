@@ -364,4 +364,54 @@ object Curation {
         sum(col("_keep")).cast("long").as("n_sampled"))
       .orderBy("source")
   }
+
+  /** Weighted sampling WITHOUT replacement, k per source — the
+    * Efraimidis–Spirakis A-Res scheme with deterministic hash uniforms.
+    * Each doc draws u = hash64(doc_id)/2^60 ∈ (0,1] and gets priority
+    * key u^(1/w) (w = n_chars, the length-proportional weight a
+    * token-budget mixer wants); the k largest keys per source are the
+    * sample. Ranking on ln(u)/w is the same order (ln is monotone,
+    * w > 0) without pow's double-rounding; the ROUNDED key (9 dp) is
+    * what both engines rank on, doc_id breaking ties — the q55
+    * convention that makes rank insensitive to libm's last ulp.
+    *
+    * Versus the siblings: stratifiedSampleSummary is fixed-RATE,
+    * fixedKSample is uniform fixed-k; this is fixed-k with inclusion
+    * probability ∝ weight — and, like them, a pure function of the
+    * stable key, so retries and re-runs select the SAME rows (a
+    * rand()-based weighted reservoir survives neither retries nor
+    * partition reordering). Weight-scale invariance (2w ranks like w —
+    * dyadic scaling divides the key exactly) is property-tested in
+    * CurationProperties.
+    *
+    * Ranking is on the RAW key (both engines build it from the same
+    * integer hash with the same IEEE divide sequence; ln's last-ulp
+    * wobble can only flip a rank if two keys land within one ulp of
+    * each other — a measure-zero hash collision — whereas rounding
+    * before ranking creates tie blobs near 0 whose membership IS
+    * ulp-sensitive). The emitted es_key is rounded to 9 dp for the
+    * cross-engine hash.
+    *
+    * Scale shape: key computation is scan-local; row_number ≤ k
+    * compiles to WindowGroupLimit (PlanShapeSpec pin), so each map
+    * partition forwards at most k rows per source into the window
+    * shuffle — O(k·sources·partitions), never corpus-sized. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val u = greatest(hash64(col("doc_id").cast("string"), "ws"), lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col("n_chars").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("_key").desc, col("doc_id"))
+    docs
+      .where(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        key.as("_key"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("n_chars"), round(col("_key"), 9).as("es_key"))
+      .orderBy("source", "rn")
+  }
 }

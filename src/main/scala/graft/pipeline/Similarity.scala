@@ -979,4 +979,209 @@ object Similarity {
         round(max(col("norm")), 6).as("max_norm"),
         round(percentile(col("norm"), lit(0.5)), 6).as("p50_norm"))
       .orderBy("label")
+
+  // ----- product quantization (PQ) — the codebook member of the
+  // quantized-search family (q63/q136 are SCALAR int8; PQ compresses
+  // with per-subspace VECTOR codebooks: M sub-codes per vector, here
+  // M=8 × 16 codes = 8×4 bits, the faiss PQ8x4 "fast-scan" layout,
+  // 4 B/vector vs 256 B float32) -----
+
+  /** Subspaces and codebook size (dim 64 → 8-dim subvectors). */
+  val PqM = 8
+  val PqC = 16
+
+  /** Shortlist size for the rescored recall column (the production
+    * configuration: PQ ranks a candidate shortlist, exact distance
+    * re-ranks it — recall@k after rescoring R is what a deployed tier
+    * ships). */
+  val PqRescoreR = 100
+
+  /** Deterministic codebook: the C corpus vectors with the smallest
+    * (hash64(vec_id,'#pq'), vec_id) — sampling-as-codebook, the same
+    * construction k-means++ seeds from, made CLOSED-FORM so the
+    * codebook (and therefore every code, reconstruction, and recall
+    * value) is bit-identical across engines — the property that lets
+    * this tier gate on VALUES where the k-means IVF ladder (q128) can
+    * only gate on invariants. Collect is config-sized (C rows) via
+    * TakeOrdered — the ivfTopK query-row discipline, not a data-path
+    * collect. */
+  private[graft] def pqCodebook(embeddings: DataFrame, c: Int): Seq[Seq[Double]] = {
+    val rows = graft.sources.Corpus.fanOutSmallScan(embeddings)
+      .select(col("embedding"),
+        TextFunctions.hash64(col("vec_id").cast("string"), "pq").as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(c)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(rows.size == c,
+      s"PQ codebook needs $c vectors, corpus has ${rows.size}")
+    rows
+  }
+
+  /** Codebook reshaped [m][c][j] (subspace-major) as a nested literal. */
+  private def pqCbLit(cb: Seq[Seq[Double]], m: Int): Column = {
+    val dim = cb.head.size
+    require(dim % m == 0, s"dim $dim not divisible by M=$m")
+    val sub = dim / m
+    typedlit((0 until m).map(mi =>
+      cb.map(v => v.slice(mi * sub, (mi + 1) * sub))))
+  }
+
+  /** Sequential-order squared-L2 fold between two double arrays —
+    * pure IEEE arithmetic (no libm), so bit-identical to the oracle's
+    * list_reduce spelling at any dimension. */
+  private def d2Fold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codes for the `ed` column: per subspace, the index of the
+    * nearest centroid (ties to the smallest index —
+    * array_position(min) is first-match, the oracle's ORDER BY d2, c
+    * twin). Scan-local: M·C subDim-length folds per row. */
+  private def pqCodes(cbLit: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mi => {
+      val cbm = element_at(cbLit, mi + 1)
+      val dists = transform(cbm, cv =>
+        d2Fold(slice(col("ed"), mi * sub + 1, lit(sub)), cv))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+
+  /** PQ reconstruction error per label — the q63 audit for the
+    * codebook quantizer: each vector is encoded (M nearest-centroid
+    * codes) and scored by relative L2 error ‖v − v̂‖ / ‖v‖ where v̂
+    * concatenates the assigned centroids. err² folds per subspace
+    * then across subspaces in m-order — the oracle mirrors both fold
+    * levels, so the hash is exact. Scan-local until the per-label
+    * reduce; the codebook rides the closure as a literal. */
+  def pqErrorProfile(embeddings: DataFrame, m: Int = PqM,
+                     c: Int = PqC): DataFrame = {
+    val cb = pqCodebook(embeddings, c)
+    val sub = cb.head.size / m
+    val cbLit = pqCbLit(cb, m)
+    val v = withVectorCols(embeddings, 0)
+      .withColumn("codes", pqCodes(cbLit, m, sub))
+    val err2 = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        d2Fold(slice(col("ed"), mi * sub + 1, lit(sub)),
+          element_at(element_at(cbLit, mi + 1),
+            element_at(col("codes"), mi + 1) + 1))),
+      lit(0.0), (acc, x) => acc + x)
+    val relErr = when(col("norm") === 0.0, lit(0.0))
+      .otherwise(sqrt(err2) / col("norm"))
+    v.select(col("label"), relErr.as("pqerr"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("pqerr")), 6).as("min_pqerr"),
+        round(max(col("pqerr")), 6).as("max_pqerr"),
+        round(percentile(col("pqerr"), lit(0.5)), 6).as("p50_pqerr"))
+      .orderBy("label")
+  }
+
+  /** Recall@k of PQ-ADC search vs exact L2 — the q136 audit for the
+    * codebook quantizer. Ground truth: exact squared-L2 top-k
+    * (‖v‖² + ‖q‖² − 2⟨v,q⟩, native dot kernels). Candidate: top-k by
+    * the ADC score Σ_m lut[m][code_m], where each query precomputes
+    * its M×C lookup table scan-local — the faiss ADC convention — so
+    * the pair stage does M array lookups per pair, never a
+    * per-pair fold against the codebook. Everything is pure IEEE
+    * arithmetic (no libm anywhere), all rankings break ties on
+    * vec_id: recall VALUES hash-match across engines exactly.
+    *
+    * Two recall columns: `recall` is the raw ADC floor, `recall_r`
+    * re-ranks the PQ top-[[PqRescoreR]] shortlist by exact distance —
+    * the deployed shortlist-rescore configuration. On clusterable
+    * corpora both approach 1; on near-random vectors (this corpus)
+    * the audit HONESTLY reports the codebook as too coarse — which is
+    * the audit's job (the q63 error profile shows the same story).
+    *
+    * Scale shape == q136: sample rides a sizedQueryMod broadcast, the
+    * scored table computes ONCE (persist + release in the public
+    * entry), both rank filters compile to partial+final
+    * WindowGroupLimit. */
+  def pqRecallAudit(embeddings: DataFrame, k: Int,
+                    queryMod: Long, m: Int = PqM, c: Int = PqC): DataFrame = {
+    val (res, scored) = pqRecallAuditFrames(embeddings, k, queryMod, m, c)
+    try {
+      val rows = res.collect()
+      res.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally scored.unpersist(false)
+  }
+
+  private[graft] def pqRecallAuditFrames(
+      embeddings: DataFrame, k: Int, queryMod: Long,
+      m: Int = PqM, c: Int = PqC): (DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(embeddings, c)
+    val sub = cb.head.size / m
+    val cbLit = pqCbLit(cb, m)
+    val v = withVectorCols(embeddings, 0)
+      .withColumn("codes", pqCodes(cbLit, m, sub))
+      .withColumn("nv", graft.functions.ArrayDot.column(col("ed"), col("ed")))
+      .select(col("vec_id"), col("ed"), col("codes"), col("nv"))
+    // per-query ADC lookup table [m][c], computed scan-local on the
+    // C-sized sample side
+    val lut = transform(sequence(lit(0), lit(m - 1)), mi =>
+      transform(element_at(cbLit, mi + 1), cv =>
+        d2Fold(slice(col("ed"), mi * sub + 1, lit(sub)), cv)))
+    val q = withVectorCols(embeddings, 0)
+      .where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("q_ed"),
+        graft.functions.ArrayDot.column(col("ed"), col("ed")).as("nq"),
+        lut.as("lut"))
+    val adist = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        element_at(element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        ((col("nv") + col("nq")) -
+          (lit(2.0) * graft.functions.ArrayDot.column(col("ed"), col("q_ed"))))
+          .as("l2"),
+        adist.as("adist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wx = W.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))
+    val wp = W.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val exact = scored
+      .withColumn("rn", row_number().over(wx)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val short = scored
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= PqRescoreR)
+    val pq = short.where(col("rn") <= k)
+      .select(col("qid").as("bqid"), col("vec_id").as("bvec"))
+    // exact re-rank of the PQ shortlist — the deployed configuration
+    val resc = short
+      .withColumn("rr", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))))
+      .where(col("rr") <= k)
+      .select(col("qid").as("rqid"), col("vec_id").as("rvec"))
+    val res = exact
+      .join(broadcast(pq),
+        col("qid") === col("bqid") && col("vec_id") === col("bvec"), "left")
+      .join(broadcast(resc),
+        col("qid") === col("rqid") && col("vec_id") === col("rvec"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("bvec").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("rvec").isNotNull, 1L).otherwise(0L)).as("n_hit_r"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k_eff"), 6).as("recall"),
+        col("n_hit_r"),
+        round(col("n_hit_r").cast("double") / col("k_eff"), 6)
+          .as("recall_r"))
+      .orderBy("qid")
+    (res, scored)
+  }
+
+  /** [[pqRecallAudit]] with the queryMod derived from the corpus —
+    * the sizedQueryMod discipline. */
+  def pqRecallAuditSized(embeddings: DataFrame, k: Int,
+                         targetQueries: Long = 256L): DataFrame = {
+    val n = embeddings.select(count(lit(1))).head().getLong(0)
+    pqRecallAudit(embeddings, k, sizedQueryMod(n, targetQueries))
+  }
 }

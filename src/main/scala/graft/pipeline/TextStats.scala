@@ -538,4 +538,101 @@ object TextStats {
     docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Interpolated bigram language-model score per source — the CCNet/
+    * KenLM-style perplexity filter, self-scored against the corpus's
+    * own counts (the production pattern trains on a clean reference
+    * corpus; the dataflow is identical — swap the count tables).
+    *
+    * Model: the first token scores ln(cu(w0)/N); every following token
+    * scores ln(λ·cb(w1,w2)/cctx(w1) + (1−λ)·cu(w2)/N), where cb is the
+    * corpus bigram count, cctx(w1) the bigram-context total for w1,
+    * cu the unigram count, N total tokens. Interpolation with the
+    * unigram term means no zero probabilities (every scored bigram
+    * exists in the model here; held-out scoring keeps the same guard).
+    *
+    * Cross-engine determinism (the part that makes this gateable):
+    * ln() is the one libm call, taken ONCE per distinct bigram TYPE on
+    * a bit-identical double (integer counts → IEEE divides/multiplies
+    * in a fixed parenthesization), then immediately quantized to an
+    * integer NANOLOG (round(ln·1e9) as BIGINT). All per-doc and
+    * per-source accumulation is integer arithmetic — order-independent
+    * and exact — with one final divide (the q57/q66 convention; a
+    * float SUM across rows would be order-dependent between engines).
+    *
+    * Scale shape: token/bigram extraction is scan-local; counts are
+    * map-side-combined hash aggregates at vocab / bigram-type
+    * cardinality; the model is joined back to per-DOC bigram rows
+    * (granularity doc×distinct-bigram, already collapsed) on the
+    * bigram key, then everything folds to doc then source partials.
+    * No shuffle ever carries raw text; hot bigram types are plain
+    * aggregate keys (AQE-salted), never window partitions. */
+  def bigramLmScores(docs: DataFrame, lambda: Double = 0.875): DataFrame = {
+    // dyadic λ: 0.875 and 1−0.875 = 0.125 are exact in binary AND in
+    // every literal-parse path (decimal or double) the oracle can take
+    require(lambda > 0.0 && lambda < 1.0)
+    val base = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) >= 1)
+    // per-doc bigram rows, repeated bigrams collapsed (c)
+    val bgd = base
+      // size guard: sequence(1, 0) runs BACKWARD in Spark (SCALE.md) —
+      // a single-token doc must yield an empty bigram list, not an
+      // out-of-bounds element_at
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    // model tables: bigram, context, unigram counts + the 1-row total
+    val cb = bgd.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val cctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    val cu = base
+      .select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n = cu.agg(sum(col("cu")).as("n_corpus"))
+    // one ln per distinct bigram type, quantized to integer nanolog
+    val lpBg = cb
+      .join(cctx, "w1")
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"),
+        "w2")
+      .join(broadcast(n))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * (col("cb").cast("double") / col("cctx").cast("double"))
+            + lit(1.0 - lambda) *
+              (col("cu2").cast("double") / col("n_corpus").cast("double")))
+          * 1e9, 0).cast("long").as("lp_nano"))
+    // per-doc bigram contribution: integer Σ c · lp_nano
+    val docBg = bgd.join(lpBg, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lp_nano")).as("bg_nano"))
+    // first-token unigram term
+    val docs0 = base.select(col("doc_id"), col("source"),
+      size(col("tk")).cast("long").as("n_toks"),
+      element_at(col("tk"), 1).as("w0"))
+    val perDoc = docs0
+      .join(cu.withColumnRenamed("w", "w0").withColumnRenamed("cu", "cu0"),
+        "w0")
+      .join(broadcast(n))
+      .join(docBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (round(log(col("cu0").cast("double") / col("n_corpus").cast("double"))
+          * 1e9, 0).cast("long")
+          + coalesce(col("bg_nano"), lit(0L))).as("doc_nano"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("doc_nano")).cast("double")
+          / sum(col("n_toks")).cast("double") / 1e9, 6).as("avg_lp"),
+        round(percentile(
+          col("doc_nano").cast("double") / col("n_toks").cast("double") / 1e9,
+          lit(0.5)), 6).as("p50_doc_lp"))
+      .orderBy("source")
+  }
 }

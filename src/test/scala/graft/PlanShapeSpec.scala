@@ -821,4 +821,52 @@ class PlanShapeSpec extends AnyFunSuite {
         .createOrReplaceTempView("documents")
     }
   }
+
+  test("q165 interval join: bucket equi-join — no cartesian, no BNLJ") {
+    // the naive spelling of a pure range predicate is a
+    // BroadcastNestedLoopJoin (or CartesianProduct big-big); the bucket
+    // decomposition must keep it an equi-join at any relative size
+    val p = plan("q165_interval_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q166 weighted sample: row_number ≤ k compiles to WindowGroupLimit") {
+    // partial (map-side) + final group-limit: each partition forwards at
+    // most k rows per source into the window shuffle
+    val p = plan("q166_weighted_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q164 bigram LM: no cartesian; BNLJ only as the two 1-row attaches") {
+    // the model joins are hash/sort-merge on the bigram keys; the only
+    // nested-loop shapes allowed are the 1-row n_corpus broadcasts
+    // (the q22 single-row-attach pattern)
+    val p = plan("q164_bigram_lm")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("q171 PQ recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
+    // the q136 pin applied to the codebook quantizer: the scored table
+    // (broadcast-sample cross-join) computes once and is cached; the
+    // exact, ADC, and shortlist-rescore rankings all read the cache
+    // through partial+final WindowGroupLimits
+    val (res, scored) = graft.pipeline.Similarity.pqRecallAuditFrames(
+      graft.sources.Corpus.table(spark, sf, "embeddings"), 10, 4L)
+    val p = try expandCached(res.queryExecution.executedPlan)
+      finally scored.unpersist(false)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"))
+    val scoredJoins = p.linesIterator.flatMap { l =>
+      val i = l.indexOf("BroadcastNestedLoopJoin")
+      if (i < 0) None else Some(l.substring(i))
+    }.toSeq.distinct.size
+    assert(scoredJoins <= 1,
+      s"expected one cached scored cross-join, got $scoredJoins:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p)
+  }
 }

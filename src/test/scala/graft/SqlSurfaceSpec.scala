@@ -361,4 +361,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(QueryRunner.matViewBuilds.get() == before,
       "a literal/comment mention triggered a mat-view build")
   }
+
+  // ----- r18 session 2: bigram LM / interval join / weighted sample -----
+
+  test("q167/q168/q169 TVFs at non-default args == their Scala operators") {
+    val docs = Corpus.table(spark, sf, "documents")
+    val ev = Corpus.table(spark, sf, "events")
+    // a different dyadic λ — Spark-internal parity is λ-agnostic
+    val lm = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bigram_lm(0.75) ORDER BY source")
+    assert(rows(lm) == rows(
+      graft.pipeline.TextStats.bigramLmScores(docs, 0.75)))
+    assert(lm.count() > 0)
+    val bw = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_burst_windows(150.0, 3) ORDER BY anchor_id")
+    assert(rows(bw) == rows(
+      graft.operators.IntervalJoin.burstWindowsOver(ev, 150.0, 3)))
+    assert(bw.count() > 0)
+    val ws = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_weighted_sample(7) ORDER BY source, rn")
+    assert(rows(ws) == rows(
+      graft.pipeline.Curation.weightedSample(docs, 7)))
+    assert(ws.count() > 0)
+  }
+
+  test("bare graft_weighted_sample / graft_burst_windows / graft_bigram_lm resolve to the gate-standard views") {
+    val docs = Corpus.table(spark, sf, "documents")
+    assert(rows(QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_weighted_sample")) ==
+      rows(graft.pipeline.Curation.weightedSample(docs, 50)))
+    assert(rows(QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bigram_lm")) ==
+      rows(graft.pipeline.TextStats.bigramLmScores(docs)))
+    assert(rows(QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_burst_windows")) ==
+      rows(graft.operators.IntervalJoin.burstWindowsOver(
+        Corpus.table(spark, sf, "events"))))
+  }
 }
