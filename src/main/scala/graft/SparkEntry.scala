@@ -2775,34 +2775,34 @@ object SparkEntry {
        |  FROM b),
        |q AS MATERIALIZED (SELECT vec_id AS qid, ed AS q_ed, nv AS nq
        |  FROM nv WHERE vec_id % (SELECT m FROM qm) = 0),
-       |lut AS MATERIALIZED (SELECT q.qid, cb.m, cb.c,
+       |lut AS (SELECT q.qid, cb.m, cb.c,
        |  list_reduce(list_transform(range(1, 9),
        |    j -> (q.q_ed[cb.m*8+j] - cb.cv[j]) * (q.q_ed[cb.m*8+j] - cb.cv[j])),
        |    (x, y) -> x + y) AS d
        |  FROM q CROSS JOIN cb),
-       |pa AS (SELECT lut.qid, asg.vec_id,
-       |  list_reduce(list(lut.d ORDER BY lut.m), (x, y) -> x + y) AS adist
-       |  FROM asg JOIN lut ON asg.m = lut.m AND asg.c = lut.c
-       |  WHERE asg.vec_id <> lut.qid
-       |  GROUP BY lut.qid, asg.vec_id),
-       |ex0 AS (SELECT q.qid, nv.vec_id,
-       |  (nv.nv + q.nq) - (2.0 * list_reduce(list_transform(
-       |    range(1, len(nv.ed) + 1), i -> nv.ed[i] * q.q_ed[i]),
-       |    (x, y) -> x + y)) AS l2
-       |  FROM nv CROSS JOIN q WHERE nv.vec_id <> q.qid),
+       |lw AS MATERIALIZED (SELECT qid,
+       |  list(d ORDER BY m, c) AS lv FROM lut GROUP BY qid),
+       |aw AS MATERIALIZED (SELECT vec_id,
+       |  list(c ORDER BY m) AS cs FROM asg GROUP BY vec_id),
+       |scored AS MATERIALIZED (SELECT q.qid, nv.vec_id,
+       |  (nv.nv + q.nq) - (2.0 * (${(1 to 64).map(i =>
+            s"nv.ed[$i] * q.q_ed[$i]").mkString(" + ")})) AS l2,
+       |  ${(0 until Similarity.PqM).map(m =>
+            s"lw.lv[$m * ${Similarity.PqC} + aw.cs[${m + 1}] + 1]")
+            .mkString(" + ")} AS adist
+       |  FROM nv JOIN aw USING (vec_id) CROSS JOIN q
+       |  JOIN lw USING (qid) WHERE nv.vec_id <> q.qid),
        |ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rn
-       |  FROM ex0) x WHERE rn <= 10),
-       |short AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  FROM scored) x WHERE rn <= 10),
+       |short AS MATERIALIZED (SELECT qid, vec_id, rn FROM (SELECT qid, vec_id,
        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-       |  FROM pa) y WHERE rn <= ${Similarity.PqRescoreR}),
-       |qt AS (SELECT qid AS bqid, vec_id AS bvec FROM (SELECT qid, vec_id,
-       |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-       |  FROM pa) z WHERE rn <= 10),
-       |resc AS (SELECT ex0.qid AS rqid, ex0.vec_id AS rvec FROM ex0
-       |  JOIN short ON ex0.qid = short.qid AND ex0.vec_id = short.vec_id
-       |  QUALIFY row_number() OVER (PARTITION BY ex0.qid
-       |    ORDER BY ex0.l2, ex0.vec_id) <= 10)
+       |  FROM scored) y WHERE rn <= ${Similarity.PqRescoreR}),
+       |qt AS (SELECT qid AS bqid, vec_id AS bvec FROM short WHERE rn <= 10),
+       |resc AS (SELECT scored.qid AS rqid, scored.vec_id AS rvec FROM scored
+       |  JOIN short ON scored.qid = short.qid AND scored.vec_id = short.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY scored.qid
+       |    ORDER BY scored.l2, scored.vec_id) <= 10)
        |SELECT qid,
        |  sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
        |  round(sum(CASE WHEN bvec IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
