@@ -83,12 +83,17 @@ object Bench {
           // would collapse a genuine hash-literal change to 'uuid' and
           // misclassify a real plan change as noise (ADVICE r10)
           .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid")
+          // the streaming replay's run-local sentinel literal is a
+          // DASHLESS uuid (q88's filter embeds it) — the rule above
+          // misses it and every run got a fresh fingerprint
+          .replaceAll("_sentinel_[0-9a-f]{32}", "_sentinel_uuid")
           .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
           // per-process band/winnow-store table names (q99/q146 tier)
           // are run-local; scoped to the store naming schemes — a bare
           // _p\d+ rule would also collapse identifiers like len_p50
           .replaceAll("graft_band_store_\\w+", "band_store")
           .replaceAll("graft_winnow_store_\\w+", "winnow_store")
+          .replaceAll("graft_bm25_store_\\w+", "bm25_store")
           // JVM-assigned lambda identifiers (MapPartitions operators):
           // Lambda$<counter>/0x<addr> differs every run for identical
           // code, which made every codec-tier fingerprint unstable
@@ -201,7 +206,8 @@ object Bench {
         // probes a standing store — the production steady state
         "q146_winnow_store_incr", "q149_winnow_store_admit",
         "q152_sql_winnow_store", "q153_sql_band_store",
-        "q154_winnow_store_spans", "q155_sql_winnow_store_spans")
+        "q154_winnow_store_spans", "q155_sql_winnow_store_spans",
+        "q180_bm25_store", "q181_sql_bm25_store")
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // cold = first timed run at sfDir (indexes/caches unbuilt), warm =

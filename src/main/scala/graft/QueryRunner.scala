@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.functions.GraftFunctions
-import graft.pipeline.{Curation, Dedup, Similarity, TextStats, Winnow}
+import graft.pipeline.{Curation, Dedup, EditJoin, Retrieval, Similarity, TextStats, Winnow}
 import graft.sources.Corpus
 
 /** SQL entry surface: registers the security fixtures and the driver
@@ -92,8 +92,15 @@ object QueryRunner {
       .createOrReplaceTempView("graft_burst_windows")
     Curation.weightedSample(docs, 50)
       .createOrReplaceTempView("graft_weighted_sample")
+    Retrieval.bm25TopK(docs)
+      .createOrReplaceTempView("graft_bm25")
+    TextStats.bigramLmCrossScores(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+      .createOrReplaceTempView("graft_bigram_lm_cross")
     registerTvfs(spark, docs, Corpus.table(spark, sfDir, "embeddings"),
       Corpus.table(spark, sfDir, "events"))
+    registerBm25Tvf(spark, docs)
     lastInit.put(spark, sfDir)
   }
 
@@ -180,7 +187,20 @@ object QueryRunner {
     // 0.875 is dyadic by design; ad-hoc λ keeps Spark-side
     // determinism, only cross-ENGINE parity needs dyadic)
     ("graft_bigram_lm", Seq("lambda" -> 0.875),
-      a => TextStats.bigramLmScores(docs, a(0))))
+      a => TextStats.bigramLmScores(docs, a(0))),
+    // edit-distance similarity join at an ad-hoc threshold/prefix —
+    // the PassJoin blocking re-derives its segment layout from the
+    // arguments, so every parameterization keeps the equi-join shape
+    ("graft_edit_pairs", Seq("max_dist" -> EditJoin.EditMaxDist.toDouble,
+      "prefix_len" -> EditJoin.EditPrefixLen.toDouble),
+      a => EditJoin.editDistancePairs(docs, a(0).toInt, a(1).toInt)),
+    // cross-corpus LM scoring at an ad-hoc λ (model = even doc_ids,
+    // target = odd — the gate-standard split)
+    ("graft_bigram_lm_cross", Seq("lambda" -> 0.875),
+      a => TextStats.bigramLmCrossScores(
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
+        a(0))))
 
   private def registerTvfs(spark: SparkSession, docs: DataFrame,
                            emb: DataFrame, ev: DataFrame): Unit =
@@ -201,6 +221,36 @@ object QueryRunner {
           mk(resolved).queryExecution.logical
         })
     }
+
+  /** The retrieval TVF is registered apart from tvfDefs because its
+    * first argument is a STRING literal (the query), not a number —
+    * `graft_bm25('dup merge window', 20)`. Trailing args default to
+    * gate-standard (k=20, k1=1.2, b=0.75). */
+  private def registerBm25Tvf(spark: SparkSession, docs: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    val fn = "graft_bm25"
+    val info = new ExpressionInfo(Retrieval.getClass.getCanonicalName, fn)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn), info,
+      (args: Seq[Expression]) => {
+        if (args.size > 4) throw new IllegalArgumentException(
+          s"$fn takes at most 4 arguments (query, k, k1, b), got ${args.size}")
+        val query = args.headOption.map {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"$fn: argument 'query' must be a string literal, got ${other.sql}")
+        }.getOrElse(Retrieval.Bm25Query)
+        val k = args.lift(1).map(tvfNumArg(fn, "k", _))
+          .getOrElse(Retrieval.Bm25K.toDouble)
+        val k1 = args.lift(2).map(tvfNumArg(fn, "k1", _))
+          .getOrElse(Retrieval.Bm25K1)
+        val b = args.lift(3).map(tvfNumArg(fn, "b", _))
+          .getOrElse(Retrieval.Bm25B)
+        Retrieval.bm25TopK(docs, query, k.toInt, k1, b)
+          .queryExecution.logical
+      })
+  }
 
   // The clustering-tier views are MATERIALIZED plans — the session
   // pair index plus the driver-iterative CC solve run when the
@@ -248,6 +298,14 @@ object QueryRunner {
       val (t, p) = SparkEntry.bandStoreLoc(d)
       Dedup.incrementalDedupViaBandStore(
         Corpus.table(s, d, "documents"), 10L, 0.8, t, p)
+    }),
+    // the BM25 inverted-index store: first-reference AND side-effecting
+    // (the bucketed postings build runs on first reference, memoized
+    // per process via the shared SparkEntry.bm25StoreLoc naming); the
+    // registered view is the lazy bucket-pruned probe
+    "graft_bm25_store" -> ((s, d) => {
+      val (t, p) = SparkEntry.bm25StoreLoc(d)
+      Retrieval.bm25TopKViaStore(Corpus.table(s, d, "documents"), t, p)
     }),
     // the PQ tier: first-reference because the codebook's config-sized
     // TakeOrdered collect (and the recall audit's persist-and-release

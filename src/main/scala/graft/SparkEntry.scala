@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.{SecurityFixtures => F}
 import graft.operators.{RelationalOps, SecurityOps}
-import graft.pipeline.{Curation, Dedup, Multimodal, PipelineOracles => PO, Similarity, TextStats, Winnow}
+import graft.pipeline.{Curation, Dedup, Multimodal, PipelineOracles => PO, Retrieval, Similarity, TextStats, Winnow}
 import graft.sources.Corpus
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -896,6 +896,71 @@ object SparkEntry {
     "q173_sql_pq_recall" -> ((s, dir) => QueryRunner.sql(s, dir,
       """SELECT qid, n_hit, recall, n_hit_r, recall_r
         |FROM graft_pq_recall ORDER BY qid""".stripMargin)),
+    // q174: BM25 ranked retrieval — the query-time member of the text
+    // tier (q57/q164 score corpora; this SEARCHES one). Inverted-index
+    // shape with postings restricted to the query terms in the scan;
+    // one ln per query-term type (NANOLOG), per-(doc,term) micro-
+    // quantized, exact integer per-doc sums; top-k is
+    // TakeOrderedAndProject.
+    "q174_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Corpus.table(s, dir, "documents"))),
+    // q175: the same from SQL — a TVF with a STRING argument (the
+    // query) at gate-standard args; shares q174's oracle.
+    "q175_sql_bm25_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT rank, doc_id, source, n_terms, score
+        |FROM graft_bm25('dup merge window', 20) ORDER BY rank"""
+        .stripMargin)),
+    // q176: edit-distance similarity join (PassJoin pigeonhole —
+    // character-level Levenshtein over 40-char prefix keys; blocking
+    // is a plain equi-join on (segment idx, text), candidates dedupe
+    // before ONE verify per pair). Audit bounded to doc_id < 2000 on
+    // both ends (the q21 precedent) so the oracle can brute-force the
+    // quadratic reference at sf10; Catalyst pushes the bound through
+    // the join into both scans.
+    "q176_edit_distance_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.pipeline.EditJoin
+        .editDistancePairs(Corpus.table(s, dir, "documents"))
+        .where(col("doc_a") < 2000 && col("doc_b") < 2000)
+    }),
+    // q177: the same from SQL — TVF at gate-standard args, the window
+    // applied as a WHERE over the TVF's output (pair-local predicate,
+    // so it pushes into the scans); shares q176's oracle.
+    "q177_sql_edit_pairs_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT doc_a, doc_b, dist FROM graft_edit_pairs(4, 40)
+        |WHERE doc_a < 2000 AND doc_b < 2000
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // q178: CROSS-corpus bigram LM scoring — the CCNet deployment
+    // shape (q164 self-scores, so it never sees an unseen word): model
+    // trains on the even doc_ids, scores the odd ones; add-one
+    // smoothing gives OOV mass, per-source oov_rate reported.
+    "q178_bigram_lm_cross" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Corpus.table(s, dir, "documents")
+      TextStats.bigramLmCrossScores(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 =!= 0))
+    }),
+    // q179: the TVF twin at gate-standard λ; shares q178's oracle.
+    "q179_sql_bigram_lm_cross_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_docs, avg_lp, p50_doc_lp, oov_rate
+        |FROM graft_bigram_lm_cross(0.875) ORDER BY source"""
+        .stripMargin)),
+    // q180: BM25 through the PERSISTED inverted index — the q68/q99/
+    // q146 store discipline applied to retrieval: postings bucketed by
+    // term, query-time reads bucket-pruned to the query's own terms +
+    // the 1-row stats sidecar, NO corpus scan. Shared scoring tail
+    // with q174 ⇒ shares its oracle verbatim.
+    "q180_bm25_store" -> ((s, dir) => {
+      val (t, p) = bm25StoreLoc(dir)
+      Retrieval.bm25TopKViaStore(Corpus.table(s, dir, "documents"), t, p)
+    }),
+    // q181: the store tier from SQL — first-reference side-effecting
+    // mat-view over the SAME store (the q152 lockstep); shares q174's
+    // oracle too.
+    "q181_sql_bm25_store" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT rank, doc_id, source, n_terms, score
+        |FROM graft_bm25_store ORDER BY rank""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1129,6 +1194,9 @@ object SparkEntry {
   private[graft] def bandStoreLoc(dir: String): (String, String) =
     (s"graft_band_store_${dirTag(dir)}_p$fixturePid",
       fixtureDir("q99", dir))
+  private[graft] def bm25StoreLoc(dir: String): (String, String) =
+    (s"graft_bm25_store_${dirTag(dir)}_p$fixturePid",
+      fixtureDir("q180", dir))
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
     * corpus (see TextScrub.PiiPresets for the real PII classes). */
@@ -2725,6 +2793,14 @@ object SparkEntry {
     "q171_pq_recall" -> pqRecallSql,
     "q172_sql_pq_error" -> pqErrorSql,
     "q173_sql_pq_recall" -> pqRecallSql,
+    "q174_bm25_topk" -> bm25Sql,
+    "q175_sql_bm25_tvf" -> bm25Sql,
+    "q176_edit_distance_pairs" -> editPairsSql,
+    "q177_sql_edit_pairs_tvf" -> editPairsSql,
+    "q178_bigram_lm_cross" -> bigramLmCrossSql,
+    "q179_sql_bigram_lm_cross_tvf" -> bigramLmCrossSql,
+    "q180_bm25_store" -> bm25Sql,
+    "q181_sql_bm25_store" -> bm25Sql,
   )
 
   /** Shared PQ model CTEs: codebook by hash rank, per-(vec, subspace)
@@ -2847,6 +2923,113 @@ object SparkEntry {
         |  round(quantile_cont(doc_nano::DOUBLE / n_toks::DOUBLE / 1e9, 0.5), 6)
         |    AS p50_doc_lp
         |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** q174/q175 oracle: full BM25 recompute in DuckDB. Conventions
+    * mirrored token-for-token from Retrieval.bm25TopK: Lucene +1 idf,
+    * ONE ln per term type → round(·1e9)::BIGINT, the tf factor's
+    * pinned parenthesization with constants spelled as the same
+    * parse-then-add ((1.2 + 1.0), never a pre-folded 2.2), per-term
+    * contribution round(·/1000)::BIGINT, exact integer per-doc sums. */
+  private def bm25Sql: String =
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |d0 AS (SELECT doc_id, source, len(tk)::BIGINT AS dl, tk
+        |  FROM t WHERE len(tk) >= 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+        |  FROM d0),
+        |tf AS (SELECT doc_id, source, dl, w, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, source, dl, unnest(tk) AS w FROM d0)
+        |  WHERE w IN ('dup', 'merge', 'window') GROUP BY 1, 2, 3, 4),
+        |dft AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT w, CAST(round(ln(
+        |    (st.n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
+        |    + 1.0) * 1e9) AS BIGINT) AS idf_nano
+        |  FROM dft CROSS JOIN st),
+        |sc AS (SELECT doc_id, source, CAST(round(idf_nano::DOUBLE *
+        |    ((tf.tf::DOUBLE * (1.2 + 1.0)) / (tf.tf::DOUBLE + 1.2 *
+        |      ((1.0 - 0.75) + 0.75 *
+        |        ((dl::DOUBLE * st.n_docs::DOUBLE) / st.sum_dl::DOUBLE))))
+        |    / 1000.0) AS BIGINT) AS s_micro
+        |  FROM tf JOIN idf USING (w) CROSS JOIN st),
+        |pd AS (SELECT doc_id, source, count(*)::BIGINT AS n_terms,
+        |  sum(s_micro)::BIGINT AS s FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        |  FROM pd)
+        |SELECT rank::BIGINT AS rank, doc_id, source, n_terms,
+        |  round(s::DOUBLE / 1e6, 6) AS score
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin.replace("\n", " ")
+
+  /** q178/q179 oracle: the cross-corpus LM recompute — model counts
+    * from the even doc_ids, smoothed scoring of the odd ones, same
+    * add-one/interpolation spelling token-for-token (unseen context →
+    * the bigram ML term is 0.0; every pu denominator is the one
+    * (n_model + v_model + 1) broadcast). */
+  private def bigramLmCrossSql: String =
+      """WITH tt AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |md AS (SELECT * FROM tt WHERE doc_id % 2 = 0 AND len(tk) >= 1),
+        |tg AS (SELECT * FROM tt WHERE doc_id % 2 <> 0 AND len(tk) >= 1),
+        |mbg AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,
+        |  unnest(tk[2:len(tk)]) AS w2 FROM md WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM mbg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(cb)::BIGINT AS cctx FROM cb GROUP BY 1),
+        |cuw AS (SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(tk) AS w FROM md) GROUP BY 1),
+        |nv AS (SELECT sum(cu)::BIGINT AS n_model, count(*)::BIGINT AS v_model
+        |  FROM cuw),
+        |tbgx AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |  unnest(tk[2:len(tk)]) AS w2 FROM tg WHERE len(tk) >= 2),
+        |tbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+        |  FROM tbgx GROUP BY 1, 2, 3),
+        |lp AS (SELECT t.w1, t.w2, CAST(round(ln(
+        |    0.875::DOUBLE * (CASE WHEN cx.cctx IS NOT NULL
+        |      THEN coalesce(cb.cb, 0)::DOUBLE / cx.cctx::DOUBLE
+        |      ELSE 0.0::DOUBLE END)
+        |    + 0.125::DOUBLE * ((coalesce(cu2.cu, 0)::DOUBLE + 1.0)
+        |      / (nv.n_model::DOUBLE + nv.v_model::DOUBLE + 1.0))) * 1e9)
+        |    AS BIGINT) AS lp_nano
+        |  FROM (SELECT DISTINCT w1, w2 FROM tbg) t
+        |  LEFT JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
+        |  LEFT JOIN cx ON cx.w1 = t.w1
+        |  LEFT JOIN cuw cu2 ON cu2.w = t.w2
+        |  CROSS JOIN nv),
+        |db AS (SELECT doc_id, sum(c * lp_nano)::BIGINT AS bg_nano
+        |  FROM tbg JOIN lp USING (w1, w2) GROUP BY doc_id),
+        |tok AS (SELECT tg.doc_id, count(*)::BIGINT AS n_toks,
+        |  sum(CASE WHEN cuw.cu IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM tg) tg
+        |  LEFT JOIN cuw ON cuw.w = tg.w GROUP BY 1),
+        |pd AS (SELECT tg.doc_id, tg.source, tok.n_toks, tok.n_oov,
+        |  CAST(round(ln((coalesce(cu0.cu, 0)::DOUBLE + 1.0)
+        |    / (nv.n_model::DOUBLE + nv.v_model::DOUBLE + 1.0)) * 1e9)
+        |    AS BIGINT) + coalesce(db.bg_nano, 0) AS doc_nano
+        |  FROM tg LEFT JOIN cuw cu0 ON cu0.w = tg.tk[1] CROSS JOIN nv
+        |  LEFT JOIN db ON db.doc_id = tg.doc_id
+        |  JOIN tok ON tok.doc_id = tg.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  round(sum(doc_nano)::DOUBLE / sum(n_toks)::DOUBLE / 1e9, 6)
+        |    AS avg_lp,
+        |  round(quantile_cont(doc_nano::DOUBLE / n_toks::DOUBLE / 1e9, 0.5), 6)
+        |    AS p50_doc_lp,
+        |  round(sum(n_oov)::DOUBLE / sum(n_toks)::DOUBLE, 6) AS oov_rate
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin
+        .replace("\n", " ")
+
+  /** q176/q177 oracle: the brute-force quadratic reference — the plain
+    * semantic predicate (levenshtein over 40-char prefixes <= 4) over
+    * the bounded audit window, with only the lossless length guard the
+    * operator also applies. Deliberately NOT an echo of the PassJoin
+    * blocking: DuckDB verifies every window pair. */
+  private def editPairsSql: String =
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS s
+        |  FROM documents WHERE doc_id < 2000 AND length(text) >= 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.s, b.s)::BIGINT AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
 
   private def intervalJoinSql: String =
       """WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS aus

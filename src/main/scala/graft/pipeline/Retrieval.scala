@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Ranked text retrieval: BM25 top-k over an inverted-index-shaped
+  * dataflow — the query-time member of the text tier (q57/q164 score
+  * corpora; this SEARCHES one).
+  *
+  * Okapi BM25 (Robertson et al., TREC-3) with the Lucene +1 idf
+  * (always positive, so a term matching most docs still contributes):
+  *
+  *   score(D,Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t)     = ln((N − df + 0.5) / (df + 0.5) + 1)
+  *
+  * Cross-engine determinism (the q164 NANOLOG discipline):
+  *   - ONE ln per distinct query-term TYPE, on a bit-identical double
+  *     (N/df integer-derived, +0.5 exact), immediately
+  *     round(·1e9)::BIGINT → idf_nano.
+  *   - The tf-saturation factor is pure IEEE double arithmetic with a
+  *     PINNED parenthesization mirrored token-for-token in the oracle
+  *     SQL (dl/avgdl spelled (dl·N)/Σdl — one divide, no avgdl
+  *     intermediate); constants are spelled identically on both
+  *     engines ((1.2 + 1.0), never a pre-folded 2.2, so each engine
+  *     parses-then-adds the same doubles).
+  *   - Per-(doc,term) contribution quantizes to integer MICROS
+  *     (round(idf_nano·tfq / 1000)::BIGINT); the per-doc score is then
+  *     an exact integer sum — order-independent on both engines.
+  *
+  * Scale shape (100 TB): the corpus is never inverted whole — tokens
+  * are filtered to the ≤|Q| query terms IN the scan (array filter,
+  * codegen), so the exploded posting volume is O(matching doc-term
+  * rows), not O(corpus tokens). df/idf is a ≤|Q|-row aggregate
+  * broadcast back; the corpus scalars (N, Σdl) are a 1-row map-side
+  * agg attached as the q164-style single-row broadcast. The final
+  * top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  * heaps, no global sort). Text never shuffles; docs with no query
+  * term are dropped at the scan.
+  *
+  * For a standing corpus queried repeatedly, [[bm25TopKViaStore]] is
+  * the production shape: the FULL inverted index persists once as a
+  * term-bucketed table and each query reads only its own terms'
+  * postings (bucket-pruned) — no corpus scan at query time.
+  */
+object Retrieval {
+
+  /** Gate-standard query: one rare term ("dup", df≈5% — the idf
+    * discriminator) plus two near-ubiquitous ones (df≈90% — the
+    * tf-saturation/length-norm testbed). */
+  val Bm25Query: String = "dup merge window"
+  val Bm25K: Int = 20
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
+  private def splitTerms(query: String): Seq[String] = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25: empty query")
+    terms
+  }
+
+  private def tokenize(docs: DataFrame): DataFrame =
+    graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) >= 1)
+
+  /** The shared scoring tail: tf rows (doc_id, source, dl, w, tf)
+    * restricted to the query terms + the 1-row corpus stats (n_docs,
+    * sum_dl) → ranked top-k. Both the scan path and the store probe
+    * feed this, so their results are identical by construction. */
+  private def scoreAndRank(tf: DataFrame, stats: DataFrame, k: Int,
+                           k1: Double, b: Double): DataFrame = {
+    // df per query term (≤|Q| rows) → idf_nano, one ln per term type.
+    // The corpus scalars ride ALONG in the idf broadcast (n_docs,
+    // sum_dl columns) so the big tf side gets exactly ONE small-side
+    // attach — a second stats join would be a second corpus scan.
+    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .join(broadcast(stats))
+      .select(col("w"),
+        round(log((col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * 1e9, 0).cast("long").as("idf_nano"),
+        col("n_docs"), col("sum_dl"))
+    // per-(doc,term) micro-quantized contribution; parenthesization is
+    // the oracle's, token for token
+    val tfq = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * ((col("dl").cast("double") * col("n_docs").cast("double"))
+          / col("sum_dl").cast("double"))))
+    val perDoc = tf.join(broadcast(idf), Seq("w"))
+      .select(col("doc_id"), col("source"),
+        round(col("idf_nano").cast("double") * tfq / lit(1000.0), 0)
+          .cast("long").as("s_micro"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("s"))
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition heaps); the rank window runs over ≤k rows
+    val top = perDoc.orderBy(col("s").desc, col("doc_id")).limit(k)
+    top.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id"))).cast("long").as("rank"),
+      col("doc_id"), col("source"), col("n_terms"),
+      round(col("s").cast("double") / 1e6, 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Top-k docs by BM25 for a whitespace-separated query string.
+    * Output: rank, doc_id, source, n_terms (distinct query terms
+    * matched), score (6 dp). */
+  def bm25TopK(docs: DataFrame, query: String = Bm25Query,
+               k: Int = Bm25K, k1: Double = Bm25K1,
+               b: Double = Bm25B): DataFrame = {
+    val terms = splitTerms(query)
+    require(k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
+    val base = tokenize(docs)
+    // corpus scalars: one map-side agg over doc lengths (cheap second
+    // scan — at 100 TB you don't cache the corpus to save it)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("sum_dl"))
+    // postings restricted to the query terms IN the scan: only
+    // matching tokens explode, docs with none never leave the scan
+    val qlit = array(terms.map(lit): _*)
+    val tf = base
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("dl"),
+        explode(filter(col("tk"), t => array_contains(qlit, t))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    scoreAndRank(tf, stats, k, k1, b)
+  }
+
+  // ----- persisted inverted-index store (the q68/q99/q146 discipline
+  // applied to retrieval: index the standing corpus ONCE, serve every
+  // query from term-bucketed postings with no corpus scan) -----
+
+  /** Build the full inverted index: one posting row per (doc, distinct
+    * term) — (w, doc_id, source, dl, tf) — bucketed AND sorted by term
+    * so a query's probe reads only its own terms' buckets (Spark
+    * prunes buckets for IN/= predicates on the bucket column). The
+    * 1-row corpus stats (n_docs, sum_dl) land beside the table at
+    * path + "_stats": deriving them from the postings at query time
+    * would be a full index scan. */
+  def buildBm25Store(docs: DataFrame, table: String, path: String,
+                     nBuckets: Int = 16): Unit = {
+    val base = tokenize(docs)
+    base.select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("w"))
+      .groupBy(col("w"), col("doc_id"), col("source"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "w").sortBy("w")
+      .option("path", path)
+      .saveAsTable(table)
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** Build-once memo with the store-tier stale guards ([[StoreOps]]):
+    * the signature carries the base id-set + n_chars moment, a fresh
+    * session's missing catalog entry forces a rebuild, and the build
+    * serializes per location without holding map-wide locks. */
+  private[graft] def ensureBm25Store(docs: DataFrame, table: String,
+                                     path: String): Unit = {
+    val want = Winnow.baseSignature(docs, "bm")
+    StoreOps.ensure(s"$table@$path", want,
+      docs.sparkSession.catalog.tableExists(table)) {
+      buildBm25Store(docs, table, path)
+    }
+  }
+
+  /** BM25 through the persisted index: identical math to [[bm25TopK]]
+    * (shared scoring tail ⇒ shared oracle), but the query-time read is
+    * the store's bucket-pruned postings for the ≤|Q| query terms plus
+    * the 1-row stats sidecar — the corpus text is never touched.
+    * At 100 TB this is the difference between a full scan per query
+    * and O(postings of the query's terms). */
+  def bm25TopKViaStore(docs: DataFrame, table: String, path: String,
+                       query: String = Bm25Query, k: Int = Bm25K,
+                       k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
+    val terms = splitTerms(query)
+    require(k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
+    ensureBm25Store(docs, table, path)
+    val spark = docs.sparkSession
+    val tf = spark.table(table).where(col("w").isin(terms: _*))
+    val stats = spark.read.parquet(path + "_stats")
+    scoreAndRank(tf, stats, k, k1, b)
+  }
+}

@@ -635,4 +635,110 @@ object TextStats {
           lit(0.5)), 6).as("p50_doc_lp"))
       .orderBy("source")
   }
+
+  /** Cross-corpus interpolated bigram LM scoring — the actual
+    * CCNet/KenLM deployment shape: the model trains on a REFERENCE
+    * partition (Wikipedia in CCNet; here the even doc_ids) and scores
+    * a DIFFERENT target corpus, so out-of-vocabulary mass must exist.
+    * q164's self-scored form never sees an unseen word; this form is
+    * what a quality filter actually runs.
+    *
+    * Conventions (all integer-derived, the q164 NANOLOG discipline):
+    *   - V = distinct model vocab; add-one unigram smoothing
+    *     p_u(w) = (cu(w) + 1) / (N + V + 1)  — OOV words get cu = 0.
+    *   - p(w2|w1) = λ·(cb/cctx, 0 when the context is unseen)
+    *     + (1−λ)·p_u(w2); first token scores ln p_u(w0).
+    *   - ONE ln per distinct TARGET bigram/word type → nanolog BIGINT;
+    *     per-doc and per-source accumulation is exact integer sums.
+    *
+    * Output per target source: n_docs, avg_lp, p50_doc_lp, oov_rate
+    * (fraction of target tokens outside the model vocab, 6 dp).
+    *
+    * Scale shape: model tables aggregate at vocab/bigram-type
+    * cardinality and join the target's per-doc DISTINCT-bigram rows on
+    * the bigram key (LEFT join — misses are the smoothed path, rows
+    * never drop); the (N, V) scalars ride a 1-row broadcast. No
+    * shuffle carries text. */
+  def bigramLmCrossScores(model: DataFrame, target: DataFrame,
+                          lambda: Double = 0.875): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0)
+    def toks(df: DataFrame) = graft.sources.Corpus.fanOutSmallScan(df)
+      .select(col("doc_id"), col("source"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) >= 1)
+    val mBase = toks(model)
+    val tBase = toks(target)
+    def bigrams(base: DataFrame) = base
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    // model tables
+    val cb = bigrams(mBase).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cb"))
+    val cctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    val cu = mBase.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nv = cu.agg(sum(col("cu")).as("n_model"),
+      count(lit(1)).as("v_model"))
+    // smoothed unigram nanolog per distinct TARGET word type (the ln
+    // happens once per type, misses included via the LEFT join's 0)
+    val pu = (cuc: org.apache.spark.sql.Column) =>
+      (coalesce(cuc, lit(0L)).cast("double") + lit(1.0)) /
+        (col("n_model").cast("double") + col("v_model").cast("double")
+          + lit(1.0))
+    // per-target-doc bigram contributions
+    val tbg = bigrams(tBase)
+    val lpBg = tbg.select(col("w1"), col("w2")).distinct()
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cctx, Seq("w1"), "left")
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"),
+        Seq("w2"), "left")
+      .join(broadcast(nv))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * when(col("cctx").isNotNull,
+            coalesce(col("cb"), lit(0L)).cast("double")
+              / col("cctx").cast("double")).otherwise(lit(0.0))
+            + lit(1.0 - lambda) * pu(col("cu2")))
+          * 1e9, 0).cast("long").as("lp_nano"))
+    val docBg = tbg.join(lpBg, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lp_nano")).as("bg_nano"))
+    // first-token smoothed unigram + per-doc OOV token count
+    val tTok = tBase.select(col("doc_id"), explode(col("tk")).as("w"))
+      .join(cu, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val lpW0 = tBase.select(col("doc_id"), col("source"),
+      element_at(col("tk"), 1).as("w0"))
+      .join(cu.withColumnRenamed("w", "w0").withColumnRenamed("cu", "cu0"),
+        Seq("w0"), "left")
+      .join(broadcast(nv))
+      .select(col("doc_id"), col("source"),
+        round(log(pu(col("cu0"))) * 1e9, 0).cast("long")
+          .as("w0_nano"))
+    val perDoc = lpW0
+      .join(docBg, Seq("doc_id"), "left")
+      .join(tTok, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("n_oov"),
+        (col("w0_nano") + coalesce(col("bg_nano"), lit(0L))).as("doc_nano"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("doc_nano")).cast("double")
+          / sum(col("n_toks")).cast("double") / 1e9, 6).as("avg_lp"),
+        round(percentile(
+          col("doc_nano").cast("double") / col("n_toks").cast("double") / 1e9,
+          lit(0.5)), 6).as("p50_doc_lp"),
+        round(sum(col("n_oov")).cast("double")
+          / sum(col("n_toks")).cast("double"), 6).as("oov_rate"))
+      .orderBy("source")
+  }
 }

@@ -848,6 +848,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("q176 edit-distance join: segment equi-join, no cartesian/BNLJ; " +
+    "pair dedupe is a partial+final HashAggregate; the audit bound " +
+    "pushes into both scans") {
+    // the naive spelling of a Levenshtein predicate is all-pairs; the
+    // PassJoin blocking must keep it an equi-join on (seg_idx, text),
+    // verify each candidate pair ONCE (distinct before levenshtein),
+    // and let Catalyst push the doc_id window through the join
+    val p = plan("q176_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortAggregate"), "pair dedupe fell off the hash path")
+    assert(p.contains("HashAggregate"))
+    assert("LessThan\\(doc_id,2000\\)".r.findAllIn(p).size >= 2,
+      "audit bound must reach both parquet scans")
+  }
+
+  test("q174 BM25: top-k is TakeOrderedAndProject; no cartesian; BNLJ " +
+    "only as the 1-row corpus-stats attach") {
+    val p = plan("q174_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("q180 BM25 store probe: bucket-pruned postings, no corpus scan") {
+    // query time must read ONLY the query's own term buckets (IN on
+    // the bucket column prunes) plus the 1-row stats sidecar — never
+    // the documents table
+    val p = plan("q180_bm25_store")
+    assert(p.contains("Bucketed: true"))
+    assert(p.contains("SelectedBucketsCount"),
+      "term filter must prune store buckets")
+    assert(!p.contains("documents.parquet"),
+      "store probe must not rescan the corpus")
+  }
+
   test("q171 PQ recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     // the q136 pin applied to the codebook quantizer: the scored table
     // (broadcast-sample cross-join) computes once and is cached; the

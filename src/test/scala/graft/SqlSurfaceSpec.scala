@@ -385,6 +385,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ws.count() > 0)
   }
 
+  test("graft_bm25 TVF: string query arg, non-standard args == Scala, " +
+    "bare name resolves to the gate-standard view, literal validation") {
+    val docs = Corpus.table(spark, sf, "documents")
+    // non-standard query + k from pure SQL == the Scala operator
+    val t = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bm25('dup scan', 5) ORDER BY rank")
+    assert(rows(t) == rows(
+      graft.pipeline.Retrieval.bm25TopK(docs, "dup scan", 5)))
+    assert(t.count() > 0)
+    // trailing args default (k1, b omitted)
+    assert(rows(QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bm25('dup merge window', 20)")) ==
+      rows(graft.pipeline.Retrieval.bm25TopK(docs)))
+    // bare name = the gate-standard view
+    assert(rows(QueryRunner.sql(spark, sf, "SELECT * FROM graft_bm25")) ==
+      rows(graft.pipeline.Retrieval.bm25TopK(docs)))
+    // the query argument must be a string LITERAL
+    val e = intercept[Exception] {
+      QueryRunner.sql(spark, sf, "SELECT * FROM graft_bm25(42)").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+    val e2 = intercept[Exception] {
+      QueryRunner.sql(spark, sf,
+        "SELECT * FROM graft_bm25('dup', 5, 1.2, 0.75, 9)").collect()
+    }
+    assert(e2.getMessage.contains("at most 4 arguments"))
+  }
+
+  test("graft_edit_pairs / graft_bigram_lm_cross TVFs at non-standard " +
+    "args == their Scala operators; bare names resolve to gate-standard") {
+    import org.apache.spark.sql.functions.col
+    val docs = Corpus.table(spark, sf, "documents")
+    val ep = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_edit_pairs(2, 24) ORDER BY doc_a, doc_b")
+    assert(rows(ep) == rows(
+      graft.pipeline.EditJoin.editDistancePairs(docs, 2, 24)))
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 =!= 0)
+    val cx = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bigram_lm_cross(0.75) ORDER BY source")
+    assert(rows(cx) == rows(
+      graft.pipeline.TextStats.bigramLmCrossScores(even, odd, 0.75)))
+    assert(cx.count() > 0)
+    assert(rows(QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_bigram_lm_cross")) ==
+      rows(graft.pipeline.TextStats.bigramLmCrossScores(even, odd)))
+  }
+
   test("bare graft_weighted_sample / graft_burst_windows / graft_bigram_lm resolve to the gate-standard views") {
     val docs = Corpus.table(spark, sf, "documents")
     assert(rows(QueryRunner.sql(spark, sf,
