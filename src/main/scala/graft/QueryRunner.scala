@@ -94,6 +94,8 @@ object QueryRunner {
       .createOrReplaceTempView("graft_weighted_sample")
     Retrieval.bm25TopK(docs)
       .createOrReplaceTempView("graft_bm25")
+    Retrieval.bm25BatchTopK(docs)
+      .createOrReplaceTempView("graft_bm25_batch")
     TextStats.bigramLmCrossScores(
       docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
       docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
@@ -200,7 +202,10 @@ object QueryRunner {
       a => TextStats.bigramLmCrossScores(
         docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
         docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
-        a(0))))
+        a(0))),
+    // dynamic quality admission at an ad-hoc percentile / rare cutoff
+    ("graft_quality_admission", Seq("q" -> 0.75, "rare_den" -> 500.0),
+      a => Curation.qualityPercentileAdmission(docs, a(0), a(1).toLong)))
 
   private def registerTvfs(spark: SparkSession, docs: DataFrame,
                            emb: DataFrame, ev: DataFrame): Unit =

@@ -913,7 +913,7 @@ object SparkEntry {
     // q176: edit-distance similarity join (PassJoin pigeonhole —
     // character-level Levenshtein over 40-char prefix keys; blocking
     // is a plain equi-join on (segment idx, text), candidates dedupe
-    // before ONE verify per pair). Audit bounded to doc_id < 2000 on
+    // before ONE verify per pair). Audit bounded to doc_id < 1000 on
     // both ends (the q21 precedent) so the oracle can brute-force the
     // quadratic reference at sf10; Catalyst pushes the bound through
     // the join into both scans.
@@ -921,14 +921,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.pipeline.EditJoin
         .editDistancePairs(Corpus.table(s, dir, "documents"))
-        .where(col("doc_a") < 2000 && col("doc_b") < 2000)
+        .where(col("doc_a") < 1000 && col("doc_b") < 1000)
     }),
     // q177: the same from SQL — TVF at gate-standard args, the window
     // applied as a WHERE over the TVF's output (pair-local predicate,
     // so it pushes into the scans); shares q176's oracle.
     "q177_sql_edit_pairs_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
       """SELECT doc_a, doc_b, dist FROM graft_edit_pairs(4, 40)
-        |WHERE doc_a < 2000 AND doc_b < 2000
+        |WHERE doc_a < 1000 AND doc_b < 1000
         |ORDER BY doc_a, doc_b""".stripMargin)),
     // q178: CROSS-corpus bigram LM scoring — the CCNet deployment
     // shape (q164 self-scores, so it never sees an unseen word): model
@@ -961,6 +961,39 @@ object SparkEntry {
     "q181_sql_bm25_store" -> ((s, dir) => QueryRunner.sql(s, dir,
       """SELECT rank, doc_id, source, n_terms, score
         |FROM graft_bm25_store ORDER BY rank""".stripMargin)),
+    // q182: BATCH BM25 — top-k per query for a TABLE of queries in ONE
+    // corpus pass (the eval-retrieval shape: 10k prompts cannot each
+    // pay a scan). Per-query ranking is row_number ≤ k → partial+final
+    // WindowGroupLimit; df/idf computes once, shared across queries.
+    "q182_bm25_batch" -> ((s, dir) =>
+      Retrieval.bm25BatchTopK(Corpus.table(s, dir, "documents"))),
+    // q183: the lazy view twin at gate-standard queries; same oracle.
+    "q183_sql_bm25_batch" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT query_id, rank, doc_id, source, n_terms, score
+        |FROM graft_bm25_batch ORDER BY query_id, rank""".stripMargin)),
+    // q184: percentile-based quality admission — the DYNAMIC-threshold
+    // member of the quality tier (q47/q83 apply config cutoffs; this
+    // derives each source's cutoff from its own rare-token-rate
+    // distribution and certifies the kept corpus with the '#qp'
+    // content-hash sum).
+    "q184_quality_percentile_admission" -> ((s, dir) =>
+      Curation.qualityPercentileAdmission(Corpus.table(s, dir, "documents"))),
+    // q185: the TVF twin at gate-standard (q, rare_threshold).
+    "q185_sql_quality_admission_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_in, n_dropped, n_kept, kept_hash_sum
+        |FROM graft_quality_admission(0.75, 500) ORDER BY source"""
+        .stripMargin)),
+    // q186: STREAMING ingest into the BM25 index store — documents
+    // arrive in micro-batches through the production FileStreamSource
+    // ingress, each batch folds in via foreachBatch → appendBm25Store
+    // (whose manifest anti-join makes the at-least-once foreachBatch
+    // contract exactly-once); the probe afterward answers from the
+    // store alone. Shares q174's oracle verbatim (ingest == batch).
+    "q186_bm25_stream_ingest" -> ((s, dir) => {
+      val (t, p) = bm25StreamStoreLoc(dir)
+      graft.streaming.StreamingPipeline.bm25StreamIngest(
+        Corpus.table(s, dir, "documents"), t, p, fixtureDir("q186", dir))
+    }),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -1197,6 +1230,9 @@ object SparkEntry {
   private[graft] def bm25StoreLoc(dir: String): (String, String) =
     (s"graft_bm25_store_${dirTag(dir)}_p$fixturePid",
       fixtureDir("q180", dir))
+  private[graft] def bm25StreamStoreLoc(dir: String): (String, String) =
+    (s"graft_bm25_store_sink_${dirTag(dir)}_p$fixturePid",
+      fixtureDir("q186s", dir))
 
   /** q81 gate patterns — RE2-compatible, chosen to MATCH the synthetic
     * corpus (see TextScrub.PiiPresets for the real PII classes). */
@@ -2801,6 +2837,11 @@ object SparkEntry {
     "q179_sql_bigram_lm_cross_tvf" -> bigramLmCrossSql,
     "q180_bm25_store" -> bm25Sql,
     "q181_sql_bm25_store" -> bm25Sql,
+    "q182_bm25_batch" -> bm25BatchSql,
+    "q183_sql_bm25_batch" -> bm25BatchSql,
+    "q184_quality_percentile_admission" -> qualityAdmissionSql,
+    "q185_sql_quality_admission_tvf" -> qualityAdmissionSql,
+    "q186_bm25_stream_ingest" -> bm25Sql,
   )
 
   /** Shared PQ model CTEs: codebook by hash rank, per-(vec, subspace)
@@ -2960,6 +3001,80 @@ object SparkEntry {
         |  round(s::DOUBLE / 1e6, 6) AS score
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin.replace("\n", " ")
 
+  /** q184/q185 oracle: percentile admission recompute — same rare-rate
+    * definition (integer ratio), DuckDB quantile_cont(0.75) per source
+    * (the q42 percentile parity), ties at the cutoff kept, '#qp'
+    * kept-hash convention. */
+  private def qualityAdmissionSql: String =
+      """WITH dt AS (SELECT doc_id, source,
+        |  ('0x'||substr(sha256(text||'#qp'),1,15))::BIGINT % 1000000000 AS th,
+        |  w AS term, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, source, text,
+        |    unnest(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS w FROM documents)
+        |  GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT term, sum(c)::BIGINT AS cnt FROM dt GROUP BY 1),
+        |nt AS (SELECT sum(c)::BIGINT AS n_total FROM dt),
+        |pd AS (SELECT doc_id, source, th,
+        |  sum(CASE WHEN g.cnt * 500 < nt.n_total THEN c ELSE 0 END)::DOUBLE
+        |    / sum(c)::DOUBLE AS rate
+        |  FROM dt JOIN g USING (term) CROSS JOIN nt GROUP BY 1, 2, 3),
+        |ct AS (SELECT source, quantile_cont(rate, 0.75) AS cut
+        |  FROM pd GROUP BY 1),
+        |kept AS (SELECT pd.source, count(*)::BIGINT AS n_kept,
+        |  sum(th)::BIGINT AS kept_hash_sum
+        |  FROM pd JOIN ct USING (source) WHERE rate <= cut GROUP BY 1),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_in FROM pd GROUP BY 1)
+        |SELECT tot.source, n_in, n_in - coalesce(n_kept, 0) AS n_dropped,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(kept_hash_sum, 0) AS kept_hash_sum
+        |FROM tot LEFT JOIN kept USING (source)
+        |ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** q182/q183 oracle: the batch form of [[bm25Sql]] — same CTEs, the
+    * query-term membership stated as a VALUES table (generated from
+    * Retrieval.Bm25BatchQueries so the two surfaces move in lockstep),
+    * per-query rank via a partitioned row_number. */
+  private def bm25BatchSql: String = {
+    val qt = graft.pipeline.Retrieval.Bm25BatchQueries.flatMap {
+      case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
+        .map(w => s"($qid, '$w')")
+    }.mkString(", ")
+    val allTerms = graft.pipeline.Retrieval.Bm25BatchQueries
+      .flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH qt(query_id, w) AS (VALUES $qt),
+       |t AS (SELECT doc_id, source,
+       |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |d0 AS (SELECT doc_id, source, len(tk)::BIGINT AS dl, tk
+       |  FROM t WHERE len(tk) >= 1),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+       |  FROM d0),
+       |tf AS (SELECT doc_id, source, dl, w, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, source, dl, unnest(tk) AS w FROM d0)
+       |  WHERE w IN ($allTerms) GROUP BY 1, 2, 3, 4),
+       |dft AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |idf AS (SELECT w, CAST(round(ln(
+       |    (st.n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)
+       |    + 1.0) * 1e9) AS BIGINT) AS idf_nano
+       |  FROM dft CROSS JOIN st),
+       |sc AS (SELECT qt.query_id, doc_id, source, CAST(round(idf_nano::DOUBLE *
+       |    ((tf.tf::DOUBLE * (1.2 + 1.0)) / (tf.tf::DOUBLE + 1.2 *
+       |      ((1.0 - 0.75) + 0.75 *
+       |        ((dl::DOUBLE * st.n_docs::DOUBLE) / st.sum_dl::DOUBLE))))
+       |    / 1000.0) AS BIGINT) AS s_micro
+       |  FROM tf JOIN idf USING (w) JOIN qt USING (w) CROSS JOIN st),
+       |pd AS (SELECT query_id, doc_id, source, count(*)::BIGINT AS n_terms,
+       |  sum(s_micro)::BIGINT AS s FROM sc GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY s DESC, doc_id) AS rank FROM pd)
+       |SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       |  source, n_terms, round(s::DOUBLE / 1e6, 6) AS score
+       |FROM r WHERE rank <= 20
+       |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+  }
+
   /** q178/q179 oracle: the cross-corpus LM recompute — model counts
     * from the even doc_ids, smoothed scoring of the odd ones, same
     * add-one/interpolation spelling token-for-token (unseen context →
@@ -3024,7 +3139,7 @@ object SparkEntry {
     * blocking: DuckDB verifies every window pair. */
   private def editPairsSql: String =
       """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS s
-        |  FROM documents WHERE doc_id < 2000 AND length(text) >= 40)
+        |  FROM documents WHERE doc_id < 1000 AND length(text) >= 40)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  levenshtein(a.s, b.s)::BIGINT AS dist
         |FROM t a JOIN t b ON a.doc_id < b.doc_id

@@ -414,4 +414,63 @@ object Curation {
         col("doc_id"), col("n_chars"), round(col("_key"), 9).as("es_key"))
       .orderBy("source", "rn")
   }
+
+  /** PERCENTILE-based quality admission — the dynamic-threshold member
+    * of the quality tier: the static filters (q47/q83) apply config
+    * cutoffs; this derives each source's cutoff from its own score
+    * distribution (drop the worst quartile BY SOURCE), the shape a
+    * mixed-quality corpus actually needs — a web source's p75
+    * rare-token rate is a book source's outlier.
+    *
+    * Score = per-doc rare-token rate (the q57 signal, made
+    * SCALE-RELATIVE: a token is rare when cnt · rareDen < total corpus
+    * tokens — an integer comparison on both engines; an absolute
+    * cutoff would silently stop firing as the corpus grows, since
+    * every count scales with it). Threshold = quantile_cont(q) of the
+    * exact per-doc integer ratio per source (interpolated from
+    * identically-derived doubles on both engines — the q42 parity).
+    * Keep rate <= threshold: ties at the cutoff stay in. The ship
+    * digest certifies the kept corpus with the '#qp' content-hash sum
+    * (the q141 convention).
+    *
+    * Scale shape: one corpus pass to (doc, term) partials; the global
+    * term frequency is a window SUM over the term partition (the
+    * unigramQuality decomposition — no corpus×vocab join) and the
+    * corpus-total token count a 1-row broadcast attach; doc rows
+    * carry a pre-computed text hash so the digest never rejoins the
+    * text; per-source thresholds are a sources-cardinality aggregate
+    * broadcast back. */
+  def qualityPercentileAdmission(docs: DataFrame, q: Double = 0.75,
+                                 rareDen: Long = 500L): DataFrame = {
+    require(q > 0.0 && q < 1.0 && rareDen >= 1L)
+    val W = org.apache.spark.sql.expressions.Window
+    val dt = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        (hash64(col("text"), "qp") % 1000000000L).as("th"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("th"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val total = dt.agg(sum(col("c")).as("n_total"))
+    val perDoc = dt
+      .withColumn("cnt", sum(col("c")).over(W.partitionBy(col("term"))))
+      .join(broadcast(total))
+      .groupBy(col("doc_id"), col("source"), col("th"))
+      .agg((sum(when(col("cnt") * rareDen < col("n_total"), col("c"))
+        .otherwise(0L))
+        .cast("double") / sum(col("c")).cast("double")).as("rate"))
+    val thresholds = perDoc.groupBy(col("source"))
+      .agg(percentile(col("rate"), lit(q)).as("cut"))
+    val kept = perDoc.join(broadcast(thresholds), Seq("source"))
+      .where(col("rate") <= col("cut"))
+    perDoc.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("th")).as("kept_hash_sum")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_hash_sum"))
+      .select(col("source"), col("n_in"),
+        (col("n_in") - col("n_kept")).as("n_dropped"),
+        col("n_kept"), col("kept_hash_sum"))
+      .orderBy("source")
+  }
 }

@@ -142,22 +142,64 @@ object Retrieval {
     * 1-row corpus stats (n_docs, sum_dl) land beside the table at
     * path + "_stats": deriving them from the postings at query time
     * would be a full index scan. */
-  def buildBm25Store(docs: DataFrame, table: String, path: String,
-                     nBuckets: Int = 16): Unit = {
-    val base = tokenize(docs)
+  private def postings(base: DataFrame): DataFrame =
     base.select(col("doc_id"), col("source"),
         size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("w"))
       .groupBy(col("w"), col("doc_id"), col("source"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite")
+
+  def buildBm25Store(docs: DataFrame, table: String, path: String,
+                     nBuckets: Int = 16): Unit = {
+    val base = tokenize(docs)
+    postings(base).write.mode("overwrite")
       .bucketBy(nBuckets, "w").sortBy("w")
       .option("path", path)
       .saveAsTable(table)
+    // sidecars: the 1-row corpus stats (deriving them from postings at
+    // query time would be a full index scan) and the doc-id manifest
+    // (the append path's replay guard — see appendBm25Store)
+    // coalesce: an EMPTY build (the streaming-ingest initializer) has
+    // sum(dl) = null, and the append path reads these as longs
     base.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tk")).cast("long")).as("sum_dl"))
+        coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").parquet(path + "_stats")
+    base.select(col("doc_id")).write.mode("overwrite")
+      .parquet(path + "_docs")
   }
+
+  /** Fold a new batch INTO the standing index — the nightly job the
+    * store contract assumes. Unlike the winnow store (whose probe
+    * dedupes by DISTINCT, so blind re-appends are probe-safe), BM25
+    * sums tf and counts df over posting rows: a replayed append would
+    * double both. So the append GUARDS itself: the batch anti-joins
+    * the doc-id manifest first (base copy wins — the q149 admission
+    * convention), making ingest replay a no-op for postings, stats,
+    * AND manifest. Bucketed insertInto preserves the (w, nBuckets)
+    * spec, so the bucket-pruned probe survives appends. */
+  def appendBm25Store(batch: DataFrame, table: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val manifest = spark.read.parquet(path + "_docs")
+    val base = tokenize(batch.join(manifest, Seq("doc_id"), "left_anti"))
+    postings(base).write.mode("append").insertInto(table)
+    val add = base.agg(count(lit(1)),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L))).head()
+    val old = spark.read.parquet(path + "_stats").head()
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(path + "_stats")
+    base.select(col("doc_id")).write.mode("append").parquet(path + "_docs")
+  }
+
+  /** Compact the postings table in place (file-count hygiene after
+    * many appends): the shared crash-safe DISTINCT rewrite — a no-op
+    * on content (the append guard keeps rows unique) that preserves
+    * the bucket spec. */
+  def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String): Unit =
+    StoreOps.compactBucketed(spark, table, path, 16, Seq("w"),
+      Seq("w", "doc_id", "source", "dl", "tf"))
 
   /** Build-once memo with the store-tier stale guards ([[StoreOps]]):
     * the signature carries the base id-set + n_chars moment, a fresh
@@ -172,6 +214,76 @@ object Retrieval {
     }
   }
 
+  /** Gate-standard batch queries: the single-query gate's mixed
+    * rare/common shape, a common-only query, and a two-rare query. */
+  val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+    (0L, Bm25Query), (1L, "scan batch table"), (2L, "dup fast"))
+
+  /** BATCH BM25: top-k per query for a whole TABLE of queries in one
+    * corpus pass — the eval-retrieval / contamination-lookup shape
+    * (10k eval prompts cannot each pay a corpus scan; one pass scores
+    * them all). Math is [[bm25TopK]]'s token-for-token; ranking is
+    * per-query row_number ≤ k, which compiles to partial+final
+    * WindowGroupLimit (each map partition forwards ≤ k rows per
+    * query into the rank shuffle).
+    *
+    * Scale shape: the union term set of all queries filters tokens in
+    * the scan (exploded volume O(matching doc-term rows)); the
+    * (query_id, w) membership table broadcasts (queries × terms,
+    * tiny); df/idf stays a per-TERM aggregate computed once, shared
+    * across queries. Output is O(k · queries). */
+  def bm25BatchTopK(docs: DataFrame,
+                    queries: Seq[(Long, String)] = Bm25BatchQueries,
+                    k: Int = Bm25K, k1: Double = Bm25K1,
+                    b: Double = Bm25B): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, q) =>
+      splitTerms(q).map(w => (qid, w))
+    }
+    val allTerms = qterms.map(_._2).distinct
+    val base = tokenize(docs)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("sum_dl"))
+    val qlit = array(allTerms.map(lit): _*)
+    val tf = base
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("dl"),
+        explode(filter(col("tk"), t => array_contains(qlit, t))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // per-term idf (shared across queries) + the 1-row stats ride one
+    // broadcast, exactly as in scoreAndRank
+    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .join(broadcast(stats))
+      .select(col("w"),
+        round(log((col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+          * 1e9, 0).cast("long").as("idf_nano"),
+        col("n_docs"), col("sum_dl"))
+    val tfq = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * ((col("dl").cast("double") * col("n_docs").cast("double"))
+          / col("sum_dl").cast("double"))))
+    val perQueryDoc = tf.join(broadcast(idf), Seq("w"))
+      .join(broadcast(qterms.toDF("query_id", "w")), Seq("w"))
+      .select(col("query_id"), col("doc_id"), col("source"),
+        round(col("idf_nano").cast("double") * tfq / lit(1000.0), 0)
+          .cast("long").as("s_micro"))
+      .groupBy(col("query_id"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("s"))
+    perQueryDoc
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("s").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("source"),
+        col("n_terms"),
+        round(col("s").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25 through the persisted index: identical math to [[bm25TopK]]
     * (shared scoring tail ⇒ shared oracle), but the query-time read is
     * the store's bucket-pruned postings for the ≤|Q| query terms plus
@@ -181,10 +293,19 @@ object Retrieval {
   def bm25TopKViaStore(docs: DataFrame, table: String, path: String,
                        query: String = Bm25Query, k: Int = Bm25K,
                        k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
+    ensureBm25Store(docs, table, path)
+    bm25ProbeStore(docs.sparkSession, table, path, query, k, k1, b)
+  }
+
+  /** The raw probe (no build/ensure): what a query path runs against a
+    * standing index maintained by [[appendBm25Store]] — the store IS
+    * the corpus of record there, so no base DataFrame participates. */
+  def bm25ProbeStore(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String,
+                     query: String = Bm25Query, k: Int = Bm25K,
+                     k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     val terms = splitTerms(query)
     require(k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
-    ensureBm25Store(docs, table, path)
-    val spark = docs.sparkSession
     val tf = spark.table(table).where(col("w").isin(terms: _*))
     val stats = spark.read.parquet(path + "_stats")
     scoreAndRank(tf, stats, k, k1, b)

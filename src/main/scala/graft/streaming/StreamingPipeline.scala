@@ -1164,4 +1164,55 @@ object StreamingPipeline {
       .select(sha2(col("text"), 256).as("h"))
       .orderBy("h")
   }
+
+  /** STREAMING ingest into the BM25 inverted-index store (q186) — the
+    * retrieval tier's streaming member, completing the pattern the
+    * winnow tier set (q149 batch admission → q158 streaming
+    * admission): documents arrive through the production
+    * FileStreamSource ingress in multiple micro-batches, and each
+    * batch folds into the standing index via foreachBatch →
+    * [[graft.pipeline.Retrieval.appendBm25Store]]. The append's
+    * doc-id-manifest anti-join is what makes this sink EXACTLY-ONCE
+    * under Structured Streaming's at-least-once foreachBatch
+    * contract: a replayed micro-batch (failure/restart) anti-joins to
+    * nothing and appends nothing — no output-side transaction needed.
+    * After the replay drains, the probe answers from the store alone;
+    * the gate shares q174's oracle verbatim (ingest-time == batch).
+    *
+    * Scale shape: per-batch cost is ingest-batch-sized (tokenize +
+    * bucketed insertInto + two 1-row/narrow sidecar updates); the
+    * standing index never rewrites. The staged feed re-reads with
+    * maxFilesPerTrigger < staged files so the run genuinely exercises
+    * MULTIPLE appends, not one bulk build. */
+  def bm25StreamIngest(docs: DataFrame, table: String, path: String,
+                       fixtureDir: String): DataFrame = {
+    import graft.pipeline.Retrieval
+    val spark = docs.sparkSession
+    val nRows = docs.count()
+    require(nRows > 0L, "empty documents corpus")
+    val feed = docs.select(col("doc_id"),
+      expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
+      col("source"), col("text"))
+    // stage at >= 8 files, then re-read 2 files per trigger → >= 4
+    // genuine micro-batch appends (the staging helper's own reader
+    // binds maxFilesPerTrigger to the full wave; ingest wants many)
+    stageSingleWaveFeed(feed, nRows, fixtureDir, Nil, minFiles = 8)
+    val srcDir = new java.io.File(new java.io.File(fixtureDir), "in")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir.toString)
+    // initialize an EMPTY store so the first append has a manifest +
+    // stats sidecar to fold into
+    Retrieval.buildBm25Store(docs.limit(0), table, path)
+    val ckpt = new java.io.File(new java.io.File(fixtureDir), "ckpt").toString
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Retrieval.appendBm25Store(
+          batch.select(col("doc_id"), col("source"), col("text")),
+          table, path)
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    Retrieval.bm25ProbeStore(spark, table, path)
+  }
 }

@@ -860,7 +860,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortAggregate"), "pair dedupe fell off the hash path")
     assert(p.contains("HashAggregate"))
-    assert("LessThan\\(doc_id,2000\\)".r.findAllIn(p).size >= 2,
+    assert("LessThan\\(doc_id,1000\\)".r.findAllIn(p).size >= 2,
       "audit bound must reach both parquet scans")
   }
 
@@ -870,6 +870,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("q182 batch BM25: per-query rank is a partial+final " +
+    "WindowGroupLimit; broadcast membership; no cartesian") {
+    val p = plan("q182_bm25_batch")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
   }
 
   test("q180 BM25 store probe: bucket-pruned postings, no corpus scan") {

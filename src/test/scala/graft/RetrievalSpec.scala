@@ -96,6 +96,22 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("batch BM25 == the single-query operator run per query") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "source", "text")
+    val qs = Seq((0L, "dup merge window"), (1L, "scan batch"), (2L, "window"))
+    val batch = Retrieval.bm25BatchTopK(df, qs, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSeq
+    val singles = qs.flatMap { case (qid, q) =>
+      Retrieval.bm25TopK(df, q, 4).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(4)))
+    }
+    assert(batch == singles)
+  }
+
   test("store probe == scan path (shared scoring tail), and the store " +
     "builds once per (process, signature)") {
     val s = spark
@@ -116,6 +132,40 @@ class RetrievalSpec extends AnyFunSuite {
       assert(s.table("bm25_spec_tbl").inputFiles.toSeq == t0,
         "store files changed — the memo rebuilt on an unchanged base")
     } finally s.sql("DROP TABLE IF EXISTS bm25_spec_tbl")
+  }
+
+  test("store lifecycle: append folds a batch (probe == rebuilt-on-" +
+    "union), ingest REPLAY is a no-op (postings, stats, manifest), " +
+    "and compaction preserves probe + bucket spec") {
+    val s = spark
+    import s.implicits._
+    val a = corpus.filter(_._1 <= 3L).toDF("doc_id", "source", "text")
+    val batch = corpus.filter(_._1 > 3L).toDF("doc_id", "source", "text")
+    val union = corpus.toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_lifecycle").toString
+    try {
+      Retrieval.buildBm25Store(a, "bm25_lc_tbl", dir)
+      Retrieval.appendBm25Store(batch, "bm25_lc_tbl", dir)
+      def probe() = Retrieval.bm25ProbeStore(s, "bm25_lc_tbl", dir,
+        "dup merge window", 7).collect().map(_.toString).toSeq
+      val direct = Retrieval.bm25TopK(union, "dup merge window", 7)
+        .collect().map(_.toString).toSeq
+      assert(probe() == direct, "probe-after-append != rebuilt semantics")
+      // replay: the manifest anti-join must make this a no-op
+      val statsBefore = s.read.parquet(dir + "_stats").head().toString
+      val nPostings = s.table("bm25_lc_tbl").count()
+      Retrieval.appendBm25Store(batch, "bm25_lc_tbl", dir)
+      assert(probe() == direct, "replayed append changed the probe")
+      assert(s.read.parquet(dir + "_stats").head().toString == statsBefore)
+      assert(s.table("bm25_lc_tbl").count() == nPostings)
+      // compaction: probe-before == probe-after, bucket spec survives
+      Retrieval.compactBm25Store(s, "bm25_lc_tbl", dir)
+      assert(probe() == direct, "compaction changed the probe")
+      val pp = Retrieval.bm25ProbeStore(s, "bm25_lc_tbl", dir)
+      pp.collect()
+      assert(pp.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    } finally s.sql("DROP TABLE IF EXISTS bm25_lc_tbl")
   }
 
   test("store stale-guard: a CHANGED base at the same table+path " +

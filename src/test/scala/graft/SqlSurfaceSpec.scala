@@ -431,6 +431,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(QueryRunner.sql(spark, sf,
       "SELECT * FROM graft_bigram_lm_cross")) ==
       rows(graft.pipeline.TextStats.bigramLmCrossScores(even, odd)))
+    val qa = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_quality_admission(0.5, 100) ORDER BY source")
+    assert(rows(qa) == rows(
+      graft.pipeline.Curation.qualityPercentileAdmission(docs, 0.5, 100L)))
+    assert(qa.count() > 0)
   }
 
   test("bare graft_weighted_sample / graft_burst_windows / graft_bigram_lm resolve to the gate-standard views") {
