@@ -1193,13 +1193,17 @@ object StreamingPipeline {
     val feed = docs.select(col("doc_id"),
       expr("timestamp_millis(1700000000000L + doc_id * 1000L)").as("ts"),
       col("source"), col("text"))
-    // stage at >= 8 files, then re-read 2 files per trigger → >= 4
-    // genuine micro-batch appends (the staging helper's own reader
-    // binds maxFilesPerTrigger to the full wave; ingest wants many)
-    stageSingleWaveFeed(feed, nRows, fixtureDir, Nil, minFiles = 8)
+    // stage at full width (32 files — the q158 lesson: staged file
+    // count floors the stream scan parallelism, and these are FAT text
+    // rows paying a per-row tokenize in each append), then re-read 8
+    // files per trigger → 4 genuine micro-batch appends, each batch
+    // tokenizing at 8-way parallelism (the staging helper's own
+    // reader binds maxFilesPerTrigger to the full wave; ingest wants
+    // many batches)
+    stageSingleWaveFeed(feed, nRows, fixtureDir, Nil, minFiles = 32)
     val srcDir = new java.io.File(new java.io.File(fixtureDir), "in")
     val stream = spark.readStream.schema(feed.schema)
-      .option("maxFilesPerTrigger", 2).parquet(srcDir.toString)
+      .option("maxFilesPerTrigger", 8).parquet(srcDir.toString)
     // initialize an EMPTY store so the first append has a manifest +
     // stats sidecar to fold into
     Retrieval.buildBm25Store(docs.limit(0), table, path)
