@@ -205,7 +205,20 @@ object QueryRunner {
         a(0))),
     // dynamic quality admission at an ad-hoc percentile / rare cutoff
     ("graft_quality_admission", Seq("q" -> 0.75, "rare_den" -> 500.0),
-      a => Curation.qualityPercentileAdmission(docs, a(0), a(1).toLong)))
+      a => Curation.qualityPercentileAdmission(docs, a(0), a(1).toLong)),
+    // per-document repetition admission at ad-hoc permille thresholds
+    // (dup-token, top-2/3/4-gram, dup-5/10-gram — the Gopher suite)
+    ("graft_repetition_admission", Seq(
+      "dup_tok" -> TextStats.RepDupTokPermille.toDouble,
+      "top2" -> 150.0, "top3" -> 180.0, "top4" -> 220.0,
+      "dup5" -> 150.0, "dup10" -> 100.0),
+      a => TextStats.repetitionAdmission(docs, a(0).toLong,
+        Seq(2 -> a(1).toLong, 3 -> a(2).toLong, 4 -> a(3).toLong),
+        Seq(5 -> a(4).toLong, 10 -> a(5).toLong))),
+    // DSIR importance resampling at an ad-hoc k / bucket count
+    ("graft_dsir_sample", Seq("k" -> Curation.DsirK.toDouble,
+      "buckets" -> Curation.DsirBuckets.toDouble),
+      a => Curation.dsirResample(docs, a(0).toInt, a(1).toLong)))
 
   private def registerTvfs(spark: SparkSession, docs: DataFrame,
                            emb: DataFrame, ev: DataFrame): Unit =
@@ -312,6 +325,10 @@ object QueryRunner {
       val (t, p) = SparkEntry.bm25StoreLoc(d)
       Retrieval.bm25TopKViaStore(Corpus.table(s, d, "documents"), t, p)
     }),
+    // semantic decontamination: first-reference because the shared
+    // pair index (q29/q58/q192 all read it) materializes at build
+    "graft_semantic_decon" -> ((s, d) =>
+      Similarity.semanticDecontamination(Corpus.table(s, d, "embeddings"))),
     // the PQ tier: first-reference because the codebook's config-sized
     // TakeOrdered collect (and the recall audit's persist-and-release
     // cycle) run at BUILD, not at registration

@@ -994,6 +994,68 @@ object SparkEntry {
       graft.streaming.StreamingPipeline.bm25StreamIngest(
         Corpus.table(s, dir, "documents"), t, p, fixtureDir("q186", dir))
     }),
+    // q187: GOPHER-style per-document repetition admission — the
+    // within-document member of the quality tier (q184 thresholds on a
+    // corpus-relative percentile; this drops docs whose own n-gram
+    // structure says loop/boilerplate: dup-token fraction, top
+    // 2/3/4-gram char fraction, duplicated 5/10-gram char fraction —
+    // the MassiveText suite). Decision path is pure integer permille
+    // comparisons; stutter planting (the DeconBanner convention) keeps
+    // the long-n-gram path firing at every SF.
+    "q187_repetition_admission" -> ((s, dir) =>
+      TextStats.repetitionAdmission(Corpus.table(s, dir, "documents"))),
+    // q188: the TVF twin at gate-standard permille thresholds.
+    "q188_sql_repetition_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, n_in, n_flag_dup_tok, n_flag_top_gram,
+        |  n_flag_dup_gram, n_dropped, n_kept, kept_hash_sum
+        |FROM graft_repetition_admission(650, 150, 180, 220, 150, 100)
+        |ORDER BY source""".stripMargin)),
+    // q189: DSIR importance resampling — the published
+    // hashed-n-gram importance-weight recipe (target = even doc_ids,
+    // the q178 split) with Gumbel top-k sampling on an INTEGER key;
+    // the principled replacement for q166's size-weighted sample when
+    // a target distribution exists.
+    "q189_dsir_resample" -> ((s, dir) =>
+      Curation.dsirResample(Corpus.table(s, dir, "documents"))),
+    // q190: the TVF twin at gate-standard (k, buckets).
+    "q190_sql_dsir_tvf" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT source, rn, doc_id, log_w, key
+        |FROM graft_dsir_sample(5, 4096) ORDER BY source, rn"""
+        .stripMargin)),
+    // q191: STREAMING retrieval — queries arrive through the
+    // production FileStreamSource ingress and each micro-batch is
+    // answered from q180's persisted term-bucketed index (bucket-
+    // pruned postings + stats sidecar, never a corpus scan); per-batch
+    // results land in batchId-keyed directories so foreachBatch replay
+    // is idempotent. Assembled answers == q182 ⇒ shares its oracle.
+    "q191_bm25_query_stream" -> ((s, dir) => {
+      val (t, p) = bm25StoreLoc(dir)
+      graft.streaming.StreamingPipeline.bm25QueryStream(
+        Corpus.table(s, dir, "documents"), t, p, fixtureDir("q191", dir))
+    }),
+    // q192: SEMANTIC decontamination — the embedding-space member of
+    // the decontamination tier (q134/q141 catch verbatim 13-gram
+    // overlap, q145/q149 sub-document copies; this catches
+    // PARAPHRASE-level contamination sharing no n-gram). Consumes the
+    // SAME session-cached sign-bucket pair index as q29/q58.
+    "q192_semantic_decon" -> ((s, dir) =>
+      Similarity.semanticDecontamination(
+        Corpus.table(s, dir, "embeddings"))),
+    // q193: the SQL twin through the first-reference mat-view (the
+    // pair index materializes at build — the graft_dedup_clusters
+    // registration class); shares q192's oracle.
+    "q193_sql_semantic_decon" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT label, n_train, n_contaminated, n_kept, kept_hash_sum
+        |FROM graft_semantic_decon ORDER BY label""".stripMargin)),
+    // q194: STREAMING semantic admission — the third member of the
+    // ingest-admission triptych (q147 exact 13-gram, q158 sub-document
+    // copy, this paraphrase-level): arriving train vectors probe the
+    // static eval set bucket-wise and quarantine on cosine evidence.
+    // Admitted set == q192's kept set (cap quiescent by the adaptive
+    // width contract) ⇒ shares q192's oracle verbatim.
+    "q194_stream_semantic_admit" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.semanticAdmitStream(
+        Corpus.table(s, dir, "embeddings"), fixtureDir("q194", dir))),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -2842,7 +2904,115 @@ object SparkEntry {
     "q184_quality_percentile_admission" -> qualityAdmissionSql,
     "q185_sql_quality_admission_tvf" -> qualityAdmissionSql,
     "q186_bm25_stream_ingest" -> bm25Sql,
+    "q187_repetition_admission" -> repetitionAdmissionSql,
+    "q188_sql_repetition_tvf" -> repetitionAdmissionSql,
+    "q189_dsir_resample" -> dsirSql,
+    "q190_sql_dsir_tvf" -> dsirSql,
+    "q191_bm25_query_stream" -> bm25BatchSql,
+    "q192_semantic_decon" -> PO.semanticDeconSql(
+      Similarity.SemDeconThreshold, Similarity.SemDeconEvalMod, 125L),
+    "q193_sql_semantic_decon" -> PO.semanticDeconSql(
+      Similarity.SemDeconThreshold, Similarity.SemDeconEvalMod, 125L),
+    "q194_stream_semantic_admit" -> PO.semanticDeconSql(
+      Similarity.SemDeconThreshold, Similarity.SemDeconEvalMod, 125L),
   )
+
+  /** q187/q188 oracle: the repetition-admission recompute — the same
+    * stutter plant (first 10 tokens appended 3×, hash64(doc_id,'#rep')
+    * % 5 gate), the same doc-local n-gram signals (top 2/3/4-gram char
+    * max, duplicated 5/10-gram char sum over counts ≥ 2), and the same
+    * pure-integer permille decision — no doubles anywhere, so the gate
+    * has NO rounding surface at all. '#gr' kept-hash convention. */
+  private def repetitionAdmissionSql: String =
+      """WITH p AS (SELECT doc_id, source,
+        |  CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR||'#rep'),1,15))
+        |      ::BIGINT % 5 = 0
+        |    THEN text||' '||st||' '||st||' '||st ELSE text END AS text
+        |  FROM (SELECT doc_id, source, text,
+        |    array_to_string((list_filter(string_split(text,' '),
+        |      x->length(x)>0))[1:10],' ') AS st FROM documents)),
+        |b AS (SELECT doc_id, source,
+        |  ('0x'||substr(sha256(text||'#gr'),1,15))::BIGINT
+        |    % 1000000000 AS th,
+        |  length(text)::BIGINT AS n_chars,
+        |  list_filter(string_split(text,' '),x->length(x)>0) AS tk FROM p),
+        |b2 AS (SELECT doc_id, source, th, n_chars, len(tk)::BIGINT AS n_toks,
+        |  (len(tk)-len(list_distinct(tk)))::BIGINT AS n_dup, tk FROM b
+        |  WHERE len(tk) >= 1),
+        |g AS (SELECT doc_id, n, unnest(list_transform(range(1, len(tk)-n+2),
+        |    i -> array_to_string(tk[i:i+n-1],' '))) AS gr
+        |  FROM b2, (VALUES (2),(3),(4),(5),(10)) v(n) WHERE len(tk) >= n),
+        |gc AS (SELECT doc_id, n, gr, count(*)::BIGINT AS c
+        |  FROM g GROUP BY 1,2,3),
+        |sig AS (SELECT doc_id,
+        |  max(CASE WHEN n=2 THEN c*length(gr) END)::BIGINT AS top2,
+        |  max(CASE WHEN n=3 THEN c*length(gr) END)::BIGINT AS top3,
+        |  max(CASE WHEN n=4 THEN c*length(gr) END)::BIGINT AS top4,
+        |  sum(CASE WHEN n=5 AND c>=2 THEN c*length(gr) ELSE 0 END)
+        |    ::BIGINT AS dup5,
+        |  sum(CASE WHEN n=10 AND c>=2 THEN c*length(gr) ELSE 0 END)
+        |    ::BIGINT AS dup10
+        |  FROM gc GROUP BY 1),
+        |f AS (SELECT b2.source, b2.th,
+        |  (n_dup*1000 > n_toks*650) AS f_dup,
+        |  (coalesce(top2,0)*1000 > n_chars*150
+        |    OR coalesce(top3,0)*1000 > n_chars*180
+        |    OR coalesce(top4,0)*1000 > n_chars*220) AS f_top,
+        |  (coalesce(dup5,0)*1000 > n_chars*150
+        |    OR coalesce(dup10,0)*1000 > n_chars*100) AS f_dng
+        |  FROM b2 LEFT JOIN sig USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_in,
+        |  sum(CASE WHEN f_dup THEN 1 ELSE 0 END)::BIGINT AS n_flag_dup_tok,
+        |  sum(CASE WHEN f_top THEN 1 ELSE 0 END)::BIGINT AS n_flag_top_gram,
+        |  sum(CASE WHEN f_dng THEN 1 ELSE 0 END)::BIGINT AS n_flag_dup_gram,
+        |  sum(CASE WHEN f_dup OR f_top OR f_dng THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_dropped,
+        |  sum(CASE WHEN NOT(f_dup OR f_top OR f_dng) THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_kept,
+        |  sum(CASE WHEN NOT(f_dup OR f_top OR f_dng) THEN th ELSE 0 END)
+        |    ::BIGINT AS kept_hash_sum
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** q189/q190 oracle: the DSIR recompute — same hashed unigram+bigram
+    * buckets ('#ds', % 4096), add-one smoothed per-side nanologs
+    * (rounded separately per side, the Spark spelling token-for-token),
+    * integer per-doc weight sums, and the Gumbel key as a BIGINT so
+    * ranking never tie-breaks on a float ulp. */
+  private def dsirSql: String =
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(text,' '), x->length(x)>0) AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, (doc_id % 2 = 0) AS is_tgt, tk
+        |  FROM t WHERE len(tk) >= 1),
+        |g AS (SELECT doc_id, source, is_tgt, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])))
+        |    AS gr FROM b),
+        |feat AS (SELECT doc_id, source, is_tgt,
+        |  ('0x'||substr(sha256(gr||'#ds'),1,15))::BIGINT % 4096 AS f,
+        |  count(*)::BIGINT AS c FROM g GROUP BY 1,2,3,4),
+        |tot AS (SELECT sum(CASE WHEN is_tgt THEN c ELSE 0 END)::BIGINT
+        |    AS n_tgt,
+        |  sum(CASE WHEN NOT is_tgt THEN c ELSE 0 END)::BIGINT AS n_raw
+        |  FROM feat),
+        |lr AS (SELECT f,
+        |  (CAST(round(ln((sum(CASE WHEN is_tgt THEN c ELSE 0 END)+1)::DOUBLE
+        |      / (n_tgt+4096)::DOUBLE)*1e9) AS BIGINT)
+        |   - CAST(round(ln((sum(CASE WHEN NOT is_tgt THEN c ELSE 0 END)+1)
+        |      ::DOUBLE / (n_raw+4096)::DOUBLE)*1e9) AS BIGINT)) AS lr_nano
+        |  FROM feat CROSS JOIN tot GROUP BY f, n_tgt, n_raw),
+        |lw AS (SELECT doc_id, source, sum(c*lr_nano)::BIGINT AS lw_nano
+        |  FROM feat JOIN lr USING (f) WHERE NOT is_tgt GROUP BY 1,2),
+        |keyed AS (SELECT *, lw_nano + CAST(round(-ln(-ln(
+        |    greatest(('0x'||substr(sha256(doc_id::VARCHAR||'#dsg'),1,15))
+        |      ::BIGINT, 1)::DOUBLE / 1152921504606846976.0))*1e9) AS BIGINT)
+        |    AS key_nano FROM lw),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY key_nano DESC, doc_id) AS rn FROM keyed)
+        |SELECT source, rn::BIGINT AS rn, doc_id,
+        |  round(lw_nano::DOUBLE/1e9, 6) AS log_w,
+        |  round(key_nano::DOUBLE/1e9, 6) AS key
+        |FROM r WHERE rn <= 5 ORDER BY source, rn"""
+        .stripMargin.replace("\n", " ")
 
   /** Shared PQ model CTEs: codebook by hash rank, per-(vec, subspace)
     * nearest-centroid assignment. Subspace slices are 1-based

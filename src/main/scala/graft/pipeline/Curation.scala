@@ -473,4 +473,102 @@ object Curation {
         col("n_kept"), col("kept_hash_sum"))
       .orderBy("source")
   }
+
+  // ----- DSIR-style importance resampling (q189/q190) -----
+
+  /** Gate-standard DSIR parameters: 4096 hashed feature buckets (the
+    * published recipe hashes unigrams+bigrams into a fixed bucket
+    * space so the model is two count VECTORS, never a vocabulary), and
+    * k = 5 sampled docs per source. */
+  val DsirBuckets: Long = 4096L
+  val DsirK: Int = 5
+
+  /** Data Selection via Importance Resampling — the published DSIR
+    * recipe (hashed n-gram bag-of-words importance weights + Gumbel
+    * top-k sampling), the principled replacement for q166's
+    * size-weighted sample when a TARGET distribution exists:
+    *
+    *   - features: unigrams AND bigrams hashed into [[DsirBuckets]]
+    *     buckets (hash64 % B — the feature space is fixed-size, so the
+    *     "model" is two B-length count vectors, broadcastable forever)
+    *   - target = even doc_ids, raw = odd (the q178 model/target split)
+    *   - log importance weight of a raw doc:
+    *       lw = Σ_f c_doc(f) · [ln p_tgt(f) − ln p_raw(f)]
+    *     with add-one smoothing p(f) = (c(f)+1)/(N+B); each ln is
+    *     taken ONCE per bucket and nano-quantized (the q164 NANOLOG
+    *     discipline), so per-doc weights are exact integer sums
+    *   - sampling WITHOUT replacement ∝ exp(lw): Gumbel top-k — key =
+    *     lw_nano + round(−ln(−ln(u))·1e9) with u the deterministic
+    *     60-bit hash uniform (the q166 convention); the key stays an
+    *     INTEGER so cross-engine ordering can never tie-break on a
+    *     float ulp. Top k per source by (key desc, doc_id).
+    *
+    * Output: source, rn, doc_id, log_w (6 dp), key (6 dp), ordered by
+    * (source, rn).
+    *
+    * Scale shape: one tokenize pass → (doc, bucket) partial-agg rows
+    * (~2× token volume, 8-byte keys); the bucket model is a ≤B-row
+    * aggregate carrying the (N_tgt, N_raw) scalars on a 1-row cross
+    * join, broadcast back to the doc rows (never a corpus×vocab
+    * join); per-source top-k is row_number ≤ k → partial+final
+    * WindowGroupLimit. Output is O(k · sources). */
+  def dsirResample(docs: DataFrame, k: Int = DsirK,
+                   buckets: Long = DsirBuckets): DataFrame = {
+    require(k >= 1 && buckets >= 2L)
+    val base = graft.sources.Corpus.fanOutSmallScan(docs)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 2 === 0).as("is_tgt"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) >= 1)
+    // unigram + bigram features, hashed to buckets in the scan
+    val grams = concat(
+      col("tk"),
+      when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val feat = base
+      .select(col("doc_id"), col("source"), col("is_tgt"),
+        explode(grams).as("g"))
+      .select(col("doc_id"), col("source"), col("is_tgt"),
+        (hash64(col("g"), "ds") % buckets).as("f"))
+      .groupBy(col("doc_id"), col("source"), col("is_tgt"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    // bucket model: target/raw counts per bucket + the two totals on a
+    // 1-row broadcast; one ln per (bucket, side), nano-quantized
+    val totals = feat.agg(
+      sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("n_tgt"),
+      sum(when(!col("is_tgt"), col("c")).otherwise(0L)).as("n_raw"))
+    val lr = feat.groupBy(col("f")).agg(
+      sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_tgt"), col("c")).otherwise(0L)).as("cr"))
+      .join(broadcast(totals))
+      .select(col("f"),
+        (round(log((col("ct").cast("double") + lit(1.0)) /
+          (col("n_tgt").cast("double") + lit(buckets.toDouble))) * 1e9, 0)
+          .cast("long")
+          - round(log((col("cr").cast("double") + lit(1.0)) /
+            (col("n_raw").cast("double") + lit(buckets.toDouble))) * 1e9, 0)
+            .cast("long")).as("lr_nano"))
+    val lw = feat.where(!col("is_tgt"))
+      .join(broadcast(lr), Seq("f"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c") * col("lr_nano")).as("lw_nano"))
+    // Gumbel top-k per source on the INTEGER key
+    val u = greatest(hash64(col("doc_id").cast("string"), "dsg"), lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val keyed = lw.withColumn("key_nano",
+      col("lw_nano") + round(-log(-log(u)) * 1e9, 0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"),
+        round(col("lw_nano").cast("double") / 1e9, 6).as("log_w"),
+        round(col("key_nano").cast("double") / 1e9, 6).as("key"))
+      .orderBy("source", "rn")
+  }
 }

@@ -349,6 +349,42 @@ object PipelineOracles {
        |WHERE vec_id NOT IN (SELECT node FROM removed)
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** q192/q193 oracle: semantic decontamination recompute — the SAME
+    * capped adaptive-width pair CTEs as the q29/q58 oracles, eval
+    * classification by the '#sev' hash, contaminated = train side of a
+    * mixed pair, '#sd' kept-id hash certification. */
+  def semanticDeconSql(threshold: Double, evalMod: Long, target: Long,
+                       maxBucket: Int = Dedup.DefaultMaxBucket): String =
+    s"""WITH ${adaptiveNbCte(target)},
+       |b AS (SELECT vec_id, embedding,
+       |  ${signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |${cappedCosinePairCtes(threshold, maxBucket)},
+       |ev AS (SELECT vec_id,
+       |  (('0x'||substr(sha256(vec_id::VARCHAR||'#sev'),1,15))::BIGINT
+       |    % $evalMod = 0) AS is_eval FROM embeddings),
+       |cont AS (SELECT DISTINCT v FROM (
+       |  SELECT p.vec_a AS v FROM bucket_pairs p
+       |    JOIN ev ea ON p.vec_a = ea.vec_id
+       |    JOIN ev eb ON p.vec_b = eb.vec_id
+       |  WHERE eb.is_eval AND NOT ea.is_eval
+       |  UNION ALL
+       |  SELECT p.vec_b FROM bucket_pairs p
+       |    JOIN ev ea ON p.vec_a = ea.vec_id
+       |    JOIN ev eb ON p.vec_b = eb.vec_id
+       |  WHERE ea.is_eval AND NOT eb.is_eval) u),
+       |train AS (SELECT e.vec_id, e.label,
+       |  ('0x'||substr(sha256(e.vec_id::VARCHAR||'#sd'),1,15))::BIGINT
+       |    % 1000000000 AS vh
+       |  FROM embeddings e JOIN ev USING (vec_id) WHERE NOT is_eval)
+       |SELECT label, count(*)::BIGINT AS n_train,
+       |  sum(CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_contaminated,
+       |  sum(CASE WHEN c.v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN c.v IS NULL THEN vh ELSE 0 END)::BIGINT
+       |    AS kept_hash_sum
+       |FROM train LEFT JOIN cont c ON train.vec_id = c.v
+       |GROUP BY label ORDER BY label""".stripMargin
+
   def embeddingClusterKept(threshold: Double, nBits: Int): String =
     s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
        |  ${signBucket("embedding", nBits)} AS bucket FROM embeddings),

@@ -237,8 +237,6 @@ object Retrieval {
                     k: Int = Bm25K, k1: Double = Bm25K1,
                     b: Double = Bm25B): DataFrame = {
     require(queries.nonEmpty && k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val qterms = queries.flatMap { case (qid, q) =>
       splitTerms(q).map(w => (qid, w))
     }
@@ -253,6 +251,19 @@ object Retrieval {
         explode(filter(col("tk"), t => array_contains(qlit, t))).as("w"))
       .groupBy(col("doc_id"), col("source"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
+    batchScoreAndRank(tf, stats, qterms, k, k1, b)
+  }
+
+  /** The shared BATCH scoring tail ([[scoreAndRank]]'s many-queries
+    * form): tf rows restricted to the union term set + the 1-row
+    * corpus stats → per-query ranked top-k. Both the scan path
+    * ([[bm25BatchTopK]]) and the store probe ([[bm25BatchProbeStore]])
+    * feed this, so their results are identical by construction. */
+  private def batchScoreAndRank(tf: DataFrame, stats: DataFrame,
+                                qterms: Seq[(Long, String)], k: Int,
+                                k1: Double, b: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     // per-term idf (shared across queries) + the 1-row stats ride one
     // broadcast, exactly as in scoreAndRank
     val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -309,5 +320,29 @@ object Retrieval {
     val tf = spark.table(table).where(col("w").isin(terms: _*))
     val stats = spark.read.parquet(path + "_stats")
     scoreAndRank(tf, stats, k, k1, b)
+  }
+
+  /** BATCH retrieval through the persisted index — [[bm25BatchTopK]]'s
+    * math over the store's bucket-pruned postings instead of a corpus
+    * scan (so it shares q182's oracle verbatim): the union term set of
+    * all queries prunes the term-bucketed postings, df/idf computes
+    * once over those rows, and per-query ranking is the shared
+    * partial+final WindowGroupLimit tail. This is what each streaming
+    * micro-batch of arriving queries runs (q191) — at 100 TB the
+    * per-batch cost is O(postings of the batch's terms), never a
+    * corpus pass. */
+  def bm25BatchProbeStore(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String,
+                          queries: Seq[(Long, String)] = Bm25BatchQueries,
+                          k: Int = Bm25K, k1: Double = Bm25K1,
+                          b: Double = Bm25B): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && k1 > 0.0 && b >= 0.0 && b <= 1.0)
+    val qterms = queries.flatMap { case (qid, q) =>
+      splitTerms(q).map(w => (qid, w))
+    }
+    val allTerms = qterms.map(_._2).distinct
+    val tf = spark.table(table).where(col("w").isin(allTerms: _*))
+    val stats = spark.read.parquet(path + "_stats")
+    batchScoreAndRank(tf, stats, qterms, k, k1, b)
   }
 }

@@ -113,7 +113,7 @@ object Similarity {
   /** vec as doubles + its norm (+ sign bucket when nBits > 0). Fans an
     * under-split scan out to all cores first: the per-vector cast/norm
     * work is CPU-bound and must not serialize on one file split. */
-  private def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
+  private[graft] def withVectorCols(embeddings: DataFrame, nBits: Int): DataFrame = {
     val base = graft.sources.Corpus.fanOutSmallScan(embeddings).withColumn("ed",
       transform(col("embedding"), x => x.cast("double")))
     // norm via the native sequential-order dot kernel — bit-equal to
@@ -130,7 +130,7 @@ object Similarity {
     * the native ArrayDot kernel: the interpreted zip_with+aggregate
     * fold was the dominant cost of the pair tiers (~780k 64-wide folds
     * for q29 at sf0.1). */
-  private def pairCosine(edA: Column, edB: Column, normA: Column, normB: Column): Column =
+  private[graft] def pairCosine(edA: Column, edB: Column, normA: Column, normB: Column): Column =
     graft.functions.ArrayDot.column(edA, edB) / (normA * normB)
 
   /** Exact cosine top-k against the vector with id `queryId`. */
@@ -441,6 +441,74 @@ object Similarity {
     embeddings.join(removed, embeddings("vec_id") === removed("node"),
         "left_anti")
       .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
+  }
+
+  // ----- semantic decontamination (q192/q193/q194) -----
+
+  /** Gate-standard semantic-decon parameters: the q29 pair-tier
+    * threshold (so the tiers share ONE session-cached pair index) and
+    * a hash64 eval split at mod 4 (hash, not raw modulo — vec_id
+    * ranges correlate with label, the q134 reasoning). */
+  val SemDeconThreshold: Double = 0.4
+  val SemDeconEvalMod: Long = 4L
+
+  private[graft] def semEvalFlag(v: Column): Column =
+    hash64(v.cast("string"), "sev") % SemDeconEvalMod === 0
+
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination tier (q134/q141 catch verbatim 13-gram overlap,
+    * q145/q149 sub-document copies; this catches PARAPHRASE-level
+    * contamination that shares no n-gram: a train vector too close to
+    * an eval vector in cosine). Eval stand-in = vectors with
+    * hash64(vec_id, "sev") % evalMod == 0; a TRAIN vector is
+    * contaminated when some eval vector sits at cos ≥ threshold.
+    *
+    * Candidate generation is the SAME session-cached sign-bucket pair
+    * index as q29/q58 (same threshold, same adaptive width ⇒ the index
+    * builds once and all three tiers read it); contamination = pairs
+    * with exactly one eval side. Output per class label: n_train,
+    * n_contaminated, n_kept, and the '#sd' kept-id hash sum certifying
+    * the admitted train set (the q141 convention on vec_ids).
+    *
+    * Scale shape: inherited from the pair tier — sign-bucket blocking
+    * with the adaptive width rule keeps expected bucket size at
+    * targetPerBucket at ANY corpus size, pair work is
+    * O(buckets · bucket²) never all-pairs, and the eval classification
+    * is a scan-local hash. The rollup joins the O(true-pairs)
+    * contaminated set back to the train spine per label. */
+  def semanticDecontamination(embeddings: DataFrame,
+                              threshold: Double = SemDeconThreshold,
+                              evalMod: Long = SemDeconEvalMod,
+                              targetPerBucket: Long = 125L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0 && evalMod >= 2L)
+    val nBits = oracleSizedNBits(
+      math.max(embeddings.count(), 1L), targetPerBucket)
+    val pairs = cosineNearDupPairsUnsorted(embeddings, threshold, nBits,
+      maxBucket = Dedup.DefaultMaxBucket)
+    val evalOf = (c: Column) =>
+      hash64(c.cast("string"), "sev") % evalMod === 0
+    val contaminated = pairs
+      .where(evalOf(col("vec_b")) && !evalOf(col("vec_a")))
+      .select(col("vec_a").as("vec_id"))
+      .union(pairs
+        .where(evalOf(col("vec_a")) && !evalOf(col("vec_b")))
+        .select(col("vec_b").as("vec_id")))
+      .distinct()
+    val train = embeddings.where(!evalOf(col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        (hash64(col("vec_id").cast("string"), "sd") % 1000000000L).as("vh"))
+    val hit = train.join(contaminated, Seq("vec_id"), "left_semi")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_contaminated"))
+    val kept = train.join(contaminated, Seq("vec_id"), "left_anti")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_kept"),
+        sum(col("vh")).as("kept_hash_sum"))
+    train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))
+      .join(hit, Seq("label"), "left")
+      .join(kept, Seq("label"), "left")
+      .na.fill(0L, Seq("n_contaminated", "n_kept", "kept_hash_sum"))
+      .select(col("label"), col("n_train"), col("n_contaminated"),
+        col("n_kept"), col("kept_hash_sum"))
       .orderBy("label")
   }
 

@@ -741,4 +741,131 @@ object TextStats {
           / sum(col("n_toks")).cast("double"), 6).as("oov_rate"))
       .orderBy("source")
   }
+
+  // ----- GOPHER-style per-document repetition admission (q187/q188) -----
+
+  /** Gate-standard repetition thresholds, in PERMILLE so every
+    * comparison is pure 64-bit integer arithmetic on both engines
+    * (signal·1000 > threshold·denominator — no doubles anywhere in the
+    * decision path). The SHAPE is the published MassiveText/Gopher
+    * repetition-filter suite (duplicate-token fraction, top n-gram
+    * character fraction for short n, duplicated n-gram character
+    * fraction for long n); the VALUES are calibrated to this corpus's
+    * signal distribution (measured at sf0.01: dup-token median 0.54 /
+    * p95 0.69, top-2-gram p90 0.14 — Gopher's web-text 0.30/0.20 would
+    * drop ~97% / keep ~99% respectively, i.e. not filter at all). */
+  val RepDupTokPermille: Long = 650L
+  val RepTopGramPermille: Seq[(Int, Long)] =
+    Seq(2 -> 150L, 3 -> 180L, 4 -> 220L)
+  val RepDupGramPermille: Seq[(Int, Long)] =
+    Seq(5 -> 150L, 10 -> 100L)
+
+  /** Docs with hash64(doc_id, "rep") % this == 0 get the stutter
+    * plant (the [[Dedup.DeconBanner]] convention: the corpus has no
+    * natural long-n-gram repetition, so the dup-5/dup-10 hit path
+    * would otherwise never fire at any SF). */
+  val RepPlantMod: Long = 5L
+
+  /** Per-document repetition ADMISSION — the within-document member of
+    * the quality tier (q47/q83 filter on composition, q184 on a
+    * corpus-relative rarity percentile; this drops documents whose own
+    * n-gram structure says "loop/boilerplate", the MassiveText
+    * repetition suite):
+    *
+    *   - dup-token fraction:  (n_toks − n_distinct) / n_toks
+    *   - top n-gram char fraction (n = 2,3,4): occurrences of the
+    *     most frequent n-gram × its char length / length(text)
+    *   - duplicated n-gram char fraction (n = 5,10): Σ over n-grams
+    *     occurring ≥ 2 of count × char length / length(text)
+    *
+    * A document is dropped when ANY signal exceeds its permille
+    * threshold; every comparison is integer (signal·1000 vs
+    * permille·denominator), so the decision is bit-identical across
+    * engines with no float rounding anywhere. With `plantRep`, docs
+    * with hash64(doc_id,"rep") % [[RepPlantMod]] == 0 get their own
+    * first 10 tokens appended 3× (mirrored verbatim in the oracle) so
+    * the long-n-gram path fires at strength on every source.
+    *
+    * Output per source: n_in, independent per-signal flag counts
+    * (n_flag_dup_tok / n_flag_top_gram / n_flag_dup_gram — a doc can
+    * fire several), n_dropped, n_kept, and the '#gr' content-hash sum
+    * certifying the kept corpus (the q141 convention).
+    *
+    * Scale shape: all signals are DOC-LOCAL — one tokenize pass, one
+    * explode of the 5 gram families (~5× token volume, 8-byte-key
+    * partial aggregation), two doc_id-keyed aggregations, and a
+    * sources-cardinality rollup. No corpus×vocab join, no window over
+    * the corpus, nothing all-pairs; the explode volume scales linearly
+    * with the scan and every shuffle key starts with doc_id. */
+  def repetitionAdmission(docs: DataFrame,
+                          dupTokPermille: Long = RepDupTokPermille,
+                          topGram: Seq[(Int, Long)] = RepTopGramPermille,
+                          dupGram: Seq[(Int, Long)] = RepDupGramPermille,
+                          plantRep: Boolean = true): DataFrame = {
+    require(dupTokPermille >= 0L && topGram.nonEmpty && dupGram.nonEmpty)
+    val stutter = concat_ws(" ",
+      slice(filter(tokens(col("text")), t => length(t) > 0), 1, 10))
+    val planted =
+      if (!plantRep) docs.select(col("doc_id"), col("source"), col("text"))
+      else docs.select(col("doc_id"), col("source"),
+        when(hash64(col("doc_id").cast("string"), "rep") % RepPlantMod === 0,
+          concat_ws(" ", col("text"), stutter, stutter, stutter))
+          .otherwise(col("text")).as("text"))
+    val base = graft.sources.Corpus.fanOutSmallScan(planted)
+      .select(col("doc_id"), col("source"),
+        (hash64(col("text"), "gr") % 1000000000L).as("th"),
+        length(col("text")).cast("long").as("n_chars"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
+      .select(col("doc_id"), col("source"), col("th"), col("n_chars"),
+        col("tk"), size(col("tk")).cast("long").as("n_toks"),
+        (size(col("tk")) - size(array_distinct(col("tk")))).cast("long")
+          .as("n_dup"))
+      .where(col("n_toks") >= 1)
+    // one explode for all gram families: struct(n, gram), n ∈ {2,3,4,5,10}
+    val ns = (topGram.map(_._1) ++ dupGram.map(_._1)).distinct.sorted
+    val gramArr = concat(ns.map { n =>
+      when(size(col("tk")) >= n,
+        transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("tk"), i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*)
+    val gcnt = base
+      .select(col("doc_id"), explode(gramArr).as("ng"))
+      .groupBy(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val chars = col("c") * length(col("g")).cast("long")
+    val sigAggs = topGram.map { case (n, _) =>
+      max(when(col("n") === n, chars)).as(s"top$n")
+    } ++ dupGram.map { case (n, _) =>
+      sum(when(col("n") === n && col("c") >= 2, chars).otherwise(0L))
+        .as(s"dup$n")
+    }
+    val sig = gcnt.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val sigCols = topGram.map(t => s"top${t._1}") ++
+      dupGram.map(d => s"dup${d._1}")
+    val perDoc = base.drop("tk")
+      .join(sig, Seq("doc_id"), "left")
+      .na.fill(0L, sigCols)
+    val fDup = col("n_dup") * 1000L > col("n_toks") * dupTokPermille
+    val fTop = topGram.map { case (n, p) =>
+      col(s"top$n") * 1000L > col("n_chars") * p
+    }.reduce(_ || _)
+    val fDng = dupGram.map { case (n, p) =>
+      col(s"dup$n") * 1000L > col("n_chars") * p
+    }.reduce(_ || _)
+    val flagged = perDoc.select(col("source"), col("th"),
+      fDup.as("f_dup"), fTop.as("f_top"), fDng.as("f_dng"),
+      (fDup || fTop || fDng).as("f_any"))
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_in"),
+      sum(when(col("f_dup"), 1L).otherwise(0L)).as("n_flag_dup_tok"),
+      sum(when(col("f_top"), 1L).otherwise(0L)).as("n_flag_top_gram"),
+      sum(when(col("f_dng"), 1L).otherwise(0L)).as("n_flag_dup_gram"),
+      sum(when(col("f_any"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(!col("f_any"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("f_any"), col("th")).otherwise(0L)).as("kept_hash_sum"))
+      .orderBy("source")
+  }
 }

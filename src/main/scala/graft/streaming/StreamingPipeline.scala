@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1218,5 +1218,164 @@ object StreamingPipeline {
       .start()
     try query.processAllAvailable() finally query.stop()
     Retrieval.bm25ProbeStore(spark, table, path)
+  }
+
+  /** STREAMING retrieval — the query-side twin of [[bm25StreamIngest]]
+    * (q191): queries arrive as a stream through the production
+    * FileStreamSource ingress and each micro-batch is answered from
+    * the PERSISTED term-bucketed index (q180's store, built once per
+    * corpus) — never a corpus scan. Per batch: the arriving query rows
+    * are collected to the driver (queries are CONTROL PLANE — a
+    * retrieval endpoint's batch is bounded by arrival rate, never by
+    * corpus size; the collect is O(queries), the scoring stays fully
+    * distributed), scored via [[Retrieval.bm25BatchProbeStore]]
+    * (bucket-pruned postings + the 1-row stats sidecar), and the
+    * top-k lands in a per-batch result directory keyed by batchId —
+    * mode("overwrite") makes foreachBatch's at-least-once contract
+    * idempotent (a replayed batch rewrites the same directory, the
+    * q186 exactly-once stance in sink form).
+    *
+    * The staged feed delivers one query per micro-batch (three genuine
+    * stream-static probe rounds at the gate), and the assembled answer
+    * set equals [[Retrieval.bm25BatchTopK]] by construction (shared
+    * scoring tail over the same postings) — q182's oracle verbatim. */
+  def bm25QueryStream(docs: DataFrame, table: String, path: String,
+                      fixtureDir: String): DataFrame = {
+    import graft.pipeline.Retrieval
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Retrieval.ensureBm25Store(docs, table, path)
+    val queries = Retrieval.Bm25BatchQueries
+    val feed = queries.toDF("query_id", "query")
+      .select(col("query_id"),
+        expr("timestamp_millis(1700000000000L + query_id * 1000L)").as("ts"),
+        col("query"))
+    stageSingleWaveFeed(feed, queries.size.toLong, fixtureDir, Nil,
+      minFiles = queries.size)
+    val srcDir = new java.io.File(new java.io.File(fixtureDir), "in")
+    val outDir = new java.io.File(new java.io.File(fixtureDir), "out")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val ckpt = new java.io.File(new java.io.File(fixtureDir), "ckpt").toString
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val qs = batch.select(col("query_id"), col("query")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+        if (qs.nonEmpty)
+          Retrieval.bm25BatchProbeStore(spark, table, path, qs)
+            .write.mode("overwrite")
+            .parquet(new java.io.File(outDir, s"batch_$id").toString)
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    // explicit per-batch dirs, not a glob: a glob over zero matches
+    // dies inside DataFrameReader with a bare FileNotFoundException,
+    // while an empty listing here is the REAL condition worth naming
+    // (the stream processed no query batches at all)
+    val batchDirs = Option(outDir.listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.toString).sorted
+    require(batchDirs.nonEmpty,
+      s"bm25QueryStream: no query batches were processed (out=$outDir)")
+    spark.read.parquet(batchDirs: _*)
+      .orderBy("query_id", "rank")
+  }
+
+  /** STREAMING semantic admission (q194) — the third member of the
+    * ingest-admission triptych (q147 quarantines verbatim 13-gram
+    * contamination at arrival, q158 sub-document copies; this catches
+    * PARAPHRASE-level contamination sharing no n-gram): train vectors
+    * arrive through the production FileStreamSource ingress and each
+    * micro-batch sign-buckets its vectors and probes the STATIC eval
+    * set bucket-equi-join-wise — admit when no eval vector sits at
+    * cos ≥ threshold. Admitted rows land in batchId-keyed dirs
+    * (mode(overwrite) ⇒ replay-idempotent, the q191 sink stance).
+    *
+    * The decision rule is [[Similarity.semanticDecontamination]]'s
+    * with the bucket cap quiescent — the adaptive width rule keeps
+    * expected bucket size an order of magnitude under the cap at any
+    * corpus size, the same contract the q29 oracle ships — so the
+    * admitted set equals the batch tier's kept set and q194 shares
+    * q192's oracle verbatim (pinned in StreamingPipelineSpec).
+    *
+    * Scale shape: in production the eval suite is benchmark-sized —
+    * the bucket equi-join broadcasts it and arriving batches never
+    * shuffle; here the stand-in eval is corpus/evalMod and the join
+    * degrades gracefully to a hash join on the bucket key. Per-batch
+    * cost is O(batch · bucket-collision cosines), never all-pairs. */
+  def semanticAdmitStream(embeddings: DataFrame, fixtureDir: String,
+      threshold: Double = graft.pipeline.Similarity.SemDeconThreshold,
+      evalMod: Long = graft.pipeline.Similarity.SemDeconEvalMod,
+      targetPerBucket: Long = 125L): DataFrame = {
+    import graft.pipeline.{Similarity, TextFunctions}
+    val spark = embeddings.sparkSession
+    val nBits = Similarity.oracleSizedNBits(
+      math.max(embeddings.count(), 1L), targetPerBucket)
+    val evalOf = (c: Column) =>
+      TextFunctions.hash64(c.cast("string"), "sev") % evalMod === 0
+    // static side, frozen: the eval vectors with bucket/ed/norm.
+    // createDataFrame-from-rdd after the checkpoint is LOAD-BEARING:
+    // localCheckpoint keeps the ORIGIN plan's constraints, which still
+    // reference the pruned-away embedding attribute — join this frame
+    // on `bucket` and InferFiltersFromConstraints pushes a filter with
+    // that dangling attribute into the probe side (executor-side
+    // ATTRIBUTE_NOT_FOUND). Rebuilding from the checkpointed RDD drops
+    // the origin constraints; the data is already materialized.
+    val evalCk = Similarity
+      .withVectorCols(embeddings.where(evalOf(col("vec_id"))), nBits)
+      .select(col("bucket"), col("ed").as("e_ed"), col("norm").as("e_norm"))
+      .localCheckpoint(true)
+    val evalSide = spark.createDataFrame(evalCk.rdd, evalCk.schema)
+    val train = embeddings.where(!evalOf(col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        (TextFunctions.hash64(col("vec_id").cast("string"), "sd")
+          % 1000000000L).as("vh"))
+    val feed = embeddings.where(!evalOf(col("vec_id")))
+      .select(col("vec_id"),
+        expr("timestamp_millis(1700000000000L + vec_id * 1000L)").as("ts"),
+        col("embedding"), col("label"))
+    val nTrain = feed.count()
+    require(nTrain > 0L, "semanticAdmitStream: empty train side")
+    stageSingleWaveFeed(feed, nTrain, fixtureDir, Nil, minFiles = 8)
+    val srcDir = new java.io.File(new java.io.File(fixtureDir), "in")
+    val outDir = new java.io.File(new java.io.File(fixtureDir), "out")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir.toString)
+    val ckpt = new java.io.File(new java.io.File(fixtureDir), "ckpt").toString
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bv = Similarity.withVectorCols(
+          batch.select(col("vec_id"), col("embedding"), col("label")), nBits)
+        val flagged = bv.join(evalSide, Seq("bucket"))
+          .where(round(Similarity.pairCosine(col("ed"), col("e_ed"),
+            col("norm"), col("e_norm")), 6) >= threshold)
+          .select(col("vec_id")).distinct()
+        bv.join(flagged, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label"),
+            (TextFunctions.hash64(col("vec_id").cast("string"), "sd")
+              % 1000000000L).as("vh"))
+          .write.mode("overwrite")
+          .parquet(new java.io.File(outDir, s"batch_$id").toString)
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val batchDirs = Option(outDir.listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.toString).sorted
+    require(batchDirs.nonEmpty,
+      s"semanticAdmitStream: no batches were processed (out=$outDir)")
+    val admitted = spark.read.parquet(batchDirs: _*)
+    train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))
+      .join(admitted.groupBy(col("label")).agg(count(lit(1)).as("n_kept"),
+        sum(col("vh")).as("kept_hash_sum")), Seq("label"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_hash_sum"))
+      .select(col("label"), col("n_train"),
+        (col("n_train") - col("n_kept")).as("n_contaminated"),
+        col("n_kept"), col("kept_hash_sum"))
+      .orderBy("label")
   }
 }

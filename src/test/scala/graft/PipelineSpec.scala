@@ -981,6 +981,99 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("s1", 1L, 0.5, 0.666667), ("s2", 1L, 0.0, 0.0)))
   }
 
+  test("repetition admission: hand-checked flags, pure-integer decision") {
+    val s = spark
+    import s.implicits._
+    // doc 0: 10 identical tokens — dup-token 9/10 > 0.65, top-bigram
+    // ("a a" ×9 = 27 chars of 19) and dup-5-gram (6×9 = 54 chars) all
+    // fire. doc 1: 30 distinct 3-char tokens — nothing fires.
+    val clean = (0 until 30).map(i => f"w$i%02d").mkString(" ")
+    val df = Seq((0L, "s1", ("a " * 10).trim), (1L, "s1", clean))
+      .toDF("doc_id", "source", "text")
+    val out = TextStats.repetitionAdmission(df, plantRep = false).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L)  // n_in
+    assert(r.getLong(2) == 1L)  // n_flag_dup_tok
+    assert(r.getLong(3) == 1L)  // n_flag_top_gram
+    assert(r.getLong(4) == 1L)  // n_flag_dup_gram
+    assert(r.getLong(5) == 1L)  // n_dropped
+    assert(r.getLong(6) == 1L)  // n_kept
+  }
+
+  test("repetition admission: the stutter plant fires the long-n-gram path; non-degenerate split") {
+    val out = TextStats.repetitionAdmission(docs).collect()
+    val dupGram = out.map(_.getLong(4)).sum
+    val kept = out.map(_.getLong(6)).sum
+    val dropped = out.map(_.getLong(5)).sum
+    assert(dupGram > 0L, "planted stutter must fire the dup-gram flag")
+    assert(kept > 0L && dropped > 0L, s"degenerate split: kept=$kept dropped=$dropped")
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(5) + r.getLong(6)) // n_in = dropped + kept
+    }
+    val again = TextStats.repetitionAdmission(docs).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("DSIR: a target-like raw doc outweighs junk; k bound and determinism hold") {
+    val s = spark
+    import s.implicits._
+    // target (even ids) speaks alpha/beta; raw doc 1 mimics it, raw
+    // doc 3 is out-of-distribution junk — importance weighting must
+    // rank 1 above 3
+    val df = Seq(
+      (0L, "s1", "alpha beta alpha beta alpha beta"),
+      (2L, "s1", "alpha beta gamma alpha beta"),
+      (1L, "s1", "alpha beta alpha beta"),
+      (3L, "s1", "zeta eta theta iota kappa"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.dsirResample(df, k = 2).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 3L)) // only raw (odd) docs sampled
+    assert(out(1L) > out(3L),
+      s"target-like doc must carry the larger importance weight: $out")
+    // corpus-level: k per source, ranks contiguous, deterministic
+    val full = Curation.dsirResample(docs).collect()
+    val bySrc = full.groupBy(_.getString(0))
+    bySrc.values.foreach { rs =>
+      assert(rs.length <= Curation.DsirK)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val again = Curation.dsirResample(docs).collect()
+    assert(full.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("semantic decon: planted paraphrase is quarantined, orthogonal vec kept") {
+    val s = spark
+    import s.implicits._
+    // classify candidate ids with the operator's own eval flag
+    val flags = s.range(0L, 40L)
+      .select(col("id"), (TextFunctions.hash64(col("id").cast("string"),
+        "sev") % Similarity.SemDeconEvalMod === 0).as("ev"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val evalId = flags.find(_._2).get._1
+    val Seq(hitId, cleanId) = flags.filter(!_._2).take(2).map(_._1).toSeq
+    // hit duplicates the eval vector exactly (cos 1); clean is
+    // orthogonal (cos 0 — same sign bucket, below threshold)
+    val mk = (id: Long, lab: Int, v: Seq[Float]) => (id, v, lab)
+    val df = Seq(
+      mk(evalId, 9, Seq(1f, 0f, 0f, 0f)),
+      mk(hitId, 0, Seq(1f, 0f, 0f, 0f)),
+      mk(cleanId, 1, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontamination(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0, 1L, 1L, 0L), (1, 1L, 0L, 1L)),
+      out.mkString(","))
+    // corpus invariants + determinism
+    val full = Similarity.semanticDecontamination(embs).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    val again = Similarity.semanticDecontamination(embs).collect()
+    assert(full.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("stratified sampling is deterministic, keyed, and respects a 0% stratum") {
     val s = spark
     import s.implicits._

@@ -892,6 +892,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "store probe must not rescan the corpus")
   }
 
+  test("q187 repetition admission: doc-local aggregation — no window, " +
+    "no cartesian, one small-side join back to the doc spine") {
+    val p = plan("q187_repetition_admission")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "signals must not ride a corpus window")
+    assert(p.contains("HashAggregate"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 0, p.take(2000))
+  }
+
+  test("q189 DSIR: bucket model broadcasts; per-source top-k is a " +
+    "partial+final WindowGroupLimit; no cartesian") {
+    val p = plan("q189_dsir_resample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the ≤B-row bucket model and the 1-row totals both broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
   test("q171 PQ recall: ONE cached scored pass; broadcast sample; rank filters are WindowGroupLimits") {
     // the q136 pin applied to the codebook quantizer: the scored table
     // (broadcast-sample cross-join) computes once and is cached; the

@@ -134,6 +134,24 @@ class RetrievalSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS bm25_spec_tbl")
   }
 
+  test("batch store probe == batch scan path (shared batch scoring tail)") {
+    val s = spark
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "source", "text")
+    val qs = Seq((0L, "dup merge window"), (1L, "scan batch"), (2L, "window"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_batch_store_spec").toString
+    try {
+      Retrieval.buildBm25Store(df, "bm25_bspec_tbl", dir)
+      val viaStore = Retrieval
+        .bm25BatchProbeStore(s, "bm25_bspec_tbl", dir, qs, 4)
+        .collect().map(_.toString).toSeq
+      val direct = Retrieval.bm25BatchTopK(df, qs, 4)
+        .collect().map(_.toString).toSeq
+      assert(viaStore == direct)
+    } finally s.sql("DROP TABLE IF EXISTS bm25_bspec_tbl")
+  }
+
   test("store lifecycle: append folds a batch (probe == rebuilt-on-" +
     "union), ingest REPLAY is a no-op (postings, stats, manifest), " +
     "and compaction preserves probe + bucket spec") {

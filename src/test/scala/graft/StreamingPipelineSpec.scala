@@ -791,4 +791,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS q158_probe_tbl")
     }
   }
+
+  test("q194: streamed semantic admission == the batch decon's kept set") {
+    val spark = SparkTestSession.spark
+    val embs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val fixture = java.nio.file.Files
+      .createTempDirectory("graft_q194_fixture").toString
+    val streamed = StreamingPipeline.semanticAdmitStream(embs, fixture)
+      .collect().map(_.toString).toSeq
+    val batch = graft.pipeline.Similarity.semanticDecontamination(embs)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
+  test("q191: streamed query answers == the batch BM25 over the same corpus") {
+    val spark = SparkTestSession.spark
+    val docs = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q191_store").toString
+    val fixture = java.nio.file.Files
+      .createTempDirectory("graft_q191_fixture").toString
+    try {
+      val streamed = StreamingPipeline.bm25QueryStream(
+          docs, "q191_spec_tbl", store, fixture)
+        .collect().map(_.toString).toSeq
+      val batch = graft.pipeline.Retrieval.bm25BatchTopK(docs)
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch)
+    } finally spark.sql("DROP TABLE IF EXISTS q191_spec_tbl")
+  }
 }
