@@ -74,7 +74,7 @@ object Bench {
     def planFingerprint(df: org.apache.spark.sql.DataFrame,
                         planDumpName: Option[String] = None): String =
       try {
-        val norm = df.queryExecution.sparkPlan.toString
+        val norm0 = df.queryExecution.sparkPlan.toString
           .replaceAll("#\\d+", "#")
           .replaceAll("plan_id=\\d+", "plan_id=")
           .replaceAll("@[0-9a-fA-F]+", "@")
@@ -87,7 +87,10 @@ object Bench {
           // DASHLESS uuid (q88's filter embeds it) — the rule above
           // misses it and every run got a fresh fingerprint
           .replaceAll("_sentinel_[0-9a-f]{32}", "_sentinel_uuid")
-          .replaceAll("graft-fixtures/q\\d+_[^\\s,\\]]*", "fixture")
+          // letter-suffixed fixture tags (q186s, q99b …) must match too —
+          // q186's store path kept its per-pid suffix and the
+          // fingerprint moved every run (r18 session-4 diagnosis)
+          .replaceAll("graft-fixtures/q\\d+[a-z]*_[^\\s,\\]]*", "fixture")
           // per-process band/winnow-store table names (q99/q146 tier)
           // are run-local; scoped to the store naming schemes — a bare
           // _p\d+ rule would also collapse identifiers like len_p50
@@ -106,6 +109,20 @@ object Bench {
           // text/embedding tier) order-dependent (r18 diagnosis via
           // SPARK_GRAFT_PLAN_DUMP_DIR diffs)
           .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+#", "lambda $1_#")
+          // RewriteDistinctAggregates assigns the gid of each distinct
+          // group from a hash-ordered traversal — two runs of identical
+          // code swap which count(DISTINCT x) is gid 1 vs 2, reordering
+          // the Expand projections and agg keys with it (r18 session-4
+          // diagnosis: q138's fingerprint flipped between same-code
+          // runs). Normalize the gid literal, then sort each line's
+          // comma-separated segments: the swap is a pure within-line
+          // permutation, and segment ORDER inside keys=[..]/Expand[..]
+          // lists is semantically inert for a fingerprint
+          .replaceAll("gid# = \\d+", "gid# = N")
+        val segNorm = norm0.linesIterator.map { l =>
+          l.split(",", -1).map(_.trim).sorted.mkString(",")
+        }.mkString("\n")
+        val norm = segNorm
         // diagnostics: SPARK_GRAFT_PLAN_DUMP_DIR=<dir> writes each
         // normalized plan text out, so two runs can be DIFFED when a
         // fingerprint moves (how the r18 run-order instability below

@@ -335,7 +335,11 @@ object QueryRunner {
     "graft_pq_error" -> ((s, d) =>
       Similarity.pqErrorProfile(Corpus.table(s, d, "embeddings"))),
     "graft_pq_recall" -> ((s, d) =>
-      Similarity.pqRecallAuditSized(Corpus.table(s, d, "embeddings"), 10)))
+      Similarity.pqRecallAuditSized(Corpus.table(s, d, "embeddings"), 10)),
+    // the composite ANN serving query: first-reference because the
+    // codebook + query-row collects run at build
+    "graft_pq_probe" -> ((s, d) =>
+      Similarity.pqProbeTopK(Corpus.table(s, d, "embeddings"))))
 
   // inner map is a ConcurrentHashMap and the name-level update is an
   // atomic compute() (ADVICE r16: the old plain HashMap could corrupt

@@ -1056,6 +1056,19 @@ object SparkEntry {
     "q194_stream_semantic_admit" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.semanticAdmitStream(
         Corpus.table(s, dir, "embeddings"), fixtureDir("q194", dir))),
+    // q195: the COMPOSITE ANN serving query — coarse multi-probe prune
+    // (sign-bucket hamming ball, the CLOSED-FORM coarse quantizer) +
+    // PQ-ADC shortlist + exact re-rank of the top-R: the faiss IVF-PQ
+    // deployment shape assembled from the audited q94 and q170 tiers,
+    // hash-gated on VALUES end-to-end (the k-means IVF tier can only
+    // gate on invariants).
+    "q195_pq_probe_topk" -> ((s, dir) =>
+      Similarity.pqProbeTopK(Corpus.table(s, dir, "embeddings"))),
+    // q196: the SQL twin through the first-reference mat-view (the
+    // codebook + query row collect at build); shares q195's oracle.
+    "q196_sql_pq_probe" -> ((s, dir) => QueryRunner.sql(s, dir,
+      """SELECT rank, vec_id, label, cos
+        |FROM graft_pq_probe ORDER BY rank""".stripMargin)),
   )
 
   /** The q124 (and, with the hot planting, q130) SQL text, generated
@@ -2915,7 +2928,51 @@ object SparkEntry {
       Similarity.SemDeconThreshold, Similarity.SemDeconEvalMod, 125L),
     "q194_stream_semantic_admit" -> PO.semanticDeconSql(
       Similarity.SemDeconThreshold, Similarity.SemDeconEvalMod, 125L),
+    "q195_pq_probe_topk" -> pqServeSql(0L, 10, Similarity.PqProbeRadius, 125L),
+    "q196_sql_pq_probe" -> pqServeSql(0L, 10, Similarity.PqProbeRadius, 125L),
   )
+
+  /** q195/q196 oracle: the composite serving query recomputed — the
+    * shared PQ model CTEs (codebook, assignments), the adaptive-width
+    * sign buckets, the query's own `ad` rows as the ADC lookup table
+    * (m,c-ordered list), an EXPLICIT m-ascending adist sum (the q171
+    * fold-order discipline), and the exact-cosine re-rank with the
+    * same 64-term left-to-right dot. */
+  private def pqServeSql(qid: Long, k: Int, radius: Int,
+                         target: Long): String =
+    s"""WITH ${PO.adaptiveNbCte(target)},
+       |$pqModelCtes,
+       |bk AS (SELECT vec_id,
+       |  ${PO.signBucketAdaptive("embedding")} AS bucket FROM embeddings),
+       |qb AS (SELECT bucket AS q_bucket FROM bk WHERE vec_id = $qid),
+       |qv AS (SELECT ed AS q_ed,
+       |  sqrt(list_reduce(list_transform(ed, v -> v * v), (x, y) -> x + y))
+       |    AS q_norm FROM b WHERE vec_id = $qid),
+       |cand AS (SELECT bk.vec_id FROM bk, qb
+       |  WHERE bk.vec_id <> $qid
+       |  AND len(list_filter(range(1, (SELECT nb FROM params) + 1),
+       |    i -> substr(bk.bucket, i, 1) <> substr(qb.q_bucket, i, 1)))
+       |    <= $radius),
+       |lw AS (SELECT list(d2 ORDER BY m, c) AS lv FROM ad
+       |  WHERE vec_id = $qid),
+       |aw AS (SELECT vec_id, list(c ORDER BY m) AS cs FROM asg
+       |  WHERE vec_id IN (SELECT vec_id FROM cand) GROUP BY vec_id),
+       |short AS (SELECT aw.vec_id FROM aw, lw
+       |  QUALIFY row_number() OVER (ORDER BY
+       |    ${(0 until Similarity.PqM).map(m =>
+            s"lw.lv[$m * ${Similarity.PqC} + aw.cs[${m + 1}] + 1]")
+            .mkString(" + ")},
+       |    aw.vec_id) <= ${Similarity.PqRescoreR}),
+       |resc AS (SELECT b.vec_id, b.label,
+       |  round((${(1 to 64).map(i => s"b.ed[$i] * qv.q_ed[$i]")
+            .mkString(" + ")})
+       |    / (sqrt(list_reduce(list_transform(b.ed, v -> v * v),
+       |        (x, y) -> x + y)) * qv.q_norm), 6) AS cos
+       |  FROM b JOIN short USING (vec_id) CROSS JOIN qv)
+       |SELECT * FROM (SELECT CAST(row_number() OVER
+       |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, label, cos FROM resc) r
+       |WHERE rank <= $k ORDER BY rank""".stripMargin.replace("\n", " ")
 
   /** q187/q188 oracle: the repetition-admission recompute — the same
     * stutter plant (first 10 tokens appended 3×, hash64(doc_id,'#rep')

@@ -255,14 +255,14 @@ object PipelineOracles {
     * disagree by one ulp at exact powers of two and flip the width).
     * Both engines derive the width from the SAME corpus count, so the
     * bucket definitions stay in lockstep at any scale. */
-  private def adaptiveNbCte(target: Long): String =
+  private[graft] def adaptiveNbCte(target: Long): String =
     s"""params AS (
        |  SELECT greatest(1, coalesce((SELECT max(t.b) + 1 FROM range(0, 41) t(b)
        |    WHERE (1::BIGINT << CAST(t.b AS INT)) <
        |      (SELECT (count(*) + ${target - 1}) // $target FROM embeddings)), 0)) AS nb)""".stripMargin
 
   /** signBucket over the adaptive width from the `params` CTE. */
-  private def signBucketAdaptive(col: String): String =
+  private[graft] def signBucketAdaptive(col: String): String =
     s"""list_aggregate(list_transform(range(1, (SELECT nb FROM params) + 1),
        |  i -> CASE WHEN $col[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
 

@@ -1252,4 +1252,91 @@ object Similarity {
     val n = embeddings.select(count(lit(1))).head().getLong(0)
     pqRecallAudit(embeddings, k, sizedQueryMod(n, targetQueries))
   }
+
+  /** Gate-standard multi-probe radius for the composite serving query. */
+  val PqProbeRadius = 1
+
+  /** The COMPOSITE ANN serving query (q195) — the faiss IVF-PQ
+    * deployment shape assembled from the two audited tiers: a coarse
+    * quantizer prunes the candidate read (here the sign-bucket family
+    * with a hamming-ball multi-probe — the closed-form coarse
+    * quantizer, so unlike the k-means IVF cells the whole pipeline is
+    * bit-reproducible cross-engine and the gate hashes VALUES, not
+    * invariants), PQ-ADC scores the survivors with a per-query M×C
+    * lookup table (M array lookups per candidate, never a fold
+    * against the codebook), and the top-[[PqRescoreR]] shortlist is
+    * re-ranked by exact cosine — the deployed shortlist-rescore
+    * configuration q171 audits.
+    *
+    * Scale shape: the bucket IN-list prunes the scan to the
+    * hamming-ball's buckets (with a bucketed/partitioned store this
+    * is partition pruning — the q94 path); ADC is scan-local (codes +
+    * the broadcast-literal LUT); the shortlist is a
+    * TakeOrderedAndProject (per-partition heaps, rescoreR rows
+    * total); re-rank touches rescoreR vectors. Query cost is
+    * O(ball-bucket candidates), independent of corpus size at fixed
+    * bucket population — the adaptive width rule keeps that fixed. */
+  def pqProbeTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                  radius: Int = PqProbeRadius,
+                  targetPerBucket: Long = 125L, m: Int = PqM,
+                  c: Int = PqC, rescoreR: Int = PqRescoreR): DataFrame = {
+    require(k >= 1 && radius >= 0 && rescoreR >= k)
+    val nBits = oracleSizedNBits(
+      math.max(embeddings.count(), 1L), targetPerBucket)
+    val qRow = embeddings.where(col("vec_id") === queryId)
+      .select(col("embedding")).take(1)
+    if (qRow.isEmpty)
+      return embeddings.where(lit(false))
+        .select(lit(0L).as("rank"), col("vec_id"), col("label"),
+          lit(0.0).as("cos"))
+    val qf = qRow.head.getSeq[Float](0).toArray
+    val qv = qf.map(_.toDouble)
+    val cb = pqCodebook(embeddings, c)
+    val sub = cb.head.size / m
+    // driver-side ADC lookup table [m][c] — the same ascending-j
+    // left fold as d2Fold / the oracle's list_reduce, so the doubles
+    // are bit-identical on every engine
+    val lut: Seq[Seq[Double]] = (0 until m).map { mi =>
+      cb.map { cv =>
+        var acc = 0.0
+        var j = 0
+        while (j < sub) {
+          val d = qv(mi * sub + j) - cv(mi * sub + j)
+          acc += d * d
+          j += 1
+        }
+        acc
+      }
+    }
+    val probes = hammingBall(signBucketOf(qf, nBits), radius)
+    val cbLit = pqCbLit(cb, m)
+    val cand = withVectorCols(embeddings, nBits)
+      .where(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .withColumn("codes", pqCodes(cbLit, m, sub))
+    val lutLit = typedlit(lut)
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(lutLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _) // explicit m-ascending adds — the oracle's spelling
+    val qn = {
+      var acc = 0.0; var i = 0
+      while (i < qv.length) { acc += qv(i) * qv(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val qLit = array(qv.toIndexedSeq.map(lit): _*)
+    val short = cand
+      .select(col("vec_id"), col("label"), col("ed"), col("norm"),
+        adist.as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(rescoreR)
+    val top = short
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.ArrayDot.column(col("ed"), qLit) /
+          (col("norm") * lit(qn)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+    top.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
+      col("vec_id"), col("label"), col("cos"))
+      .orderBy("rank")
+  }
 }

@@ -59,4 +59,34 @@ class SimilarityPqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("codebook"))
   }
+
+  test("composite probe: all-bucket radius on the lattice == exact cosine top-k") {
+    // lattice: ADC == exact L2 (zero reconstruction error), and a
+    // radius covering every bucket makes the coarse prune a no-op —
+    // so the composite serving query must reproduce brute force
+    val emb = lattice()
+    val nBits = Similarity.oracleSizedNBits(Similarity.PqC.toLong, 125L)
+    val got = Similarity.pqProbeTopK(emb, queryId = 0L, k = 5,
+        radius = nBits)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val exact = Similarity.cosineTopK(emb, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == exact, s"composite != exact: $got vs $exact")
+    // missing query id → empty, schema intact
+    assert(Similarity.pqProbeTopK(emb, queryId = 999L).collect().isEmpty)
+  }
+
+  test("composite probe: gate-standard radius is a subset-correct ranking on the driver corpus") {
+    val emb = graft.sources.Corpus.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val rows = Similarity.pqProbeTopK(emb).collect()
+    assert(rows.nonEmpty)
+    // ranks contiguous from 1, cosine non-increasing
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val cs = rows.map(_.getDouble(3)).toSeq
+    assert(cs == cs.sorted.reverse)
+    // deterministic
+    val again = Similarity.pqProbeTopK(emb).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
