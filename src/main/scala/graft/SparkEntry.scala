@@ -2941,7 +2941,7 @@ object SparkEntry {
   private def pqServeSql(qid: Long, k: Int, radius: Int,
                          target: Long): String =
     s"""WITH ${PO.adaptiveNbCte(target)},
-       |$pqModelCtes,
+       |$pqBaseCtes,
        |bk AS (SELECT vec_id,
        |  ${PO.signBucketAdaptive("embedding")} AS bucket FROM embeddings),
        |qb AS (SELECT bucket AS q_bucket FROM bk WHERE vec_id = $qid),
@@ -2953,9 +2953,15 @@ object SparkEntry {
        |  AND len(list_filter(range(1, (SELECT nb FROM params) + 1),
        |    i -> substr(bk.bucket, i, 1) <> substr(qb.q_bucket, i, 1)))
        |    <= $radius),
-       |lw AS (SELECT list(d2 ORDER BY m, c) AS lv FROM ad
+       |bc AS MATERIALIZED (SELECT b.* FROM b
+       |  WHERE vec_id IN (SELECT vec_id FROM cand) OR vec_id = $qid),
+       |adr AS ${pqAdCte("bc")},
+       |asgr AS (SELECT vec_id, m, c FROM adr
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, c) = 1),
+       |lw AS (SELECT list(d2 ORDER BY m, c) AS lv FROM adr
        |  WHERE vec_id = $qid),
-       |aw AS (SELECT vec_id, list(c ORDER BY m) AS cs FROM asg
+       |aw AS (SELECT vec_id, list(c ORDER BY m) AS cs FROM asgr
        |  WHERE vec_id IN (SELECT vec_id FROM cand) GROUP BY vec_id),
        |short AS (SELECT aw.vec_id FROM aw, lw
        |  QUALIFY row_number() OVER (ORDER BY
@@ -3075,7 +3081,11 @@ object SparkEntry {
     * nearest-centroid assignment. Subspace slices are 1-based
     * inclusive [m·8+1 .. m·8+8]; every fold is left-to-right (DuckDB
     * list_reduce == Spark aggregate-with-0.0 since 0+x = x). */
-  private def pqModelCtes: String =
+  /** The corpus-as-doubles + codebook CTEs (b, cbv, cb) — shared by
+    * the full-assignment form below and the candidate-restricted
+    * serving oracle (pqServeSql), so the codebook spelling can never
+    * drift between them. */
+  private def pqBaseCtes: String =
     s"""b AS MATERIALIZED (SELECT vec_id, label,
        |  list_transform(embedding, v -> v::DOUBLE) AS ed FROM embeddings),
        |cbv AS (SELECT ed, row_number() OVER (ORDER BY
@@ -3083,12 +3093,22 @@ object SparkEntry {
        |  vec_id) AS rc FROM b QUALIFY rc <= ${Similarity.PqC}),
        |cb AS MATERIALIZED (SELECT rc - 1 AS c, mm.m AS m,
        |  ed[mm.m*8+1 : mm.m*8+8] AS cv FROM cbv
-       |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqM})) AS m) mm),
-       |ad AS (SELECT b.vec_id, cb.m, cb.c,
+       |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqM})) AS m) mm)"""
+      .stripMargin
+
+  /** Per-(vec, subspace, centroid) d2 over a source CTE `src` (must
+    * expose vec_id, ed) — the `ad` spelling, parameterized so the
+    * serving oracle can restrict it to candidates. */
+  private def pqAdCte(src: String): String =
+    s"""(SELECT $src.vec_id, cb.m, cb.c,
        |  list_reduce(list_transform(range(1, 9),
-       |    j -> (b.ed[cb.m*8+j] - cb.cv[j]) * (b.ed[cb.m*8+j] - cb.cv[j])),
+       |    j -> ($src.ed[cb.m*8+j] - cb.cv[j]) * ($src.ed[cb.m*8+j] - cb.cv[j])),
        |    (x, y) -> x + y) AS d2
-       |  FROM b CROSS JOIN cb),
+       |  FROM $src CROSS JOIN cb)""".stripMargin
+
+  private def pqModelCtes: String =
+    s"""$pqBaseCtes,
+       |ad AS ${pqAdCte("b")},
        |asg AS MATERIALIZED (SELECT vec_id, m, c, d2 FROM ad
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
        |    ORDER BY d2, c) = 1)""".stripMargin
