@@ -436,6 +436,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(qa) == rows(
       graft.pipeline.Curation.qualityPercentileAdmission(docs, 0.5, 100L)))
     assert(qa.count() > 0)
+    // r18 s4 TVFs at NON-standard parameters == the Scala operators
+    val ra = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_repetition_admission(500, 120, 140, 160, 100, 80) " +
+        "ORDER BY source")
+    assert(rows(ra) == rows(graft.pipeline.TextStats.repetitionAdmission(
+      docs, 500L, Seq(2 -> 120L, 3 -> 140L, 4 -> 160L),
+      Seq(5 -> 100L, 10 -> 80L))))
+    assert(ra.count() > 0)
+    val ds = QueryRunner.sql(spark, sf,
+      "SELECT * FROM graft_dsir_sample(3, 1024) ORDER BY source, rn")
+    assert(rows(ds) == rows(
+      graft.pipeline.Curation.dsirResample(docs, 3, 1024L)))
+    assert(ds.count() > 0)
   }
 
   test("bare graft_weighted_sample / graft_burst_windows / graft_bigram_lm resolve to the gate-standard views") {
