@@ -114,15 +114,18 @@ object Bench {
           // code swap which count(DISTINCT x) is gid 1 vs 2, reordering
           // the Expand projections and agg keys with it (r18 session-4
           // diagnosis: q138's fingerprint flipped between same-code
-          // runs). Normalize the gid literal, then sort each line's
-          // comma-separated segments: the swap is a pure within-line
-          // permutation, and segment ORDER inside keys=[..]/Expand[..]
-          // lists is semantically inert for a fingerprint
+          // runs). Normalize the gid literal, then sort the
+          // comma-separated segments of the AFFECTED lines only — every
+          // node the rewrite reorders mentions gid# (the Expand output
+          // list and the agg keys/functions lists), and restricting the
+          // sort there keeps ordering-sensitive lists elsewhere (Sort
+          // keys, TakeOrderedAndProject orderBy) fingerprint-visible
           .replaceAll("gid# = \\d+", "gid# = N")
-        val segNorm = norm0.linesIterator.map { l =>
-          l.split(",", -1).map(_.trim).sorted.mkString(",")
+        val norm = norm0.linesIterator.map { l =>
+          if (l.contains("gid#"))
+            l.split(",", -1).map(_.trim).sorted.mkString(",")
+          else l
         }.mkString("\n")
-        val norm = segNorm
         // diagnostics: SPARK_GRAFT_PLAN_DUMP_DIR=<dir> writes each
         // normalized plan text out, so two runs can be DIFFED when a
         // fingerprint moves (how the r18 run-order instability below

@@ -208,10 +208,13 @@ object QueryRunner {
       a => Curation.qualityPercentileAdmission(docs, a(0), a(1).toLong)),
     // per-document repetition admission at ad-hoc permille thresholds
     // (dup-token, top-2/3/4-gram, dup-5/10-gram — the Gopher suite)
-    ("graft_repetition_admission", Seq(
-      "dup_tok" -> TextStats.RepDupTokPermille.toDouble,
-      "top2" -> 150.0, "top3" -> 180.0, "top4" -> 220.0,
-      "dup5" -> 150.0, "dup10" -> 100.0),
+    ("graft_repetition_admission",
+      ("dup_tok" -> TextStats.RepDupTokPermille.toDouble) +:
+        (TextStats.RepTopGramPermille.map { case (n, p) =>
+          s"top$n" -> p.toDouble
+        } ++ TextStats.RepDupGramPermille.map { case (n, p) =>
+          s"dup$n" -> p.toDouble
+        }),
       a => TextStats.repetitionAdmission(docs, a(0).toLong,
         Seq(2 -> a(1).toLong, 3 -> a(2).toLong, 4 -> a(3).toLong),
         Seq(5 -> a(4).toLong, 10 -> a(5).toLong))),

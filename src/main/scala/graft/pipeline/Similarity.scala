@@ -453,8 +453,11 @@ object Similarity {
   val SemDeconThreshold: Double = 0.4
   val SemDeconEvalMod: Long = 4L
 
-  private[graft] def semEvalFlag(v: Column): Column =
-    hash64(v.cast("string"), "sev") % SemDeconEvalMod === 0
+  /** The ONE spelling of the '#sev' eval split — shared by the batch
+    * tier and the streaming admission so the convention cannot drift. */
+  private[graft] def semEvalFlag(v: Column,
+                                 evalMod: Long = SemDeconEvalMod): Column =
+    hash64(v.cast("string"), "sev") % evalMod === 0
 
   /** SEMANTIC decontamination — the embedding-space member of the
     * decontamination tier (q134/q141 catch verbatim 13-gram overlap,
@@ -486,8 +489,7 @@ object Similarity {
       math.max(embeddings.count(), 1L), targetPerBucket)
     val pairs = cosineNearDupPairsUnsorted(embeddings, threshold, nBits,
       maxBucket = Dedup.DefaultMaxBucket)
-    val evalOf = (c: Column) =>
-      hash64(c.cast("string"), "sev") % evalMod === 0
+    val evalOf = (c: Column) => semEvalFlag(c, evalMod)
     val contaminated = pairs
       .where(evalOf(col("vec_b")) && !evalOf(col("vec_a")))
       .select(col("vec_a").as("vec_id"))

@@ -773,8 +773,12 @@ object TextStats {
     * repetition suite):
     *
     *   - dup-token fraction:  (n_toks − n_distinct) / n_toks
-    *   - top n-gram char fraction (n = 2,3,4): occurrences of the
-    *     most frequent n-gram × its char length / length(text)
+    *   - top n-gram char fraction (n = 2,3,4): the maximum over
+    *     grams of occurrences × char length, over length(text) — the
+    *     gram maximizing the PRODUCT, i.e. the most chars attributable
+    *     to any one gram (a long gram at count 2 can outscore a short
+    *     one at count 3; Gopher's "most frequent n-gram" convention
+    *     picks by count alone — same family, slightly different pick)
     *   - duplicated n-gram char fraction (n = 5,10): Σ over n-grams
     *     occurring ≥ 2 of count × char length / length(text)
     *

@@ -1269,18 +1269,23 @@ object StreamingPipeline {
       }
       .start()
     try query.processAllAvailable() finally query.stop()
-    // explicit per-batch dirs, not a glob: a glob over zero matches
-    // dies inside DataFrameReader with a bare FileNotFoundException,
-    // while an empty listing here is the REAL condition worth naming
-    // (the stream processed no query batches at all)
-    val batchDirs = Option(outDir.listFiles()).map(_.toSeq)
+    spark.read.parquet(readBatchDirs(outDir, "bm25QueryStream"): _*)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Explicit per-batch result dirs, not a glob: a glob over zero
+    * matches dies inside DataFrameReader with a bare
+    * FileNotFoundException, while an empty listing here is the REAL
+    * condition worth naming (the stream processed no batches). */
+  private def readBatchDirs(outDir: java.io.File,
+                            what: String): Seq[String] = {
+    val dirs = Option(outDir.listFiles()).map(_.toSeq)
       .getOrElse(Seq.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
       .map(_.toString).sorted
-    require(batchDirs.nonEmpty,
-      s"bm25QueryStream: no query batches were processed (out=$outDir)")
-    spark.read.parquet(batchDirs: _*)
-      .orderBy("query_id", "rank")
+    require(dirs.nonEmpty,
+      s"$what: no batches were processed (out=$outDir)")
+    dirs
   }
 
   /** STREAMING semantic admission (q194) — the third member of the
@@ -1313,8 +1318,21 @@ object StreamingPipeline {
     val spark = embeddings.sparkSession
     val nBits = Similarity.oracleSizedNBits(
       math.max(embeddings.count(), 1L), targetPerBucket)
-    val evalOf = (c: Column) =>
-      TextFunctions.hash64(c.cast("string"), "sev") % evalMod === 0
+    val evalOf = (c: Column) => Similarity.semEvalFlag(c, evalMod)
+    // the shared-oracle contract REQUIRES the batch tier's bucket cap
+    // to be quiescent (the stream probes all bucket collisions; the
+    // batch pair index degrades to star pairs past maxBucket). The
+    // adaptive width rule keeps expected population ~targetPerBucket,
+    // an order of magnitude under the cap — enforce it loudly instead
+    // of diverging silently on a pathologically skewed corpus.
+    val maxBucketPop = Similarity.withVectorCols(embeddings, nBits)
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(maxBucketPop <= graft.pipeline.Dedup.DefaultMaxBucket,
+      s"semanticAdmitStream: bucket population $maxBucketPop exceeds " +
+        s"the batch tier's cap ${graft.pipeline.Dedup.DefaultMaxBucket} — " +
+        "streamed admission would diverge from the capped batch/oracle " +
+        "semantics on this corpus")
     // static side, frozen: the eval vectors with bucket/ed/norm.
     // createDataFrame-from-rdd after the checkpoint is LOAD-BEARING:
     // localCheckpoint keeps the ORIGIN plan's constraints, which still
@@ -1362,13 +1380,8 @@ object StreamingPipeline {
       }
       .start()
     try query.processAllAvailable() finally query.stop()
-    val batchDirs = Option(outDir.listFiles()).map(_.toSeq)
-      .getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .map(_.toString).sorted
-    require(batchDirs.nonEmpty,
-      s"semanticAdmitStream: no batches were processed (out=$outDir)")
-    val admitted = spark.read.parquet(batchDirs: _*)
+    val admitted = spark.read.parquet(
+      readBatchDirs(outDir, "semanticAdmitStream"): _*)
     train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))
       .join(admitted.groupBy(col("label")).agg(count(lit(1)).as("n_kept"),
         sum(col("vh")).as("kept_hash_sum")), Seq("label"), "left")
