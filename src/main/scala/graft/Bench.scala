@@ -122,7 +122,12 @@ object Bench {
           // keys, TakeOrderedAndProject orderBy) fingerprint-visible
           .replaceAll("gid# = \\d+", "gid# = N")
         val norm = norm0.linesIterator.map { l =>
-          if (l.contains("gid#"))
+          // scope the segment sort to RewriteDistinctAggregates output
+          // (Expand/HashAggregate nodes mentioning gid#) — a bare
+          // contains("gid#") also canonicalized ordering-sensitive
+          // lines that merely mention a gid-named column (ADVICE r18)
+          if (l.contains("gid#") &&
+              (l.contains("Expand") || l.contains("HashAggregate")))
             l.split(",", -1).map(_.trim).sorted.mkString(",")
           else l
         }.mkString("\n")

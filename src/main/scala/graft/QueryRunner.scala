@@ -215,9 +215,17 @@ object QueryRunner {
         } ++ TextStats.RepDupGramPermille.map { case (n, p) =>
           s"dup$n" -> p.toDouble
         }),
-      a => TextStats.repetitionAdmission(docs, a(0).toLong,
-        Seq(2 -> a(1).toLong, 3 -> a(2).toLong, 4 -> a(3).toLong),
-        Seq(5 -> a(4).toLong, 10 -> a(5).toLong))),
+      // n values ZIPPED from the constant Seqs, not hardcoded — editing
+      // RepTopGramPermille/RepDupGramPermille must not desynchronize
+      // parameter names from semantics (ADVICE r18)
+      a => {
+        val nTop = TextStats.RepTopGramPermille.size
+        TextStats.repetitionAdmission(docs, a(0).toLong,
+          TextStats.RepTopGramPermille.map(_._1)
+            .zip(a.slice(1, 1 + nTop).map(_.toLong)),
+          TextStats.RepDupGramPermille.map(_._1)
+            .zip(a.drop(1 + nTop).map(_.toLong)))
+      }),
     // DSIR importance resampling at an ad-hoc k / bucket count
     ("graft_dsir_sample", Seq("k" -> Curation.DsirK.toDouble,
       "buckets" -> Curation.DsirBuckets.toDouble),

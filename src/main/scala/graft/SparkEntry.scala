@@ -1238,12 +1238,22 @@ object SparkEntry {
     * keeping within-process reuse (the q78 store is built once per
     * session and probed thereafter); a shutdown hook removes this
     * process's fixtures so repeated runs don't accumulate stores. */
+  /** Root for all run-scoped fixture dirs (stream staging, replay
+    * checkpoints/sinks, persisted gate stores). Overridable via
+    * SPARK_GRAFT_FIXTURE_ROOT so the ephemeral replay plumbing can be
+    * placed on fast scratch storage (e.g. tmpfs) — every dir under it
+    * is pid-scoped, swept on shutdown, and rebuilt per process, so
+    * nothing here ever carries results across runs. */
+  private[graft] lazy val fixtureRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_ROOT",
+      "/root/repo/target/graft-fixtures")
+
   private[graft] lazy val fixturePid: Long = {
     val pid = ProcessHandle.current().pid()
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
     }
-    val root = new java.io.File("/root/repo/target/graft-fixtures")
+    val root = new java.io.File(fixtureRoot)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val mine = root.listFiles()
       if (mine != null) mine.filter(_.getName.endsWith(s"_p$pid")).foreach(rm)
@@ -1289,7 +1299,7 @@ object SparkEntry {
   }
 
   private def fixtureDir(tag: String, dir: String): String =
-    s"/root/repo/target/graft-fixtures/${tag}_${dirTag(dir)}_p$fixturePid"
+    s"$fixtureRoot/${tag}_${dirTag(dir)}_p$fixturePid"
 
   /** Persisted-store locations (table name, path) for the incremental
     * gates — shared with the SQL surface (QueryRunner's

@@ -43,13 +43,13 @@ object StreamCostTool {
     // measured sample sits on the same warm floor
     graft.streaming.StreamingPipeline
       .sessionizeFileStreamWaves(events, 30,
-        s"/root/repo/target/graft-fixtures/streamcost_warm_p$pid",
+        s"${SparkEntry.fixtureRoot}/streamcost_warm_p$pid",
         nWaves = waves.min)
       .write.format("noop").mode("overwrite").save()
     val pts = waves.map { nw =>
       val runs = (1 to reps).map { i =>
         val dir =
-          s"/root/repo/target/graft-fixtures/streamcost_${nw}_${i}_p$pid"
+          s"${SparkEntry.fixtureRoot}/streamcost_${nw}_${i}_p$pid"
         val t0 = System.nanoTime()
         graft.streaming.StreamingPipeline
           .sessionizeFileStreamWaves(events, 30, dir, nWaves = nw)

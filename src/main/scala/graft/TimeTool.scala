@@ -9,7 +9,12 @@ object TimeTool {
     val cpus = if (args.length > 2) args(2) else "32"
     val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same JIT guard as Verify/Bench (see Bench.scala) — the isolated
+      // retime tool must not be able to diverge from the gate session
+      // on conf (r18 VERDICT task 7)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
     // extra confs: SPARK_GRAFT_CONF="k1=v1,k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>

@@ -7,6 +7,12 @@ import java.nio.file.{Files, Paths}
   * never silently shrink the correctness report (round-1 q14 lesson). */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // --list: print every declared query name (no Spark session) — the
+    // enumeration tools/solo_verify.sh sweeps one fresh JVM per name
+    if (args.headOption.contains("--list")) {
+      SparkEntry.queries.keysIterator.toSeq.sorted.foreach(println)
+      return
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — the scale
     // spot-check path (e.g. only the adaptive dedup tier at sf3).

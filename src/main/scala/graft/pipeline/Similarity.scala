@@ -147,17 +147,39 @@ object Similarity {
   }
 
   /** ANN top-k restricted to the query's sign-bucket (first `nBits`
-    * dimension signs). Recall is traded for a bucket-local scan. */
+    * dimension signs). Recall is traded for a bucket-local scan.
+    *
+    * The query side is ONE row by contract, so it is collected (the
+    * documented query-row-sized collect, as in the PQ/multiprobe tier)
+    * and inlined as literals. The previous broadcast self-join
+    * (`join(broadcast(q), bucket === q_bucket)` over two branches of
+    * one lambda-deriving scan) crashed any FRESH session with
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND: InferFiltersFromConstraints
+    * pushes a constraint referencing the pruned lambda attribute into
+    * the probe side — the same rewrite class defused in
+    * bucketKnnJoinUnsorted (bucket-collect) and semanticAdmitStream
+    * (createDataFrame-from-rdd). The literal form removes the join AND
+    * its broadcast exchange: one scan, a literal bucket filter, one
+    * TakeOrdered — and gives the rewrite nothing to mis-infer. */
   def bucketTopK(embeddings: DataFrame, queryId: Long, k: Int,
                  nBits: Int): DataFrame = {
     val v = withVectorCols(embeddings, nBits)
-    val q = v.where(col("vec_id") === queryId)
-      .select(col("ed").as("q_ed"), col("norm").as("q_norm"),
-        col("bucket").as("q_bucket"))
-    v.where(col("vec_id") =!= queryId)
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("label"),
-        round(pairCosine(col("ed"), col("q_ed"), col("norm"), col("q_norm")), 6).as("cos"))
+    val qRows = v.where(col("vec_id") === queryId)
+      .select(col("ed"), col("norm"), col("bucket")).collect()
+    // 0 query rows: keep the old join semantics (empty result), loudly
+    // distinguishable from >1 (a corrupt corpus — vec_id is a key)
+    require(qRows.length <= 1,
+      s"bucketTopK: query vec_id $queryId matched ${qRows.length} rows")
+    val base = v.where(col("vec_id") =!= queryId)
+    val matched = qRows.headOption.fold(
+      base.where(lit(false)).withColumn("cos", lit(0.0))) { q =>
+      base.where(col("bucket") === lit(q.getString(2)))
+        .withColumn("cos", round(pairCosine(col("ed"),
+          typedLit(q.getSeq[Double](0)), col("norm"),
+          lit(q.getDouble(1))), 6))
+    }
+    matched
+      .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -197,7 +197,7 @@ object StreamingPipeline {
       nRows: Long)(feed: org.apache.spark.sql.streaming.StreamingQuery
         => Unit): DataFrame = {
     val spark = out.sparkSession
-    val root = new java.io.File("/root/repo/target/graft-fixtures")
+    val root = new java.io.File(graft.SparkEntry.fixtureRoot)
     // Repeated replays of the same gate must not stack hundreds of MB
     // of sink data until JVM exit (ADVICE r12) — but the PREVIOUS
     // invocation's parquet may still back a live lazily-read frame
@@ -225,11 +225,25 @@ object StreamingPipeline {
         .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append)
         .start()
-      try feed(query) finally query.stop()
+      try feed(query) finally {
+        dumpProgress(qtag, query)
+        query.stop()
+      }
     }
     rmTree(ckpt)
     spark.read.schema(out.schema).parquet(data.toString)
   }
+
+  /** Diagnostics (SPARK_GRAFT_STREAM_PROGRESS=1): per-micro-batch
+    * durationMs breakdown to stderr, so "where does the per-wave fixed
+    * cost go" is measured, not guessed (guide §1). No-op when unset. */
+  private def dumpProgress(qtag: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").contains("1"))
+      try query.recentProgress.foreach { p =>
+        System.err.println(s"[stream-progress] $qtag batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+      } catch { case _: Throwable => () }
 
   /** Replay sentinel user id: Long.MinValue, a value the replay REJECTS
     * in its input (require below) rather than silently dropping — the
@@ -1216,7 +1230,9 @@ object StreamingPipeline {
           table, path)
       }
       .start()
-    try query.processAllAvailable() finally query.stop()
+    try query.processAllAvailable() finally {
+      dumpProgress("q186", query); query.stop()
+    }
     Retrieval.bm25ProbeStore(spark, table, path)
   }
 
@@ -1268,7 +1284,9 @@ object StreamingPipeline {
             .parquet(new java.io.File(outDir, s"batch_$id").toString)
       }
       .start()
-    try query.processAllAvailable() finally query.stop()
+    try query.processAllAvailable() finally {
+      dumpProgress("q191", query); query.stop()
+    }
     spark.read.parquet(readBatchDirs(outDir, "bm25QueryStream"): _*)
       .orderBy("query_id", "rank")
   }
@@ -1279,10 +1297,14 @@ object StreamingPipeline {
     * condition worth naming (the stream processed no batches). */
   private def readBatchDirs(outDir: java.io.File,
                             what: String): Seq[String] = {
+    // numeric batch order (batch_2 before batch_10) — lexicographic
+    // order was harmless only because every caller re-sorts the
+    // unioned result (ADVICE r18)
     val dirs = Option(outDir.listFiles()).map(_.toSeq)
       .getOrElse(Seq.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .map(_.toString).sorted
+      .sortBy(_.getName.stripPrefix("batch_").toLong)
+      .map(_.toString)
     require(dirs.nonEmpty,
       s"$what: no batches were processed (out=$outDir)")
     dirs
@@ -1325,9 +1347,16 @@ object StreamingPipeline {
     // adaptive width rule keeps expected population ~targetPerBucket,
     // an order of magnitude under the cap — enforce it loudly instead
     // of diverging silently on a pathologically skewed corpus.
-    val maxBucketPop = Similarity.withVectorCols(embeddings, nBits)
-      .groupBy(col("bucket")).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // Session-memoized per (corpus, nBits) — the SessionCache keying
+    // discipline of the pair index — so repeated invocations don't pay
+    // a dedicated full-corpus histogram pass each time (ADVICE r18).
+    val maxBucketPop = graft.SessionCache.getOrBuild(spark,
+      ("StreamingPipeline.semAdmitMaxBucketPop", embeddings.semanticHash(),
+        graft.SessionCache.lineageFingerprint(embeddings), nBits)) {
+      java.lang.Long.valueOf(Similarity.withVectorCols(embeddings, nBits)
+        .groupBy(col("bucket")).count()
+        .agg(max(col("count"))).head().getLong(0))
+    }.longValue()
     require(maxBucketPop <= graft.pipeline.Dedup.DefaultMaxBucket,
       s"semanticAdmitStream: bucket population $maxBucketPop exceeds " +
         s"the batch tier's cap ${graft.pipeline.Dedup.DefaultMaxBucket} — " +
@@ -1379,7 +1408,9 @@ object StreamingPipeline {
           .parquet(new java.io.File(outDir, s"batch_$id").toString)
       }
       .start()
-    try query.processAllAvailable() finally query.stop()
+    try query.processAllAvailable() finally {
+      dumpProgress("q194", query); query.stop()
+    }
     val admitted = spark.read.parquet(
       readBatchDirs(outDir, "semanticAdmitStream"): _*)
     train.groupBy(col("label")).agg(count(lit(1)).as("n_train"))

@@ -290,6 +290,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(bucketed.forall(_.getDouble(2) <= cs.head))
   }
 
+  test("bucketTopK runs on a FRESH session and matches the suite session (r19 q23 fix)") {
+    // The pre-r19 broadcast-self-join spelling crashed any fresh
+    // session at task time (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND via
+    // InferFiltersFromConstraints over the pruned lambda attribute) —
+    // its green q23 gate row was an artifact of suite execution order
+    // (VERDICT r18). Pin: a session with NO prior embeddings queries
+    // executes it and agrees with the warmed suite session.
+    val fresh = spark.newSession()
+    val freshRows = Similarity.bucketTopK(
+      sources.Corpus.table(fresh, "/root/testdata/sf0.001", "embeddings"),
+      0L, 10, 4).collect().map(r =>
+        (r.getLong(0), String.valueOf(r.get(1)), r.getDouble(2))).toSeq
+    val suiteRows = Similarity.bucketTopK(embs, 0L, 10, 4).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getDouble(2))).toSeq
+    assert(freshRows.nonEmpty && freshRows == suiteRows)
+  }
+
   test("IVF: probing all cells equals brute force; fewer probes trade recall") {
     val exact = Similarity.cosineTopK(embs, 0L, 10).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
